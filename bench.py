@@ -1,0 +1,123 @@
+"""Headline benchmark: hybrid QPS per chip (top-8 RRF over a 100k corpus).
+
+BASELINE.json target: >50,000 hybrid QPS/chip at p50 < 5 ms on TPU v5e.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (driver
+contract), plus human-readable detail lines on stderr.
+
+The measured step is the full fused hybrid query path on-device:
+  Pallas tiled cosine top-k (bf16 corpus in HBM)
+  + BM25 CSR sparse scoring + top-k
+  + RRF rank-merge fusion to top-8.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_QPS = 50_000.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    on_tpu = backend in ("tpu", "axon")
+    log(f"backend={backend} devices={jax.devices()}")
+
+    # Config 2 shape: 100k chunks, dim 1024, top-8 hybrid.
+    if on_tpu:
+        n, d, b, vocab = 100_000, 1024, 512, 50_000
+        iters, warmup = 30, 5
+    else:  # CPU smoke mode
+        n, d, b, vocab = 20_000, 256, 64, 5_000
+        iters, warmup = 3, 1
+
+    k = 8
+    t_query, p_max = 8, 2048
+
+    from tpurag.kernels.bm25 import bm25_topk
+    from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
+    from tpurag.kernels.fusion import rrf_fuse
+    from tpurag.kernels.runtime import interpret_mode
+
+    rng = np.random.default_rng(0)
+    log(f"building synthetic corpus n={n} d={d} ...")
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    emb_dev = jnp.asarray(emb, jnp.bfloat16 if on_tpu else jnp.float32)
+
+    # Synthetic Zipf-ish inverted index: term doc-frequencies spanning
+    # 16..p_max, postings sorted by doc id.
+    df = np.clip((p_max * (1 + np.arange(vocab)) ** -0.5), 16, p_max).astype(np.int64)
+    starts_host = np.zeros(vocab + 1, np.int64)
+    np.cumsum(df, out=starts_host[1:])
+    nnz = int(starts_host[-1])
+    post_doc = rng.integers(0, n, (nnz,)).astype(np.int32)
+    post_tf = rng.integers(1, 6, (nnz,)).astype(np.float32)
+    dnorm = rng.uniform(0.4, 2.2, (n,)).astype(np.float32)
+    log(f"inverted index nnz={nnz}")
+
+    # Query batch.
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    tid = rng.integers(0, vocab, (b, t_query))
+    q_starts = starts_host[tid].astype(np.int32)
+    q_lens = df[tid].astype(np.int32)
+    q_idf = rng.uniform(0.5, 3.0, (b, t_query)).astype(np.float32)
+
+    q_dev = jnp.asarray(q)
+    args = (jnp.asarray(q_starts), jnp.asarray(q_lens), jnp.asarray(q_idf),
+            jnp.asarray(post_doc), jnp.asarray(post_tf), jnp.asarray(dnorm))
+    n_valid = jnp.int32(n)
+
+    use_pallas = on_tpu
+
+    @jax.jit
+    def hybrid_step(qv, s, l, i, pd, pt, dn):
+        if use_pallas:
+            v_s, v_i = dense_topk_pallas(qv, emb_dev, n_valid, k)
+        else:
+            v_s, v_i = dense_topk_xla(qv, emb_dev, n_valid, k)
+        k_s, k_i = bm25_topk(s, l, i, pd, pt, dn, n_valid, k=k, p_max=p_max)
+        return rrf_fuse((v_i, k_i), weights=(1.0, 1.0), final_k=k)
+
+    log("compiling ...")
+    t0 = time.perf_counter()
+    out = hybrid_step(q_dev, *args)
+    jax.block_until_ready(out)
+    log(f"first call (compile+run): {time.perf_counter() - t0:.1f}s")
+
+    for _ in range(warmup):
+        jax.block_until_ready(hybrid_step(q_dev, *args))
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(hybrid_step(q_dev, *args))
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    p50 = float(np.percentile(times, 50))
+    qps = b / p50
+    log(f"batch={b} p50_batch_latency={p50 * 1e3:.3f}ms "
+        f"min={times.min() * 1e3:.3f}ms qps={qps:,.0f}")
+
+    print(json.dumps({
+        "metric": "hybrid_qps_per_chip",
+        "value": round(qps, 1),
+        "unit": f"QPS (top-{k} RRF, {n // 1000}k chunks, dim {d}, "
+                f"p50 batch latency {p50 * 1e3:.2f}ms, backend {backend})",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,29 @@
+"""Test env: force CPU with a virtual 8-device mesh (SURVEY.md §4) so the
+v5e-8 sharded paths run in CI without TPU hardware. Must run before jax
+imports anywhere."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Hard-override: this machine's sitecustomize registers the axon TPU
+# plugin and force-sets jax_platforms="axon,cpu" in every process (env
+# JAX_PLATFORMS is ignored). Re-override via jax.config so tests run on
+# the virtual 8-device CPU mesh unless explicitly opted into TPU.
+if not os.environ.get("TPURAG_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

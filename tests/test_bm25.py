@@ -1,0 +1,103 @@
+import math
+
+import numpy as np
+
+from tpurag.core.config import BM25Config
+from tpurag.index.inverted import InvertedIndex
+from tpurag.ingest.tokenizer import tokenize, tokenize_query
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast auburn fox leaped across a sleepy hound",
+    "machine learning on tensor processing units",
+    "the dog sleeps while the fox runs quick and quick",
+    "TPU kernels use the MXU systolic array for matmuls",
+    "向量检索和关键词检索的混合搜索",
+    "关键词搜索使用倒排索引",
+]
+
+
+def python_bm25(docs, query, k1=1.2, b=0.75):
+    """Plain-Python Okapi BM25 oracle over the same tokenizer."""
+    toks = [tokenize(d) for d in docs]
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks) / n
+    df = {}
+    for t in toks:
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    scores = []
+    for t in toks:
+        tf = {}
+        for term in t:
+            tf[term] = tf.get(term, 0) + 1
+        s = 0.0
+        for term in tokenize_query(query):
+            if term not in tf:
+                continue
+            idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            dnorm = k1 * (1 - b + b * len(t) / avgdl)
+            s += idf * tf[term] * (k1 + 1) / (tf[term] + dnorm)
+        scores.append(s)
+    return np.asarray(scores, np.float32)
+
+
+def build_index(docs=DOCS, config=None):
+    idx = InvertedIndex(config)
+    for i, d in enumerate(docs):
+        idx.add(i, d)
+    return idx
+
+
+def test_bm25_matches_python_oracle():
+    idx = build_index()
+    queries = ["quick fox", "fox", "tensor units", "倒排索引", "quick"]
+    scores, ids = idx.search(queries, k=len(DOCS))
+    for qi, q in enumerate(queries):
+        expected = python_bm25(DOCS, q)
+        hits = expected > 0
+        exp_order = np.argsort(-expected, kind="stable")
+        exp_ids = [i for i in exp_order if hits[i]]
+        got = [int(i) for i in ids[qi] if i >= 0]
+        assert got == exp_ids, f"query {q!r}: {got} != {exp_ids}"
+        for rank, i in enumerate(got):
+            assert scores[qi][rank] == np.float32(expected[i]) or \
+                abs(scores[qi][rank] - expected[i]) < 1e-4
+
+
+def test_bm25_no_hits():
+    idx = build_index()
+    scores, ids = idx.search(["zzz unknownterm"], k=3)
+    assert np.all(ids == -1)
+
+
+def test_rank_compat_mode():
+    idx = build_index(config=BM25Config(rank_compat_scores=True))
+    scores, ids = idx.search(["quick fox"], k=4)
+    valid = ids[0] >= 0
+    expect = 1.0 / (np.arange(4, dtype=np.float32) + 1)
+    np.testing.assert_allclose(scores[0][valid], expect[valid], atol=1e-6)
+
+
+def test_incremental_add_after_search():
+    idx = build_index()
+    _ = idx.search(["fox"], k=3)
+    idx.add(len(DOCS), "another fox story about a fox fox")
+    scores, ids = idx.search(["fox"], k=3)
+    assert int(ids[0][0]) == len(DOCS)  # tf=3 wins
+
+
+def test_empty_index():
+    idx = InvertedIndex()
+    scores, ids = idx.search(["fox"], k=3)
+    assert np.all(ids == -1)
+
+
+def test_save_load(tmp_path):
+    idx = build_index()
+    idx.save(tmp_path / "inv")
+    idx2 = InvertedIndex.load(tmp_path / "inv")
+    s1, i1 = idx.search(["quick fox"], k=5)
+    s2, i2 = idx2.search(["quick fox"], k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)

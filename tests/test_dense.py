@@ -1,0 +1,114 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurag.index.dense import DenseIndex, l2_normalize
+from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
+from tpurag.kernels.runtime import NEG_INF
+
+
+def make_data(rng, n=500, d=64, b=5):
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return q, emb
+
+
+def np_oracle(q, emb, k):
+    scores = q @ emb.T
+    ids = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, ids, axis=1), ids
+
+
+def test_dense_topk_xla_matches_numpy(rng):
+    q, emb = make_data(rng)
+    vals, ids = dense_topk_xla(jnp.asarray(q), jnp.asarray(emb),
+                               jnp.int32(emb.shape[0]), 10)
+    ev, ei = np_oracle(q, emb, 10)
+    np.testing.assert_allclose(np.asarray(vals), ev, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), ei)
+
+
+def test_dense_topk_xla_respects_n_valid(rng):
+    q, emb = make_data(rng)
+    n_valid = 200
+    vals, ids = dense_topk_xla(jnp.asarray(q), jnp.asarray(emb),
+                               jnp.int32(n_valid), 10)
+    assert np.asarray(ids).max() < n_valid
+    ev, ei = np_oracle(q, emb[:n_valid], 10)
+    np.testing.assert_allclose(np.asarray(vals), ev, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,d,b,k", [(700, 48, 3, 8), (900, 128, 9, 16)])
+def test_dense_topk_pallas_matches_xla(rng, n, d, b, k):
+    q, emb = make_data(rng, n, d, b)
+    xv, xi = dense_topk_xla(jnp.asarray(q), jnp.asarray(emb), jnp.int32(n), k)
+    pv, pi = dense_topk_pallas(jnp.asarray(q), jnp.asarray(emb), jnp.int32(n),
+                               k, tile_b=8, tile_n=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+
+def test_dense_topk_pallas_n_valid_and_padding(rng):
+    # n not a multiple of the tile, n_valid below n: padding + masking paths.
+    q, emb = make_data(rng, n=333, d=40, b=2)
+    xv, xi = dense_topk_xla(jnp.asarray(q), jnp.asarray(emb), jnp.int32(300), 5)
+    pv, pi = dense_topk_pallas(jnp.asarray(q), jnp.asarray(emb), jnp.int32(300),
+                               5, tile_b=8, tile_n=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+
+class TestDenseIndex:
+    def test_add_search_roundtrip(self, rng):
+        idx = DenseIndex(dim=32, dtype=jnp.float32, capacity=128)
+        vecs = rng.standard_normal((50, 32)).astype(np.float32)
+        ids = idx.add(vecs)
+        assert list(ids) == list(range(50))
+        scores, out = idx.search(vecs[7:8], k=1)
+        assert int(np.asarray(out)[0, 0]) == 7
+        assert float(np.asarray(scores)[0, 0]) == pytest.approx(1.0, abs=1e-5)
+
+    def test_growth(self, rng):
+        idx = DenseIndex(dim=16, dtype=jnp.float32, capacity=128)
+        for _ in range(5):
+            idx.add(rng.standard_normal((100, 16)).astype(np.float32))
+        assert len(idx) == 500
+        assert idx.capacity >= 500
+        q = rng.standard_normal((1, 16)).astype(np.float32)
+        scores, ids = idx.search(q, k=10)
+        assert np.asarray(ids).min() >= 0
+
+    def test_delete_tombstones(self, rng):
+        idx = DenseIndex(dim=16, dtype=jnp.float32)
+        vecs = rng.standard_normal((20, 16)).astype(np.float32)
+        idx.add(vecs)
+        idx.delete([3])
+        scores, ids = idx.search(vecs[3:4], k=5)
+        assert 3 not in np.asarray(ids)
+        assert len(idx) == 19
+
+    def test_save_load(self, rng, tmp_path):
+        idx = DenseIndex(dim=24, dtype=jnp.float32)
+        vecs = rng.standard_normal((30, 24)).astype(np.float32)
+        idx.add(vecs)
+        idx.delete([1, 2])
+        idx.save(tmp_path / "dense")
+        idx2 = DenseIndex.load(tmp_path / "dense")
+        assert len(idx2) == 28
+        s1, i1 = idx.search(vecs[:3], k=4)
+        s2, i2 = idx2.search(vecs[:3], k=4)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+
+    def test_empty_search(self):
+        idx = DenseIndex(dim=8)
+        scores, ids = idx.search(np.ones((2, 8), np.float32), k=3)
+        assert np.all(np.asarray(ids) == -1)
+        assert np.all(np.asarray(scores) <= NEG_INF / 2)
+
+    def test_normalization(self, rng):
+        v = rng.standard_normal((4, 8)).astype(np.float32) * 100
+        out = np.asarray(l2_normalize(v))
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)

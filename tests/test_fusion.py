@@ -1,0 +1,93 @@
+import jax.numpy as jnp
+import numpy as np
+
+from tpurag.kernels.fusion import rrf_fuse
+from tpurag.kernels.runtime import NEG_INF
+
+
+def python_rrf(lists, weights, rrf_k, both_bonus):
+    """Reference semantics: reciprocalRankFusion (hybrid-search.ts:129-208)."""
+    fused, hits = {}, {}
+    for (ids, w) in zip(lists, weights):
+        for rank, i in enumerate(ids):
+            if i < 0:
+                continue
+            fused[i] = fused.get(i, 0.0) + w / (rrf_k + rank + 1)
+            hits[i] = hits.get(i, 0) + 1
+    for i, h in hits.items():
+        if h >= 2:
+            fused[i] += both_bonus
+    return sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def run_fuse(lists, weights, final_k, rrf_k=60, both_bonus=0.1):
+    arrs = tuple(jnp.asarray(np.asarray(l, np.int32)) for l in lists)
+    s, i, b = rrf_fuse(arrs, weights=tuple(weights), final_k=final_k,
+                       rrf_k=rrf_k, both_bonus=both_bonus)
+    return np.asarray(s), np.asarray(i), np.asarray(b)
+
+
+def test_matches_python_reference():
+    vec = [[3, 1, 4, 5]]
+    kw = [[1, 9, 3, -1]]
+    s, i, b = run_fuse([vec, kw], (1.0, 1.0), final_k=6)
+    expected = python_rrf([vec[0], kw[0]], (1.0, 1.0), 60, 0.1)
+    got = [(int(ii), float(ss)) for ss, ii in zip(s[0], i[0]) if ii >= 0]
+    assert [g[0] for g in got] == [e[0] for e in expected]
+    for (gi, gs), (ei, es) in zip(got, expected):
+        assert abs(gs - es) < 1e-6
+
+
+def test_both_bonus_promotes_dual_hits():
+    # id 7 ranked low in both lists; with a big bonus it must win.
+    vec = [[1, 2, 7]]
+    kw = [[3, 4, 7]]
+    s, i, _ = run_fuse([vec, kw], (1.0, 1.0), final_k=3, both_bonus=1.0)
+    assert int(i[0, 0]) == 7
+
+
+def test_source_bitmask():
+    vec = [[5, 6]]
+    kw = [[6, 8]]
+    s, i, b = run_fuse([vec, kw], (1.0, 1.0), final_k=4)
+    bits = {int(ii): int(bb) for ii, bb in zip(i[0], b[0]) if ii >= 0}
+    assert bits[5] == 1      # vector only
+    assert bits[8] == 2      # keyword only
+    assert bits[6] == 3      # both
+
+
+def test_weight_monotonicity():
+    # Raising keyword weight can only improve keyword-ranked candidates.
+    vec = [[1, 2, 3]]
+    kw = [[9, 8, 7]]
+    _, i_lo, _ = run_fuse([vec, kw], (1.0, 0.5), final_k=6)
+    _, i_hi, _ = run_fuse([vec, kw], (1.0, 2.0), final_k=6)
+    pos_lo = list(i_lo[0]).index(9)
+    pos_hi = list(i_hi[0]).index(9)
+    assert pos_hi <= pos_lo
+
+
+def test_code_preset_constants():
+    # code preset: rrf_k=40, kw weight 1.3, bonus 0.15 (hybrid-search.ts:96-99)
+    vec = [[1, 2]]
+    kw = [[2, 3]]
+    s, i, _ = run_fuse([vec, kw], (1.0, 1.3), final_k=4, rrf_k=40,
+                       both_bonus=0.15)
+    expected = python_rrf([vec[0], kw[0]], (1.0, 1.3), 40, 0.15)
+    got = [(int(ii), float(ss)) for ss, ii in zip(s[0], i[0]) if ii >= 0]
+    assert [g[0] for g in got] == [e[0] for e in expected]
+
+
+def test_all_empty():
+    s, i, b = run_fuse([[[-1, -1]], [[-1, -1]]], (1.0, 1.0), final_k=3)
+    assert np.all(i == -1)
+    assert np.all(s <= NEG_INF / 2)
+
+
+def test_batch_independent():
+    vec = [[1, 2], [5, 6]]
+    kw = [[2, 3], [-1, -1]]
+    s, i, _ = run_fuse([vec, kw], (1.0, 1.0), final_k=4)
+    # Row 1 is vector-only.
+    row1 = [int(x) for x in i[1] if x >= 0]
+    assert row1 == [5, 6]

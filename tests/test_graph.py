@@ -1,0 +1,129 @@
+import numpy as np
+import pytest
+
+from tpurag.graph.extract import extract_graph, extract_rules
+from tpurag.graph.index import GraphIndex
+from tpurag.ingest.embedder import HashEmbedder
+from tpurag.kernels.graphops import expand_neighbors
+
+import jax.numpy as jnp
+
+
+class TestExtraction:
+    def test_rule_entities(self):
+        ents, rels = extract_rules(
+            "Marie Curie discovered Polonium. Marie Curie worked in Paris.", 0)
+        names = {e.name for e in ents}
+        assert "Marie Curie" in names
+        assert "Polonium" in names
+        assert "Paris" in names
+
+    def test_rule_relations_cooccurrence(self):
+        ents, rels = extract_rules("Marie Curie discovered Polonium.", 0)
+        pairs = {(r.src, r.dst) for r in rels}
+        assert ("Marie Curie", "Polonium") in pairs
+
+    def test_stopwords_not_entities(self):
+        ents, _ = extract_rules("The quick fox. This is fine.", 0)
+        assert all(e.name not in ("The", "This") for e in ents)
+
+    def test_cjk_entities(self):
+        ents, _ = extract_rules("清华大学位于北京。", 0)
+        assert any("清华大学" in e.name for e in ents)
+
+    def test_llm_extraction(self):
+        fake = lambda p: ('{"entities": [{"name": "JAX", "type": "library"}],'
+                          '"relations": [{"src": "JAX", "dst": "XLA",'
+                          '"description": "compiles with"}]}')
+        ents, rels = extract_graph("whatever", 0, llm=fake)
+        assert ents[0].name == "JAX"
+        # relation dst XLA not in entities -> extractor returns it; index
+        # layer filters to known entities.
+        assert rels[0].dst == "XLA"
+
+
+class TestExpandNeighbors:
+    def test_csr_expansion(self):
+        # 0-1, 0-2, 1-2, 3 isolated
+        off = jnp.asarray(np.asarray([0, 2, 4, 6, 6], np.int32))
+        flat = jnp.asarray(np.asarray([1, 2, 0, 2, 0, 1], np.int32))
+        out = np.asarray(expand_neighbors(
+            jnp.asarray(np.asarray([[0, 3, -1]], np.int32)), off, flat, 4))
+        assert set(out[0, 0][out[0, 0] >= 0]) == {1, 2}
+        assert np.all(out[0, 1] == -1)  # isolated
+        assert np.all(out[0, 2] == -1)  # empty seed
+
+    def test_degree_cap(self):
+        off = jnp.asarray(np.asarray([0, 5], np.int32))
+        flat = jnp.asarray(np.arange(5, dtype=np.int32))
+        out = np.asarray(expand_neighbors(
+            jnp.asarray(np.asarray([[0]], np.int32)), off, flat, 3))
+        assert list(out[0, 0]) == [0, 1, 2]
+
+
+CORPUS = [
+    "Marie Curie discovered Polonium and Radium in Paris.",
+    "Pierre Curie collaborated with Marie Curie on radioactivity.",
+    "Albert Einstein developed Relativity in Bern.",
+    "Niels Bohr founded the Copenhagen Institute and met Albert Einstein.",
+    "The Eiffel Tower is a landmark in Paris.",
+]
+
+
+@pytest.fixture
+def graph():
+    g = GraphIndex(HashEmbedder(128))
+    for cid, text in enumerate(CORPUS):
+        g.ingest_chunk(cid, text)
+    return g
+
+
+class TestGraphIndex:
+    def test_ingest_merges_entities(self, graph):
+        eid = graph._by_name["marie curie"]
+        assert set(graph.entities[eid].source_chunk_ids) == {0, 1}
+
+    def test_entity_knn(self, graph):
+        hits = graph.entity_knn("Marie Curie radioactivity", k=3)
+        names = [graph.entities[i].name for i, _ in hits]
+        assert "Marie Curie" in names
+
+    def test_local_mode_finds_source_chunks(self, graph):
+        hits = graph.search_chunks("Who discovered Polonium, Marie Curie?",
+                                   mode="local", k=3)
+        assert hits and hits[0][0] in (0, 1)
+
+    def test_local_mode_expands_one_hop(self, graph):
+        # Seeding on "Relativity" should also surface Bohr's chunk via the
+        # Einstein 1-hop edge.
+        hits = graph.search_chunks("Relativity Albert Einstein", mode="local", k=5)
+        assert {c for c, _ in hits} >= {2}
+        assert 3 in {c for c, _ in hits}
+
+    def test_global_mode(self, graph):
+        hits = graph.search_chunks("collaboration on radioactivity Curie",
+                                   mode="global", k=3)
+        assert hits
+
+    def test_hybrid_superset(self, graph):
+        loc = dict(graph.search_chunks("Marie Curie", mode="local", k=10))
+        hyb = dict(graph.search_chunks("Marie Curie", mode="hybrid", k=10))
+        assert set(loc) <= set(hyb) | set(loc)
+        assert hyb
+
+    def test_export_graph(self, graph):
+        g = graph.export_graph()
+        assert g["stats"]["entities"] == len(graph.entities)
+        ids = {n["id"] for n in g["nodes"]}
+        for e in g["edges"]:
+            assert e["source"] in ids and e["target"] in ids
+
+    def test_empty_graph(self):
+        g = GraphIndex(HashEmbedder(64))
+        assert g.search_chunks("anything", mode="hybrid") == []
+
+    def test_incremental_after_query(self, graph):
+        graph.search_chunks("Curie", mode="local")
+        graph.ingest_chunk(5, "Ada Lovelace wrote programs for the Analytical Engine.")
+        hits = graph.search_chunks("Ada Lovelace programs", mode="local", k=3)
+        assert 5 in {c for c, _ in hits}

@@ -1,0 +1,58 @@
+from tpurag.core.config import ChunkingConfig
+from tpurag.ingest.chunker import chunk_text, estimate_tokens, split_sentences
+from tpurag.ingest.tokenizer import tokenize, tokenize_query
+
+
+class TestTokenizer:
+    def test_latin(self):
+        assert tokenize("Hello, World! foo_bar 123") == ["hello", "world", "foo_bar", "123"]
+
+    def test_cjk_bigrams(self):
+        assert tokenize("向量检索") == ["向量", "量检", "检索"]
+
+    def test_cjk_single(self):
+        assert tokenize("猫") == ["猫"]
+
+    def test_mixed(self):
+        toks = tokenize("TPU上的向量搜索 engine")
+        assert "tpu" in toks and "engine" in toks and "向量" in toks
+
+    def test_query_dedup(self):
+        assert tokenize_query("fox fox dog") == ["fox", "dog"]
+
+    def test_empty(self):
+        assert tokenize("") == []
+        assert tokenize("!!! ---") == []
+
+
+class TestChunker:
+    def test_short_text_single_chunk(self):
+        assert chunk_text("One short sentence.") == ["One short sentence."]
+
+    def test_empty(self):
+        assert chunk_text("") == []
+
+    def test_long_text_chunks_and_overlap(self):
+        cfg = ChunkingConfig(chunk_size=50, chunk_overlap=10)
+        sents = [f"This is sentence number {i} with some padding words." for i in range(40)]
+        chunks = chunk_text(" ".join(sents), cfg)
+        assert len(chunks) > 1
+        for c in chunks:
+            assert estimate_tokens(c) <= 50 + 15  # slack for joins
+        # Overlap: consecutive chunks share content.
+        for a, b in zip(chunks, chunks[1:]):
+            tail_words = set(a.split()[-8:])
+            assert tail_words & set(b.split())
+
+    def test_oversized_sentence_hard_split(self):
+        cfg = ChunkingConfig(chunk_size=20, chunk_overlap=5)
+        chunks = chunk_text("word " * 400, cfg)
+        assert len(chunks) > 2
+
+    def test_cjk_token_estimate(self):
+        # 90 CJK chars ≈ 60 tokens; 90 latin chars ≈ 23.
+        assert estimate_tokens("中" * 90) > estimate_tokens("a" * 90)
+
+    def test_sentence_split(self):
+        s = split_sentences("First. Second! Third? 第四。")
+        assert len(s) == 4

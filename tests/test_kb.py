@@ -1,0 +1,129 @@
+"""End-to-end KnowledgeBase tests — BASELINE config 1: a small corpus,
+brute-force dense + hybrid retrieval, reference thresholds."""
+
+import numpy as np
+import pytest
+
+from tpurag import KnowledgeBase
+from tpurag.core.config import EngineConfig
+
+DOCS = {
+    "jax-guide": (
+        "JAX is a library for composable function transformations. "
+        "It compiles numerical programs with XLA for TPUs and GPUs. "
+        "The jit transform traces a function once and compiles it. "
+        "Sharding is expressed with meshes and named axes."
+    ),
+    "animals": (
+        "The quick brown fox jumps over the lazy dog. "
+        "Foxes are small omnivorous mammals. "
+        "Dogs are domesticated descendants of wolves."
+    ),
+    "cooking": (
+        "To bake bread you need flour, water, salt and yeast. "
+        "Knead the dough and let it rise for two hours. "
+        "Bake at 230 degrees until the crust is golden."
+    ),
+}
+
+
+@pytest.fixture
+def kb():
+    kb = KnowledgeBase("test-kb")
+    for name, text in DOCS.items():
+        kb.add_document(name, text)
+    return kb
+
+
+def test_ingest_counts(kb):
+    assert len(kb) == len(kb.chunks)
+    assert len(kb) >= 3
+
+
+def test_hybrid_search_finds_right_doc(kb):
+    resp = kb.search("how do I bake bread with yeast", top_k=3)
+    assert resp.results
+    assert resp.results[0].doc_name == "cooking"
+
+
+def test_vector_mode(kb):
+    resp = kb.search("quick brown fox jumps over the lazy dog", mode="vector", top_k=3)
+    assert resp.results
+    assert resp.results[0].doc_name == "animals"
+
+
+def test_keyword_mode(kb):
+    resp = kb.search("XLA jit sharding", mode="keyword", top_k=3)
+    assert resp.results
+    assert resp.results[0].doc_name == "jax-guide"
+
+
+def test_doc_name_header_is_searchable(kb):
+    # '【文档: name】' headers are indexed (index-manager.ts:75-97).
+    resp = kb.search("jax-guide", mode="keyword", top_k=3)
+    assert resp.results and resp.results[0].doc_name == "jax-guide"
+
+
+def test_found_in_both_sources(kb):
+    resp = kb.search("quick brown fox", top_k=3)
+    assert any(set(r.found_in) == {"vector", "keyword"} for r in resp.results)
+
+
+def test_batch_search(kb):
+    resps = kb.search_batch(["bread flour", "fox dog", "XLA compile"], top_k=2)
+    assert [r.results[0].doc_name for r in resps] == ["cooking", "animals", "jax-guide"]
+
+
+def test_delete_document(kb):
+    n = kb.delete_document("cooking")
+    assert n >= 1
+    resp = kb.search("bake bread yeast flour", top_k=3)
+    assert all(r.doc_name != "cooking" for r in resp.results)
+
+
+def test_save_load(kb, tmp_path):
+    kb.save(tmp_path / "kb")
+    kb2 = KnowledgeBase.load(tmp_path / "kb", embedder=kb.embedder)
+    r1 = kb.search("bake bread", top_k=3)
+    r2 = kb2.search("bake bread", top_k=3)
+    assert [x.chunk_id for x in r1.results] == [x.chunk_id for x in r2.results]
+
+
+def test_min_score_filters_noise(kb):
+    resp = kb.search("zzz qqq completely unrelated nonsense", mode="vector")
+    # Below the 0.3 cosine floor nothing should surface.
+    assert all(r.score >= 0.3 for r in resp.results)
+
+
+def test_format_results(kb):
+    resp = kb.search("bread", top_k=3)
+    out = resp.format(max_results=2)
+    assert "score=" in out and "[1]" in out
+
+
+def test_config_presets():
+    cfg = EngineConfig(preset="code")
+    kb = KnowledgeBase("code-kb", config=cfg)
+    kb.add_document("main", "def quick_sort(arr): return sorted(arr)", source="code")
+    resp = kb.search("quick_sort")
+    assert resp.results
+
+
+def test_larger_corpus_recall(rng):
+    """~1k chunks, top-3 retrieval — BASELINE config 1 shape."""
+    kb = KnowledgeBase("big")
+    topics = ["physics", "biology", "music", "finance", "sports"]
+    texts, names = [], []
+    for i in range(200):
+        t = topics[i % len(topics)]
+        texts.append(
+            f"Document about {t}, item {i}. "
+            + f"The study of {t} involves {t}-specific methods. " * 3
+        )
+        names.append(f"doc-{t}-{i}")
+    for n, t in zip(names, texts):
+        kb.add_document(n, t)
+    assert len(kb) >= 200
+    resp = kb.search("research methods in biology", top_k=3)
+    assert resp.results
+    assert "biology" in resp.results[0].doc_name

@@ -1,0 +1,143 @@
+import math
+
+import numpy as np
+import pytest
+
+from tpurag import KnowledgeBase
+from tpurag.core.config import FreshnessConfig, MemoryConfig
+from tpurag.core.types import MemoryEntry
+from tpurag.memory.budget import select_within_budget
+from tpurag.memory.extractor import extract_memories, should_extract
+from tpurag.memory.freshness import combined_memory_scores, freshness_scores
+from tpurag.memory.service import MemoryService
+
+NOW = 1_700_000_000.0
+
+
+class TestFreshness:
+    def test_formula_matches_reference(self):
+        # score = conf * exp(-0.05*h) * (1 + 0.1*ln(n+1)), clamped [0,1]
+        conf, hours, n = 0.9, 10.0, 4
+        expected = min(1.0, conf * math.exp(-0.05 * hours) * (1 + 0.1 * math.log(n + 1)))
+        got = freshness_scores([conf], [NOW - hours * 3600], [n], NOW)
+        assert float(np.asarray(got)[0]) == pytest.approx(expected, rel=1e-5)
+
+    def test_decay_monotonic(self):
+        ages = [0.0, 1.0, 14.0, 100.0]
+        got = np.asarray(freshness_scores(
+            [1.0] * 4, [NOW - h * 3600 for h in ages], [0] * 4, NOW))
+        assert all(got[i] > got[i + 1] for i in range(3))
+
+    def test_half_life_about_14h(self):
+        got = np.asarray(freshness_scores([1.0], [NOW - 14 * 3600], [0], NOW))
+        assert got[0] == pytest.approx(0.5, abs=0.01)
+
+    def test_access_bonus(self):
+        lo, hi = np.asarray(freshness_scores(
+            [0.5, 0.5], [NOW - 3600] * 2, [0, 10], NOW))
+        assert hi > lo
+
+    def test_clamped(self):
+        got = np.asarray(freshness_scores([1.0], [NOW], [10_000], NOW))
+        assert got[0] == 1.0
+
+    def test_combined_weights(self):
+        c = np.asarray(combined_memory_scores([1.0], [0.0]))
+        assert c[0] == pytest.approx(0.7)
+
+
+class TestBudget:
+    def test_greedy_fill(self):
+        items = ["a", "b", "c"]
+        texts = ["x" * 400, "y" * 400, "z" * 400]  # ~100 tokens each
+        kept = select_within_budget(items, [3.0, 2.0, 1.0], texts,
+                                    MemoryConfig(), budget=250)
+        # 10% reserve -> 225 effective; two fit, third truncated (>=50 left)
+        assert [k[0] for k in kept[:2]] == ["a", "b"]
+
+    def test_respects_score_order(self):
+        kept = select_within_budget(["lo", "hi"], [0.1, 0.9],
+                                    ["w " * 50, "w " * 50], budget=200)
+        assert kept[0][0] == "hi"
+
+
+class TestExtractor:
+    def test_gate_rejects_short(self):
+        assert not should_extract("hi")
+
+    def test_gate_accepts_preference(self):
+        assert should_extract("I prefer answers with code examples please")
+
+    def test_rule_extraction(self):
+        out = extract_memories("I like concise technical answers.")
+        assert out and out[0].memory_type == "preference"
+
+    def test_llm_extraction_parsed(self):
+        fake = lambda prompt: '[{"content": "User works at Acme", "type": "fact", "confidence": 0.9}]'
+        out = extract_memories("I work at Acme as an engineer", llm=fake)
+        assert out[0].content == "User works at Acme"
+        assert out[0].memory_type == "fact"
+
+    def test_llm_garbage_safe(self):
+        out = extract_memories("I like cats", llm=lambda p: "not json at all")
+        assert out == []
+
+    def test_dedup(self):
+        fake = lambda p: '[{"content": "X", "type": "fact"}, {"content": "x", "type": "fact"}]'
+        out = extract_memories("remember this: X", llm=fake)
+        assert len(out) == 1
+
+
+class TestMemoryService:
+    @pytest.fixture
+    def svc(self):
+        kb = KnowledgeBase("mem-kb")
+        kb.add_document("doc", "Some unrelated background document about geology.")
+        return MemoryService(kb)
+
+    def test_remember_and_recall(self, svc):
+        svc.remember("User prefers Python over JavaScript", "preference", now=NOW)
+        got = svc.recall("user prefers python or javascript?", now=NOW + 60)
+        assert got and "Python" in got[0][0].content
+
+    def test_threshold_filters_irrelevant(self, svc):
+        svc.remember("User lives in Berlin", now=NOW)
+        got = svc.recall("completely unrelated quantum chromodynamics", now=NOW)
+        assert got == []
+
+    def test_dedup_on_add(self, svc):
+        a = svc.remember("User prefers Python", now=NOW)
+        b = svc.remember("User prefers Python", now=NOW)
+        assert a == b
+        assert len(svc) == 1
+
+    def test_touch_increments_access(self, svc):
+        svc.remember("User prefers dark mode in editors", now=NOW)
+        got = svc.recall("dark mode preference editors user", now=NOW + 1)
+        assert got
+        e = got[0][0]
+        assert e.access_count == 1
+
+    def test_freshness_affects_ranking(self, svc):
+        svc.remember("User likes tea in the morning", now=NOW - 200 * 3600)
+        svc.remember("User likes tea with milk", now=NOW)
+        got = svc.recall("user likes tea", k=2, now=NOW)
+        assert got[0][0].content == "User likes tea with milk"
+
+    def test_conversation_end_pipeline(self, svc):
+        ids = svc.process_conversation_end(
+            "Please remember: I always want metric units.", "", now=NOW)
+        assert ids
+        got = svc.recall("user wants metric units always", now=NOW)
+        assert got
+
+    def test_delete(self, svc):
+        mid = svc.remember("User name is Kim", now=NOW)
+        assert svc.store.delete(mid)
+        assert svc.recall("user name kim", now=NOW) == []
+
+    def test_format(self, svc):
+        svc.remember("User prefers Python", "preference", now=NOW)
+        got = svc.recall("user prefers python", now=NOW)
+        text = svc.format_memories(got)
+        assert "[preference]" in text

@@ -1,0 +1,70 @@
+"""Sharded search on the virtual 8-device CPU mesh (SURVEY.md §4c)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurag.kernels.dense import dense_topk_xla
+from tpurag.shard.mesh import make_mesh
+from tpurag.shard.search import shard_corpus, sharded_dense_topk
+
+
+def make_data(rng, n, d, b):
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return jnp.asarray(q), jnp.asarray(emb)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single_device(rng):
+    q, emb = make_data(rng, n=1024, d=64, b=4)
+    mesh = make_mesh([("data", 8)])
+    emb_sharded = shard_corpus(emb, mesh)
+    sv, si = sharded_dense_topk(q, emb_sharded, jnp.int32(1024), 10, mesh=mesh)
+    xv, xi = dense_topk_xla(q, emb, jnp.int32(1024), 10)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(xv), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(xi))
+
+
+def test_sharded_respects_global_n_valid(rng):
+    # n_valid cuts into the middle of shard 3.
+    q, emb = make_data(rng, n=800, d=32, b=3)
+    mesh = make_mesh([("data", 8)])
+    n_valid = 350
+    sv, si = sharded_dense_topk(q, shard_corpus(emb, mesh),
+                                jnp.int32(n_valid), 8, mesh=mesh)
+    xv, xi = dense_topk_xla(q, emb, jnp.int32(n_valid), 8)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(xi))
+    assert np.asarray(si).max() < n_valid
+
+
+def test_batch_and_data_axes(rng):
+    q, emb = make_data(rng, n=512, d=32, b=8)
+    mesh = make_mesh([("batch", 2), ("data", 4)])
+    emb_sharded = shard_corpus(emb, mesh)
+    sv, si = sharded_dense_topk(q, emb_sharded, jnp.int32(512), 5,
+                                mesh=mesh, batch_axis="batch")
+    xv, xi = dense_topk_xla(q, emb, jnp.int32(512), 5)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(xi))
+
+
+def test_sharded_pallas_interpret(rng):
+    q, emb = make_data(rng, n=512, d=32, b=2)
+    mesh = make_mesh([("data", 8)])
+    sv, si = sharded_dense_topk(q, shard_corpus(emb, mesh), jnp.int32(512), 4,
+                                mesh=mesh, use_pallas=True)
+    xv, xi = dense_topk_xla(q, emb, jnp.int32(512), 4)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(xi))
+
+
+def test_indivisible_corpus_raises(rng):
+    q, emb = make_data(rng, n=500, d=32, b=2)
+    mesh = make_mesh([("data", 8)])
+    with pytest.raises(ValueError):
+        sharded_dense_topk(q, emb, jnp.int32(500), 4, mesh=mesh)

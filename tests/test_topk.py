@@ -1,0 +1,52 @@
+import jax.numpy as jnp
+import numpy as np
+
+from tpurag.kernels.runtime import NEG_INF
+from tpurag.kernels.topk import merge_topk, select_topk
+
+
+def np_topk(scores, ids, k):
+    order = np.lexsort((ids, -scores), axis=1)[:, :k]
+    return (
+        np.take_along_axis(scores, order, axis=1),
+        np.take_along_axis(ids, order, axis=1),
+    )
+
+
+def test_select_topk_matches_numpy(rng):
+    b, n, k = 7, 300, 10
+    scores = rng.standard_normal((b, n)).astype(np.float32)
+    ids = np.tile(np.arange(n, dtype=np.int32), (b, 1))
+    vals, out = select_topk(jnp.asarray(scores), jnp.asarray(ids), k)
+    ev, ei = np_topk(scores, ids, k)
+    np.testing.assert_allclose(np.asarray(vals), ev, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out), ei)
+
+
+def test_select_topk_tie_break_smallest_id(rng):
+    scores = np.array([[1.0, 1.0, 1.0, 0.5]], np.float32)
+    ids = np.array([[5, 2, 9, 1]], np.int32)
+    vals, out = select_topk(jnp.asarray(scores), jnp.asarray(ids), 3)
+    np.testing.assert_array_equal(np.asarray(out), [[2, 5, 9]])
+
+
+def test_merge_topk(rng):
+    b, k = 4, 6
+    va = rng.standard_normal((b, k)).astype(np.float32)
+    vb = rng.standard_normal((b, k)).astype(np.float32)
+    ia = np.tile(np.arange(k, dtype=np.int32), (b, 1))
+    ib = np.tile(np.arange(k, 2 * k, dtype=np.int32), (b, 1))
+    vals, ids = merge_topk(jnp.asarray(va), jnp.asarray(ia),
+                           jnp.asarray(vb), jnp.asarray(ib), k)
+    allv = np.concatenate([va, vb], axis=1)
+    alli = np.concatenate([ia, ib], axis=1)
+    ev, ei = np_topk(allv, alli, k)
+    np.testing.assert_allclose(np.asarray(vals), ev, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ids), ei)
+
+
+def test_select_topk_all_neg_inf():
+    scores = np.full((2, 8), NEG_INF, np.float32)
+    ids = np.tile(np.arange(8, dtype=np.int32), (2, 1))
+    vals, out = select_topk(jnp.asarray(scores), jnp.asarray(ids), 3)
+    assert np.all(np.asarray(vals) <= NEG_INF / 2)

@@ -1,0 +1,1 @@
+from tpurag.api.knowledge_base import KnowledgeBase  # noqa: F401

@@ -1,0 +1,194 @@
+"""KnowledgeBase — the user-facing facade.
+
+Replaces the reference's KB lifecycle spread across Next.js API routes +
+LlamaIndex + Meilisearch + Prisma (SURVEY.md §2.9): one object owning the
+dense index, the inverted index, and host-side chunk metadata, with
+ingest, hybrid/dense/keyword search, and save/load.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from tpurag.core.config import EngineConfig, HybridPreset, PRESETS
+from tpurag.core.types import Chunk, SearchResponse, SearchResult
+from tpurag.engine.hybrid import decode_bits, hybrid_search
+from tpurag.index.dense import DenseIndex
+from tpurag.index.inverted import InvertedIndex
+from tpurag.ingest.chunker import chunk_text
+from tpurag.ingest.embedder import HashEmbedder
+from tpurag.kernels.runtime import NEG_INF
+
+Embedder = Callable[[list[str]], np.ndarray]
+
+
+class KnowledgeBase:
+    def __init__(
+        self,
+        name: str = "kb",
+        embedder: Optional[Embedder] = None,
+        config: Optional[EngineConfig] = None,
+        dim: Optional[int] = None,
+    ):
+        self.name = name
+        self.config = config or EngineConfig()
+        self.embedder = embedder or HashEmbedder(dim or 256)
+        self.dim = dim or getattr(self.embedder, "dim", self.config.device.dim)
+        self.dense = DenseIndex(
+            self.dim,
+            dtype=self.config.device.dtype,
+            capacity=self.config.device.min_capacity,
+        )
+        self.inverted = InvertedIndex(self.config.bm25)
+        self.chunks: list[Chunk] = []
+        self._doc_chunks: dict[str, list[int]] = {}
+
+    # -- ingest --------------------------------------------------------------
+
+    def add_document(self, name: str, text: str, doc_id: str = "",
+                     source: str = "document", metadata: dict | None = None) -> list[int]:
+        """Chunk + embed + index one document. Returns chunk ids."""
+        doc_id = doc_id or name
+        pieces = chunk_text(text, self.config.chunking)
+        chunks = [
+            Chunk(text=p, doc_id=doc_id, doc_name=name, chunk_index=i,
+                  source=source, metadata=dict(metadata or {}))
+            for i, p in enumerate(pieces)
+        ]
+        return self.add_chunks(chunks)
+
+    def add_chunks(self, chunks: Sequence[Chunk],
+                   vectors: Optional[np.ndarray] = None) -> list[int]:
+        """Index pre-chunked units (vectors optional: embedded here if absent).
+
+        The indexed text includes the '【文档: name】' header the reference
+        prepends (src/lib/llm/index-manager.ts:75-97), so doc names are
+        keyword-searchable."""
+        if not chunks:
+            return []
+        texts = [c.display_text() for c in chunks]
+        if vectors is None:
+            vectors = self.embedder(texts)
+        ids = self.dense.add(np.asarray(vectors))
+        for cid, chunk, text in zip(ids, chunks, texts):
+            chunk.metadata.setdefault("indexed_at", time.time())
+            self.chunks.append(chunk)
+            assert len(self.chunks) - 1 == int(cid)
+            self.inverted.add(int(cid), text)
+            self._doc_chunks.setdefault(chunk.doc_id, []).append(int(cid))
+        return [int(i) for i in ids]
+
+    def delete_document(self, doc_id: str) -> int:
+        """Tombstone all chunks of a document (dense side; keyword postings
+        for dead ids are filtered at result-assembly time)."""
+        ids = self._doc_chunks.pop(doc_id, [])
+        if ids:
+            self.dense.delete(ids)
+            for cid in ids:
+                self.chunks[cid].metadata["deleted"] = True
+        return len(ids)
+
+    # -- query ---------------------------------------------------------------
+
+    def _preset(self, preset: str | HybridPreset | None) -> HybridPreset:
+        if isinstance(preset, HybridPreset):
+            return preset
+        return PRESETS[preset or self.config.preset]
+
+    def search(self, query: str, top_k: int | None = None,
+               mode: str = "hybrid",
+               preset: str | HybridPreset | None = None) -> SearchResponse:
+        return self.search_batch([query], top_k=top_k, mode=mode,
+                                 preset=preset)[0]
+
+    def search_batch(self, queries: list[str], top_k: int | None = None,
+                     mode: str = "hybrid",
+                     preset: str | HybridPreset | None = None) -> list[SearchResponse]:
+        p = self._preset(preset)
+        if top_k is not None:
+            import dataclasses
+            p = dataclasses.replace(p, final_top_k=top_k)
+        qv = self.embedder(queries)
+        if mode == "hybrid":
+            scores, ids, bits = hybrid_search(self.dense, self.inverted, qv, queries, p)
+        elif mode == "vector":
+            s, i = self.dense.search(qv, p.final_top_k)
+            scores, ids = np.asarray(s), np.asarray(i)
+            keep = scores >= p.min_vector_score
+            scores = np.where(keep, scores, np.float32(NEG_INF))
+            ids = np.where(keep, ids, -1)
+            bits = np.where(ids >= 0, 1, 0)
+        elif mode == "keyword":
+            scores, ids = self.inverted.search(queries, p.final_top_k)
+            bits = np.where(ids >= 0, 2, 0)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        return [
+            self._assemble(q, scores[b], ids[b], bits[b])
+            for b, q in enumerate(queries)
+        ]
+
+    def _assemble(self, query: str, scores, ids, bits) -> SearchResponse:
+        results = []
+        for s, i, bt in zip(scores, ids, bits):
+            i = int(i)
+            if i < 0 or s <= NEG_INF / 2:
+                continue
+            c = self.chunks[i]
+            if c.metadata.get("deleted"):
+                continue
+            results.append(SearchResult(
+                chunk_id=i, score=float(s), text=c.text, doc_name=c.doc_name,
+                source=c.source, found_in=decode_bits(int(bt)),
+                metadata=c.metadata,
+            ))
+        stats = {
+            "total": len(results),
+            "by_source": {},
+        }
+        for r in results:
+            for src in (r.found_in or (r.source,)):
+                stats["by_source"][src] = stats["by_source"].get(src, 0) + 1
+        return SearchResponse(results=results, query=query, stats=stats)
+
+    # -- persistence -----------------------------------------------------------
+
+    def save(self, directory) -> None:
+        d = pathlib.Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        self.dense.save(d / "dense")
+        self.inverted.save(d / "inverted")
+        meta = {
+            "name": self.name,
+            "dim": self.dim,
+            "chunks": [
+                {
+                    "text": c.text, "doc_id": c.doc_id, "doc_name": c.doc_name,
+                    "chunk_index": c.chunk_index, "source": c.source,
+                    "metadata": c.metadata,
+                }
+                for c in self.chunks
+            ],
+            "doc_chunks": self._doc_chunks,
+        }
+        (d / "kb.json").write_text(json.dumps(meta, ensure_ascii=False))
+
+    @classmethod
+    def load(cls, directory, embedder: Optional[Embedder] = None,
+             config: Optional[EngineConfig] = None) -> "KnowledgeBase":
+        d = pathlib.Path(directory)
+        meta = json.loads((d / "kb.json").read_text())
+        kb = cls(meta["name"], embedder=embedder, config=config, dim=meta["dim"])
+        kb.dense = DenseIndex.load(d / "dense")
+        kb.inverted = InvertedIndex.load(d / "inverted", kb.config.bm25)
+        kb.chunks = [Chunk(**c) for c in meta["chunks"]]
+        kb._doc_chunks = {k: [int(x) for x in v] for k, v in meta["doc_chunks"].items()}
+        return kb
+
+    def __len__(self) -> int:
+        return len(self.dense)

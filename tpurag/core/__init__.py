@@ -1,0 +1,2 @@
+from tpurag.core.config import EngineConfig, HybridPreset, PRESETS  # noqa: F401
+from tpurag.core.types import Chunk, SearchResult, SearchResponse  # noqa: F401

@@ -1,0 +1,189 @@
+"""Centralized typed configuration.
+
+The reference scatters behavioral constants across ~10 TS config objects
+(SURVEY.md §5.6). Here they are centralized as frozen dataclasses with
+identical defaults, cited to the reference file:line they mirror.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ChunkingConfig:
+    """Reference: src/lib/llm/config.ts:32-33,70-74 (SentenceSplitter 512/50)."""
+
+    chunk_size: int = 512      # tokens per chunk
+    chunk_overlap: int = 50    # token overlap between consecutive chunks
+
+
+@dataclasses.dataclass(frozen=True)
+class HybridPreset:
+    """RRF hybrid-search preset.
+
+    Reference: PRESET_CONFIGS, src/lib/hybrid-search.ts:77-105.
+    ``document``: k=60, topK 8/8, minScore 0.3, bothBonus 0.1.
+    ``code``: k=40, keyword weight 1.3, topK 6/5, minScore 0.25, bothBonus 0.15.
+    """
+
+    name: str = "document"
+    rrf_k: int = 60
+    vector_weight: float = 1.0
+    keyword_weight: float = 1.0
+    vector_top_k: int = 8
+    keyword_top_k: int = 8
+    min_vector_score: float = 0.3
+    both_bonus: float = 0.1
+    final_top_k: int = 8
+
+
+PRESETS: dict[str, HybridPreset] = {
+    "document": HybridPreset(),
+    "code": HybridPreset(
+        name="code",
+        rrf_k=40,
+        keyword_weight=1.3,
+        vector_top_k=6,
+        keyword_top_k=5,
+        min_vector_score=0.25,
+        both_bonus=0.15,
+        final_top_k=8,
+    ),
+    # Unified memory+documents retrieval raises the vector floor to 0.4
+    # (reference: src/lib/context/engine.ts:242-246).
+    "unified": HybridPreset(name="unified", min_vector_score=0.4),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class BM25Config:
+    """BM25 scoring parameters (Okapi). The reference outsources keyword
+    search to Meilisearch and converts ranks to scores as 1/(rank+1)
+    (src/lib/meilisearch.ts:235); we score true BM25 on-device and keep a
+    rank-compat mode for strict parity."""
+
+    k1: float = 1.2
+    b: float = 0.75
+    rank_compat_scores: bool = False  # emit 1/(rank+1) instead of BM25 score
+
+
+@dataclasses.dataclass(frozen=True)
+class FreshnessConfig:
+    """Memory freshness decay.
+
+    score = confidence * exp(-decay_rate*hours_since_access)
+                       * (1 + freq_bonus*ln(access_count+1)), clamped to [0,1].
+    Reference: src/lib/memory/freshness.ts:20-23,37-56.
+    """
+
+    decay_rate_per_hour: float = 0.05
+    freq_bonus: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class MemoryConfig:
+    """Reference: src/lib/memory/{store,service,budget}.ts."""
+
+    relevance_threshold: float = 0.5   # service.ts:60, store.ts:105
+    relevance_weight: float = 0.7      # store.ts:160
+    freshness_weight: float = 0.3      # store.ts:160
+    dedup_similarity: float = 0.9      # store.ts:274
+    token_budget: int = 2000           # budget.ts:18
+    budget_reserve_ratio: float = 0.1  # budget.ts:52
+    min_truncate_tokens: int = 50      # budget.ts:61-93
+    overfetch_factor: int = 2          # store.ts: vector search x2 over-fetch
+    freshness: FreshnessConfig = dataclasses.field(default_factory=FreshnessConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class SourceWeights:
+    """Multi-source merge weights.
+
+    Reference: src/lib/context/optimizer/multi-source-merger.ts:18-23.
+    """
+
+    memory: float = 1.2
+    rag: float = 1.0
+    tool: float = 0.8
+    history: float = 0.6
+
+
+@dataclasses.dataclass(frozen=True)
+class ContextConfig:
+    """Reference: src/lib/context/engine.ts:40-64 + agent.ts:266,220."""
+
+    agent_token_budget: int = 3000
+    greeting_token_budget: int = 1500
+    compression_trigger: float = 0.85   # engine.ts:62, compress past 85% usage
+    compression_target: float = 0.50    # engine.ts:63,187
+    dedup_jaccard: float = 0.85         # dedup-filter.ts:18
+    dedup_prefix_chars: int = 200       # dedup-filter.ts:60-65
+    rerank_fusion_weight: float = 0.7   # dedup-filter.ts:145
+    rerank_keyword_weight: float = 0.3
+    history_summary_after: int = 10     # history-summary.ts: summarize past 10 msgs
+    history_keep_rounds: int = 3
+    weights: SourceWeights = dataclasses.field(default_factory=SourceWeights)
+
+
+@dataclasses.dataclass(frozen=True)
+class IVFConfig:
+    """IVF partitioning for large corpora (no reference equivalent — the
+    reference is exact-only; targets from BASELINE.json: recall@10 >= 0.95)."""
+
+    n_lists: int = 1024
+    n_probe: int = 64
+    kmeans_iters: int = 10
+    sample_size: int = 262_144  # training sample cap for k-means
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceConfig:
+    """Dense engine device-side layout."""
+
+    dtype: str = "bfloat16"       # embedding storage dtype in HBM
+    dim: int = 1024               # lightrag-service/main.py:188 (dim=1024)
+    query_tile: int = 128         # Pallas tile over the query-batch axis
+    chunk_tile: int = 2048        # Pallas tile over the corpus axis
+    min_capacity: int = 4096      # initial corpus capacity (grows by doubling)
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphConfig:
+    """Entity/relation graph search (replaces LightRAG sidecar,
+    lightrag-service/main.py:375-419). Modes: local / global / hybrid / naive."""
+
+    entity_top_k: int = 16
+    relation_top_k: int = 16
+    expand_hops: int = 1
+    max_neighbors: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Top-level engine configuration."""
+
+    chunking: ChunkingConfig = dataclasses.field(default_factory=ChunkingConfig)
+    bm25: BM25Config = dataclasses.field(default_factory=BM25Config)
+    memory: MemoryConfig = dataclasses.field(default_factory=MemoryConfig)
+    context: ContextConfig = dataclasses.field(default_factory=ContextConfig)
+    ivf: IVFConfig = dataclasses.field(default_factory=IVFConfig)
+    device: DeviceConfig = dataclasses.field(default_factory=DeviceConfig)
+    graph: GraphConfig = dataclasses.field(default_factory=GraphConfig)
+    preset: str = "document"
+
+    def hybrid_preset(self) -> HybridPreset:
+        return PRESETS[self.preset]
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = EngineConfig()
+
+
+def get_config(overrides: Optional[dict] = None) -> EngineConfig:
+    if not overrides:
+        return DEFAULT_CONFIG
+    return dataclasses.replace(DEFAULT_CONFIG, **overrides)

@@ -1,0 +1,1 @@
+from tpurag.engine.hybrid import hybrid_search  # noqa: F401

@@ -1,0 +1,2 @@
+from tpurag.graph.index import GraphIndex  # noqa: F401
+from tpurag.graph.extract import extract_graph  # noqa: F401

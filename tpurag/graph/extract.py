@@ -1,0 +1,124 @@
+"""Entity/relation extraction from chunks.
+
+Reference: LightRAG runs an LLM prompt per document to emit entities and
+relations (lightrag-service/main.py:311-336 -> lightrag-hku internals).
+Here extraction is pluggable:
+
+- `llm` callable provided -> LLM JSON extraction (LightRAG-style).
+- otherwise -> deterministic rule extraction: proper-noun phrases and CJK
+  noun runs as entities, co-occurrence within a sentence as relations.
+  Deterministic extraction keeps the graph engine testable and LLM-free
+  (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Callable, Optional
+
+from tpurag.core.types import Entity, Relation
+
+LLMFn = Callable[[str], str]
+
+# Proper-noun-ish: capitalized word sequences not at sentence start are the
+# strong signal; sentence-initial ones count when multi-word or CamelCase.
+_PROPER = re.compile(r"\b([A-Z][a-zA-Z0-9_]*(?:\s+[A-Z][a-zA-Z0-9_]*)*)\b")
+_CJK_RUN = re.compile(r"[㐀-䶿一-鿿]{2,8}")
+_STOP = {
+    "The", "A", "An", "This", "That", "These", "Those", "It", "He", "She",
+    "They", "We", "I", "You", "If", "In", "On", "At", "For", "To", "And",
+    "But", "Or", "As", "By", "Of", "With", "From", "When", "What", "Which",
+    "How", "Why", "Where", "Who", "Then", "There", "Here", "Its", "Their",
+}
+
+_PROMPT = """Extract entities and relations from the text.
+Return JSON: {{"entities": [{{"name": str, "type": str, "description": str}}],
+"relations": [{{"src": str, "dst": str, "description": str, "keywords": str,
+"weight": float}}]}}
+
+Text: {text}
+JSON:"""
+
+
+def _rule_entities(text: str) -> list[str]:
+    names: list[str] = []
+    for sent in re.split(r"(?<=[.!?。！？\n])", text):
+        for m in _PROPER.finditer(sent):
+            name = m.group(1)
+            words = name.split()
+            # Drop pure stop-words and bare sentence-initial single words
+            # unless CamelCase/multi-word.
+            words = [w for w in words if w not in _STOP]
+            if not words:
+                continue
+            name = " ".join(words)
+            if len(name) < 2:
+                continue
+            if len(words) == 1 and m.start() == 0 and name.islower():
+                continue
+            names.append(name)
+        names.extend(_CJK_RUN.findall(sent))
+    return names
+
+
+def extract_rules(text: str, chunk_id: int = -1) -> tuple[list[Entity], list[Relation]]:
+    entities: dict[str, Entity] = {}
+    relations: dict[tuple[str, str], Relation] = {}
+    for sent in re.split(r"(?<=[.!?。！？\n])", text):
+        found = []
+        for name in _rule_entities(sent):
+            key = name.lower()
+            if key not in entities:
+                entities[key] = Entity(name=name, description=sent.strip()[:200],
+                                       source_chunk_ids=[chunk_id])
+            elif chunk_id not in entities[key].source_chunk_ids:
+                entities[key].source_chunk_ids.append(chunk_id)
+            found.append(key)
+        # Sentence co-occurrence -> relation (deduped, weight = count).
+        uniq = list(dict.fromkeys(found))
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                key = (uniq[i], uniq[j])
+                if key in relations:
+                    relations[key].weight += 1.0
+                    if chunk_id not in relations[key].source_chunk_ids:
+                        relations[key].source_chunk_ids.append(chunk_id)
+                else:
+                    relations[key] = Relation(
+                        src=entities[uniq[i]].name, dst=entities[uniq[j]].name,
+                        description=sent.strip()[:200],
+                        source_chunk_ids=[chunk_id])
+    return list(entities.values()), list(relations.values())
+
+
+def extract_llm(text: str, llm: LLMFn, chunk_id: int = -1):
+    raw = llm(_PROMPT.format(text=text[:4000]))
+    try:
+        m = re.search(r"\{.*\}", raw, re.DOTALL)
+        data = json.loads(m.group(0) if m else raw)
+    except (json.JSONDecodeError, AttributeError):
+        return [], []
+    ents = [
+        Entity(name=str(e["name"]), entity_type=str(e.get("type", "")),
+               description=str(e.get("description", "")),
+               source_chunk_ids=[chunk_id])
+        for e in data.get("entities", []) if isinstance(e, dict) and e.get("name")
+    ]
+    rels = [
+        Relation(src=str(r["src"]), dst=str(r["dst"]),
+                 description=str(r.get("description", "")),
+                 keywords=str(r.get("keywords", "")),
+                 weight=float(r.get("weight", 1.0)),
+                 source_chunk_ids=[chunk_id])
+        for r in data.get("relations", [])
+        if isinstance(r, dict) and r.get("src") and r.get("dst")
+    ]
+    return ents, rels
+
+
+def extract_graph(text: str, chunk_id: int = -1,
+                  llm: Optional[LLMFn] = None):
+    if llm is not None:
+        return extract_llm(text, llm, chunk_id)
+    return extract_rules(text, chunk_id)

@@ -1,0 +1,2 @@
+from tpurag.index.dense import DenseIndex  # noqa: F401
+from tpurag.index.inverted import InvertedIndex  # noqa: F401

@@ -1,0 +1,157 @@
+"""Device-resident dense vector index.
+
+The reference's vector store is a LlamaIndex JSON-persisted list scanned by
+JS cosine (src/lib/llm/index-manager.ts:227, hybrid-search.ts:217-247) and
+is wiped + rebuilt on every ingest (index-manager.ts:46-51). Here the index
+is a growable, padded (capacity, D) matrix resident in device HBM:
+
+- rows are L2-normalized at insert, so dot == cosine;
+- capacity grows by doubling (static shapes per capacity -> XLA re-jits
+  only on growth, not per insert), enabling *incremental* adds — which the
+  reference's memory subsystem needs on every conversation turn
+  (src/lib/memory/store.ts:36-82) but its wipe-and-rebuild store cannot do;
+- deletes tombstone the row (zeroed vector + host-side filter with
+  overfetch); the reference never implemented vector deletes at all
+  (store.ts:240-249).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import pathlib
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpurag.kernels.dense import dense_topk
+from tpurag.kernels.runtime import NEG_INF, round_up
+
+
+def l2_normalize(x, eps: float = 1e-30):
+    x = jnp.asarray(x, jnp.float32)
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_rows(buf, rows, start):
+    return jax.lax.dynamic_update_slice(buf, rows.astype(buf.dtype), (start, 0))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("ids",))
+def _zero_rows(buf, ids: tuple[int, ...]):
+    return buf.at[jnp.asarray(ids, jnp.int32)].set(0)
+
+
+class DenseIndex:
+    def __init__(self, dim: int, dtype=jnp.bfloat16, capacity: int = 4096):
+        self.dim = dim
+        self.dtype = jnp.dtype(dtype)
+        self.capacity = round_up(max(capacity, 128), 128)
+        self._emb = jnp.zeros((self.capacity, dim), self.dtype)
+        self.n_active = 0
+        self._deleted: set[int] = set()
+
+    # -- mutation ----------------------------------------------------------
+
+    def _grow_to(self, need: int) -> None:
+        new_cap = self.capacity
+        while new_cap < need:
+            new_cap *= 2
+        if new_cap != self.capacity:
+            pad = jnp.zeros((new_cap - self.capacity, self.dim), self.dtype)
+            self._emb = jnp.concatenate([self._emb, pad], axis=0)
+            self.capacity = new_cap
+
+    def add(self, vectors) -> np.ndarray:
+        """Insert (M, D) raw vectors; returns their int32 row ids."""
+        vecs = l2_normalize(vectors)
+        m = vecs.shape[0]
+        if vecs.shape[1] != self.dim:
+            raise ValueError(f"dim mismatch: {vecs.shape[1]} != {self.dim}")
+        self._grow_to(self.n_active + m)
+        self._emb = _write_rows(self._emb, vecs, self.n_active)
+        ids = np.arange(self.n_active, self.n_active + m, dtype=np.int32)
+        self.n_active += m
+        return ids
+
+    def delete(self, ids) -> None:
+        ids = [int(i) for i in np.atleast_1d(ids)]
+        live = [i for i in ids if 0 <= i < self.n_active and i not in self._deleted]
+        if not live:
+            return
+        self._deleted.update(live)
+        self._emb = _zero_rows(self._emb, tuple(sorted(live)))
+
+    # -- query -------------------------------------------------------------
+
+    def search(self, queries, k: int):
+        """Top-k cosine. queries: (B, D) raw (normalized here).
+
+        Returns (scores, ids) as (B, k) float32 / int32 device arrays;
+        tombstoned and empty slots come back as score=-inf, id=-1.
+        """
+        if self.n_active == 0:
+            b = np.asarray(queries).shape[0]
+            return (jnp.full((b, k), NEG_INF), jnp.full((b, k), -1, jnp.int32))
+        q = l2_normalize(queries)
+        if q.ndim == 1:
+            q = q[None, :]
+        # Overfetch to absorb tombstones, then host-filter.
+        extra = min(len(self._deleted), max(self.n_active - k, 0))
+        kk = min(k + extra, self.n_active)
+        scores, ids = dense_topk(q, self._emb, jnp.int32(self.n_active), kk)
+        if self._deleted:
+            s = np.asarray(scores)
+            i = np.asarray(ids)
+            dead = np.isin(i, np.fromiter(self._deleted, np.int32, len(self._deleted)))
+            s = np.where(dead, np.float32(NEG_INF), s)
+            order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+            s = np.take_along_axis(s, order, axis=1)
+            i = np.where(s <= NEG_INF / 2, -1, np.take_along_axis(i, order, axis=1))
+            return jnp.asarray(s), jnp.asarray(i)
+        return scores[:, :k], ids[:, :k]
+
+    def get_vectors(self, ids) -> np.ndarray:
+        return np.asarray(self._emb[jnp.asarray(ids, jnp.int32)], np.float32)
+
+    @property
+    def embeddings(self) -> jax.Array:
+        """The padded device matrix (capacity, D) — for sharded/IVF layers."""
+        return self._emb
+
+    def __len__(self) -> int:
+        return self.n_active - len(self._deleted)
+
+    # -- persistence (SURVEY.md §5.4: per-shard serialized artifacts) -------
+
+    def save(self, path) -> None:
+        path = pathlib.Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            path,
+            emb=np.asarray(self._emb[: self.n_active], np.float32),
+            meta=json.dumps({
+                "dim": self.dim,
+                "dtype": self.dtype.name,
+                "n_active": self.n_active,
+                "deleted": sorted(self._deleted),
+            }),
+        )
+
+    @classmethod
+    def load(cls, path) -> "DenseIndex":
+        data = np.load(pathlib.Path(path).with_suffix(".npz"), allow_pickle=False)
+        meta = json.loads(str(data["meta"]))
+        idx = cls(meta["dim"], dtype=meta["dtype"],
+                  capacity=max(meta["n_active"], 128))
+        if meta["n_active"]:
+            # Rows were normalized before save; write them back verbatim.
+            idx._grow_to(meta["n_active"])
+            idx._emb = _write_rows(idx._emb, jnp.asarray(data["emb"]), 0)
+            idx.n_active = meta["n_active"]
+        idx._deleted = set(meta["deleted"])
+        return idx

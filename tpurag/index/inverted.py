@@ -1,0 +1,197 @@
+"""Inverted index (keyword search) — the Meilisearch replacement.
+
+Host side: vocabulary + per-term postings accumulated incrementally
+(Meilisearch ingests 500-doc batches over HTTP, src/lib/meilisearch.ts:137;
+here adds are in-process and the device CSR arrays are rebuilt lazily on
+the next search after mutation).
+
+Device side: flat CSR postings scored by :func:`tpurag.kernels.bm25.bm25_topk`.
+
+Scoring default is true Okapi BM25; `rank_compat_scores` reproduces the
+reference's 1/(rank+1) rank-to-score conversion (meilisearch.ts:235) for
+strict behavioral parity with the RRF stage.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpurag.core.config import BM25Config
+from tpurag.ingest.tokenizer import tokenize, tokenize_query
+from tpurag.kernels.bm25 import bm25_topk, rank_compat
+from tpurag.kernels.runtime import NEG_INF
+
+try:  # C++-accelerated tokenize/count path (optional).
+    from tpurag.native import loader as _native
+except Exception:  # pragma: no cover
+    _native = None
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(x - 1, 1).bit_length() if x > 2 else max(x, 1)
+
+
+class InvertedIndex:
+    def __init__(self, config: BM25Config | None = None):
+        self.config = config or BM25Config()
+        self.vocab: dict[str, int] = {}
+        self._postings_doc: list[list[int]] = []   # per-term doc ids
+        self._postings_tf: list[list[int]] = []    # per-term frequencies
+        self.doc_len: list[int] = []               # tokens per doc id
+        self._doc_ids: list[int] = []              # external doc id per row? rows==ids
+        self._dirty = True
+        self._dev = None  # (starts, post_doc, post_tf, dnorm)
+        self.n_docs = 0
+
+    # -- build ---------------------------------------------------------------
+
+    def add(self, doc_id: int, text: str) -> None:
+        """Index one document under external integer id `doc_id`.
+
+        doc_id must equal the dense-index row id so RRF fusion can match
+        candidates across sources by id."""
+        if _native is not None and _native.available():
+            counts = _native.term_counts(text)
+        else:
+            counts: dict[str, int] = {}
+            for tok in tokenize(text):
+                counts[tok] = counts.get(tok, 0) + 1
+        total = 0
+        for term, c in counts.items():
+            tid = self.vocab.get(term)
+            if tid is None:
+                tid = len(self.vocab)
+                self.vocab[term] = tid
+                self._postings_doc.append([])
+                self._postings_tf.append([])
+            self._postings_doc[tid].append(doc_id)
+            self._postings_tf[tid].append(c)
+            total += c
+        while len(self.doc_len) <= doc_id:
+            self.doc_len.append(0)
+        self.doc_len[doc_id] = total
+        self.n_docs += 1
+        self._dirty = True
+
+    def add_batch(self, ids, texts) -> None:
+        for i, t in zip(ids, texts):
+            self.add(int(i), t)
+
+    def _build_device(self) -> None:
+        nnz = sum(len(p) for p in self._postings_doc)
+        starts = np.zeros(len(self._postings_doc) + 1, np.int32)
+        post_doc = np.zeros(max(nnz, 1), np.int32)
+        post_tf = np.zeros(max(nnz, 1), np.float32)
+        o = 0
+        for tid, (docs, tfs) in enumerate(zip(self._postings_doc, self._postings_tf)):
+            starts[tid] = o
+            post_doc[o : o + len(docs)] = docs
+            post_tf[o : o + len(tfs)] = tfs
+            o += len(docs)
+        starts[-1] = o
+        n = len(self.doc_len)
+        dl = np.asarray(self.doc_len, np.float32) if n else np.zeros(1, np.float32)
+        avgdl = max(float(dl.sum()) / max(self.n_docs, 1), 1.0)
+        k1, b = self.config.k1, self.config.b
+        dnorm = k1 * (1.0 - b + b * dl / avgdl)
+        dnorm = np.maximum(dnorm, 1e-6)
+        self._starts_host = starts
+        self._dev = (
+            jnp.asarray(post_doc),
+            jnp.asarray(post_tf),
+            jnp.asarray(dnorm),
+        )
+        self._dirty = False
+
+    # -- query ---------------------------------------------------------------
+
+    def search(self, queries: list[str], k: int):
+        """BM25 top-k for a batch of text queries.
+
+        Returns (scores, ids) as (B, k) float32/int32 numpy arrays;
+        empty slots are (-inf, -1)."""
+        bqueries = [tokenize_query(q) for q in queries]
+        return self.search_tokens(bqueries, k)
+
+    def search_tokens(self, token_lists: list[list[str]], k: int):
+        bsz = len(token_lists)
+        if self._dirty:
+            self._build_device()
+        n = len(self.doc_len)
+        if n == 0 or self.n_docs == 0:
+            return (
+                np.full((bsz, k), NEG_INF, np.float32),
+                np.full((bsz, k), -1, np.int32),
+            )
+        # Host-side vocab lookup -> per-term CSR slices and IDFs.
+        rows = []
+        for toks in token_lists:
+            tids = [self.vocab[t] for t in toks if t in self.vocab]
+            rows.append(tids)
+        t_max = _next_pow2(max((len(r) for r in rows), default=1))
+        starts = np.zeros((bsz, t_max), np.int32)
+        lens = np.zeros((bsz, t_max), np.int32)
+        idf = np.zeros((bsz, t_max), np.float32)
+        p_max = 1
+        for bi, tids in enumerate(rows):
+            for ti, tid in enumerate(tids):
+                s = int(self._starts_host[tid])
+                ln = int(self._starts_host[tid + 1]) - s
+                starts[bi, ti] = s
+                lens[bi, ti] = ln
+                df = ln
+                idf[bi, ti] = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+                p_max = max(p_max, ln)
+        p_max = _next_pow2(p_max)
+        post_doc, post_tf, dnorm = self._dev
+        scores, ids = bm25_topk(
+            jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(idf),
+            post_doc, post_tf, dnorm,
+            jnp.int32(n), k=min(k, n), p_max=p_max, k1=self.config.k1,
+        )
+        if self.config.rank_compat_scores:
+            scores = rank_compat(scores)
+        scores = np.asarray(scores)
+        ids = np.asarray(ids)
+        if scores.shape[1] < k:  # pad back up if corpus smaller than k
+            pad = k - scores.shape[1]
+            scores = np.pad(scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        return scores, ids
+
+    def __len__(self) -> int:
+        return self.n_docs
+
+    # -- persistence -----------------------------------------------------------
+
+    def save(self, path) -> None:
+        path = pathlib.Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            path,
+            vocab=json.dumps(self.vocab),
+            doc_len=np.asarray(self.doc_len, np.int32),
+            n_docs=self.n_docs,
+            postings=json.dumps({
+                "doc": self._postings_doc,
+                "tf": self._postings_tf,
+            }),
+        )
+
+    @classmethod
+    def load(cls, path, config: BM25Config | None = None) -> "InvertedIndex":
+        data = np.load(pathlib.Path(path).with_suffix(".npz"), allow_pickle=False)
+        idx = cls(config)
+        idx.vocab = json.loads(str(data["vocab"]))
+        idx.doc_len = [int(x) for x in data["doc_len"]]
+        idx.n_docs = int(data["n_docs"])
+        p = json.loads(str(data["postings"]))
+        idx._postings_doc = p["doc"]
+        idx._postings_tf = p["tf"]
+        idx._dirty = True
+        return idx

@@ -1,0 +1,2 @@
+from tpurag.ingest.tokenizer import tokenize  # noqa: F401
+from tpurag.ingest.chunker import chunk_text  # noqa: F401

@@ -1,0 +1,2 @@
+from tpurag.kernels.dense import dense_topk, dense_topk_xla  # noqa: F401
+from tpurag.kernels.fusion import rrf_fuse  # noqa: F401

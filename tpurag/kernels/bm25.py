@@ -1,0 +1,77 @@
+"""BM25 scoring as a device-side sparse-dense product.
+
+Reference keyword search is an external Meilisearch (Rust) server queried
+over HTTP (src/lib/meilisearch.ts:210-244). Here the inverted index lives
+on-device as flat CSR arrays (postings doc-ids + term frequencies) and a
+query batch is scored in one fused XLA computation:
+
+  1. gather each query term's postings slice (padded to a static bucket),
+  2. compute Okapi BM25 contributions
+        idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+     with the per-doc length norm precomputed as `dnorm`,
+  3. scatter-add into a (B, N) score accumulator,
+  4. top-k.
+
+Docs with zero matching terms come back as id=-1 (Meilisearch likewise
+returns only actual keyword hits). The query-side padding bucket `p_max`
+is static per compile; the index layer buckets to powers of two so the
+number of distinct compilations stays small.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpurag.kernels.runtime import NEG_INF
+
+
+@functools.partial(jax.jit, static_argnames=("k", "p_max", "k1"))
+def bm25_topk(
+    starts: jax.Array,    # (B, T) int32: postings offset per query term
+    lens: jax.Array,      # (B, T) int32: postings length (0 = unused slot)
+    idf: jax.Array,       # (B, T) float32
+    post_doc: jax.Array,  # (nnz,) int32
+    post_tf: jax.Array,   # (nnz,) float32
+    dnorm: jax.Array,     # (N,) float32: k1*(1-b+b*dl/avgdl) per doc
+    n_valid: jax.Array,   # scalar int32
+    k: int,
+    p_max: int,
+    k1: float = 1.2,
+):
+    b, t = starts.shape
+    n = dnorm.shape[0]
+    nnz = post_doc.shape[0]
+
+    off = jax.lax.broadcasted_iota(jnp.int32, (b, t, p_max), 2)
+    mask = off < lens[:, :, None]
+    idx = jnp.clip(starts[:, :, None] + off, 0, nnz - 1)
+    doc = post_doc[idx]                       # (B, T, P)
+    tf = post_tf[idx]
+    contrib = idf[:, :, None] * tf * (k1 + 1.0) / (tf + dnorm[doc])
+    contrib = jnp.where(mask, contrib, 0.0)
+    doc = jnp.where(mask, doc, n)             # park masked lanes in a dump row
+
+    scores = jnp.zeros((b, n + 1), jnp.float32)
+    brow = jax.lax.broadcasted_iota(jnp.int32, (b, t, p_max), 0)
+    scores = scores.at[brow.reshape(-1), doc.reshape(-1)].add(
+        contrib.reshape(-1), mode="drop"
+    )
+    scores = scores[:, :n]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    scores = jnp.where((col < n_valid) & (scores > 0.0), scores, NEG_INF)
+    vals, ids = jax.lax.top_k(scores, k)
+    ids = jnp.where(vals <= NEG_INF / 2, -1, ids.astype(jnp.int32))
+    return vals, ids
+
+
+def rank_compat(scores: jax.Array) -> jax.Array:
+    """Meilisearch returns no scores; the reference converts rank -> score
+    as 1/(rank+1) (src/lib/meilisearch.ts:235). Apply over (B, k) top-k
+    output, preserving -inf empties."""
+    b, k = scores.shape
+    rr = 1.0 / (jnp.arange(k, dtype=jnp.float32) + 1.0)
+    return jnp.where(scores <= NEG_INF / 2, NEG_INF, jnp.broadcast_to(rr, (b, k)))

@@ -1,0 +1,174 @@
+"""Dense cosine-similarity + top-k.
+
+The reference computes brute-force cosine over every chunk embedding in
+JavaScript, materializing all scores (src/lib/hybrid-search.ts:217-247,
+src/lib/github/module-graph-builder.ts:514-529). Here the scan is a Pallas
+kernel: the corpus lives in HBM as a bf16 (N, D) matrix, queries stream in
+(B, D) tiles, each grid step does one MXU matmul tile (TB, D)x(D, TN) and
+folds the tile's winners into a running per-query top-k held in VMEM — the
+full (B, N) score matrix is never materialized, so corpus size is bounded
+by HBM, not by score-matrix memory.
+
+Embeddings and queries are pre-normalized by the index layer, so the dot
+product IS the cosine score.
+
+`dense_topk_xla` is the plain-XLA oracle (jnp.dot + lax.top_k) used for
+correctness tests and as the CPU path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurag.kernels.runtime import NEG_INF, cdiv, interpret_mode, pad_axis, round_up
+from tpurag.kernels.topk import merge_topk, select_topk
+
+_BIG_ID = 2**30
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def dense_topk_xla(queries: jax.Array, emb: jax.Array, n_valid: jax.Array, k: int):
+    """Oracle: full (B, N) scores via one matmul, then lax.top_k.
+
+    Args:
+      queries: (B, D), L2-normalized.
+      emb: (N, D), L2-normalized, any float dtype.
+      n_valid: scalar int32 — rows of emb beyond this are padding.
+      k: static top-k.
+
+    Returns:
+      (scores, ids): (B, k) float32 descending, (B, k) int32.
+    """
+    scores = jax.lax.dot_general(
+        queries.astype(emb.dtype),
+        emb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col < n_valid, scores, NEG_INF)
+    vals, ids = jax.lax.top_k(scores, k)
+    return vals, ids.astype(jnp.int32)
+
+
+def _dense_topk_kernel(nvalid_ref, q_ref, e_ref, out_v_ref, out_i_ref,
+                       run_v, run_i, *, k: int, tile_n: int, precision):
+    j = pl.program_id(1)
+    nn = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        run_v[:] = jnp.full_like(run_v, NEG_INF)
+        # Unique huge sentinel ids so ties in the merge never collide.
+        run_i[:] = _BIG_ID + jax.lax.broadcasted_iota(jnp.int32, run_i.shape, 1)
+
+    # (TB, D) x (TN, D)^T on the MXU, fp32 accumulation.
+    # bf16 operands on the MXU with fp32 accumulation. On TPU the precision
+    # stays default (Mosaic rejects fp32 contract precision for bf16 vectors
+    # on v5e); in interpret mode HIGHEST is forced because this CPU build's
+    # default matmul precision is lossy (~1e-1 abs) and tests compare
+    # bit-level against the XLA oracle.
+    s = jax.lax.dot_general(
+        q_ref[:], e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    base = j * tile_n
+    col = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < nvalid_ref[0], s, NEG_INF)
+
+    # Skip the k-pass extraction when this tile cannot improve the running
+    # top-k (common once the running set is warm).
+    tile_max = jnp.max(s)
+    run_min = jnp.min(run_v[:])
+
+    @pl.when((j == 0) | (tile_max > run_min))
+    def _merge():
+        tv, ti = select_topk(s, col, k)
+        rv, ri = merge_topk(run_v[:], run_i[:], tv, ti, k)
+        run_v[:] = rv
+        run_i[:] = ri
+
+    @pl.when(j == nn - 1)
+    def _emit():
+        out_v_ref[:] = run_v[:]
+        out_i_ref[:] = run_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_b", "tile_n", "interpret")
+)
+def dense_topk_pallas(queries, emb, n_valid, k: int,
+                      tile_b: int = 128, tile_n: int = 2048,
+                      interpret: bool = False):
+    """Tiled Pallas cosine top-k. Same contract as dense_topk_xla.
+
+    queries (B, D) and emb (N, D) may be unpadded; this wrapper pads B/N/D
+    to tile multiples (zero vectors score 0 and are masked by n_valid).
+    """
+    b, d = queries.shape
+    n = emb.shape[0]
+    tile_b = min(tile_b, round_up(b, 8))
+    tile_n = min(tile_n, round_up(n, 128))
+    bp = round_up(b, tile_b)
+    np_ = round_up(n, tile_n)
+    dp = round_up(d, 128)
+    q = pad_axis(pad_axis(queries.astype(emb.dtype), 0, bp), 1, dp)
+    e = pad_axis(pad_axis(emb, 0, np_), 1, dp)
+    nv = jnp.asarray(n_valid, jnp.int32).reshape((1,))
+
+    grid = (bp // tile_b, np_ // tile_n)
+    kernel = functools.partial(
+        _dense_topk_kernel, k=k, tile_n=tile_n,
+        precision=jax.lax.Precision.HIGHEST if interpret else None)
+    vals, ids = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_b, dp), lambda i, j, nv: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, dp), lambda i, j, nv: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_b, k), lambda i, j, nv: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_b, k), lambda i, j, nv: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile_b, k), jnp.float32),
+                pltpu.VMEM((tile_b, k), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, k), jnp.float32),
+            jax.ShapeDtypeStruct((bp, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * np_ * dp,
+            bytes_accessed=bp * dp * 4 + np_ * dp * emb.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(nv, q, e)
+    # Sentinel ids (no real candidate) -> -1.
+    ids = jnp.where(ids >= _BIG_ID, -1, ids)
+    return vals[:b], ids[:b]
+
+
+def dense_topk(queries, emb, n_valid, k: int, *, force_pallas: bool = False):
+    """Backend-dispatching dense top-k: Pallas on TPU, XLA oracle on CPU."""
+    if force_pallas or not interpret_mode():
+        return dense_topk_pallas(queries, emb, n_valid, k,
+                                 interpret=interpret_mode())
+    return dense_topk_xla(queries, emb, n_valid, k)

@@ -1,0 +1,93 @@
+"""Reciprocal-rank-fusion rank merge.
+
+Reference semantics (reciprocalRankFusion, src/lib/hybrid-search.ts:129-208):
+  fused(id) = sum_s weight_s / (rrf_k + rank_s(id) + 1)   (rank 0-based)
+  + both_bonus when the id appears in >= 2 sources;
+  dedup (reference: first-100-chars content key -> here: chunk id),
+  sort desc, cut to final_top_k.
+
+Ranks are implied by position: each source's id list must be sorted by its
+own score, best first. id -1 marks an empty slot (source returned fewer
+than k hits — e.g. keyword index unavailable, mirroring the reference's
+vector-only degradation, hybrid-search.ts:322-330).
+
+Implementation: one fused jitted computation over the concatenated
+candidate set (B, sum k_s) — pairwise id-match masks instead of hash maps,
+so the whole merge is a handful of VPU ops and never leaves the device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tpurag.kernels.runtime import NEG_INF
+from tpurag.kernels.topk import select_topk
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("final_k", "rrf_k", "both_bonus", "weights"),
+)
+def rrf_fuse(
+    id_lists: Sequence[jax.Array],
+    weights: tuple[float, ...],
+    final_k: int,
+    rrf_k: int = 60,
+    both_bonus: float = 0.1,
+):
+    """Fuse S ranked id lists into one top-final_k list.
+
+    Args:
+      id_lists: S arrays (B, k_s) int32, rank-ordered, -1 = empty slot.
+      weights: per-source RRF weights (static).
+      final_k: output size (static).
+      rrf_k: RRF constant (60 document / 40 code preset).
+      both_bonus: bonus added when a candidate is hit by >= 2 sources.
+
+    Returns:
+      fused_scores: (B, final_k) float32, descending. -inf where no candidate.
+      fused_ids: (B, final_k) int32, -1 where no candidate.
+      src_mask: (B, final_k) int32 bitmask — bit s set if source s hit the id.
+    """
+    cand = jnp.concatenate(list(id_lists), axis=1)            # (B, Kt)
+    b, kt = cand.shape
+    fused = jnp.zeros((b, kt), jnp.float32)
+    hits = jnp.zeros((b, kt), jnp.int32)
+    src_bits = jnp.zeros((b, kt), jnp.int32)
+
+    for s, (ids_s, w) in enumerate(zip(id_lists, weights)):
+        ks = ids_s.shape[1]
+        rr = w / (rrf_k + jnp.arange(ks, dtype=jnp.float32) + 1.0)  # (ks,)
+        match = (cand[:, :, None] == ids_s[:, None, :]) & (ids_s[:, None, :] >= 0)
+        fused = fused + jnp.sum(jnp.where(match, rr[None, None, :], 0.0), axis=2)
+        hit_s = jnp.any(match, axis=2)
+        hits = hits + hit_s.astype(jnp.int32)
+        src_bits = src_bits | jnp.where(hit_s, 1 << s, 0)
+
+    fused = fused + jnp.where(hits >= 2, jnp.float32(both_bonus), 0.0)
+
+    # Dedup: a candidate id appearing multiple times in `cand` keeps only its
+    # first occurrence (all occurrences carry the same fused score).
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, kt, kt), 2)
+    same = cand[:, :, None] == cand[:, None, :]
+    earlier = jnp.any(same & (pos < jax.lax.broadcasted_iota(jnp.int32, (b, kt, kt), 1)), axis=2)
+    valid = (cand >= 0) & ~earlier
+    fused = jnp.where(valid, fused, NEG_INF)
+
+    # Stable top-k on fused score; tie-break via position index, then map
+    # positions back to ids / bitmasks.
+    posid = jax.lax.broadcasted_iota(jnp.int32, (b, kt), 1)
+    top_scores, top_pos = select_topk(fused, posid, final_k)
+    take = jax.vmap(lambda row, idx: row[idx])
+    top_ids = take(cand, top_pos)
+    top_bits = take(src_bits, top_pos)
+    empty = top_scores <= NEG_INF / 2
+    return (
+        jnp.where(empty, NEG_INF, top_scores),
+        jnp.where(empty, -1, top_ids),
+        jnp.where(empty, 0, top_bits),
+    )

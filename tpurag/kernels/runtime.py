@@ -1,0 +1,51 @@
+"""Kernel runtime helpers: backend detection, tiling math, padding."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Plain Python float so kernels treat it as an inline literal (a numpy/jax
+# scalar would be lifted into pallas consts, which Mosaic rejects).
+NEG_INF = -3.0e38
+
+
+@functools.cache
+def on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def interpret_mode() -> bool:
+    """Pallas kernels run compiled on TPU, interpreted elsewhere (CPU CI)."""
+    return not on_tpu()
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+def pad_axis(x: jax.Array, axis: int, size: int, value=0) -> jax.Array:
+    """Pad `axis` of x up to `size` with `value` (no-op if already there)."""
+    cur = x.shape[axis]
+    if cur == size:
+        return x
+    if cur > size:
+        raise ValueError(f"cannot pad axis {axis} from {cur} down to {size}")
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, size - cur)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def pick_tile(n: int, preferred: int, multiple: int = 128) -> int:
+    """Pick a tile size <= preferred that is a multiple of `multiple` and
+    covers n without excessive padding waste."""
+    if n <= multiple:
+        return multiple
+    t = min(preferred, round_up(n, multiple))
+    return round_up(t, multiple) if t % multiple else t

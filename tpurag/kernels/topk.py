@@ -1,0 +1,54 @@
+"""Vectorized partial top-k primitives.
+
+These run both inside Pallas kernels (Mosaic-friendly: only VPU max/where
+ops, no sort, no gather) and in plain jitted JAX. The core is an unrolled
+k-step select: each step extracts the row max, breaks ties toward the
+smallest id, and masks the winner out.
+
+Replaces `lax.top_k` inside kernels where we need a *running* top-k merged
+across corpus tiles without materializing the full (B, N) score matrix —
+the reference materializes all scores in JS (hybrid-search.ts:217-247).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpurag.kernels.runtime import NEG_INF
+
+_BIG_ID = 2**31 - 1  # python int: inlined as a literal inside kernels
+
+
+def select_topk(scores: jax.Array, ids: jax.Array, k: int):
+    """Top-k of each row of `scores` with explicit candidate `ids`.
+
+    Args:
+      scores: (B, N) float32.
+      ids: (B, N) int32, unique per row (used for deterministic tie-breaks).
+      k: static number of winners.
+
+    Returns:
+      (vals, out_ids): each (B, k), sorted descending by score.
+    """
+    s = scores.astype(jnp.float32)
+    vals, outs = [], []
+    for _ in range(k):
+        m = jnp.max(s, axis=1, keepdims=True)                     # (B, 1)
+        is_max = s >= m
+        win = jnp.min(jnp.where(is_max, ids, _BIG_ID), axis=1, keepdims=True)
+        chosen = ids == win
+        vals.append(m)
+        outs.append(win)
+        s = jnp.where(chosen, NEG_INF, s)
+    return (
+        jnp.concatenate(vals, axis=1),
+        jnp.concatenate(outs, axis=1),
+    )
+
+
+def merge_topk(vals_a, ids_a, vals_b, ids_b, k: int):
+    """Merge two (B, ka)/(B, kb) sorted-or-not candidate sets into top-k."""
+    vals = jnp.concatenate([vals_a, vals_b], axis=1)
+    ids = jnp.concatenate([ids_a, ids_b], axis=1)
+    return select_topk(vals, ids, k)

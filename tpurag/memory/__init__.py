@@ -1,0 +1,2 @@
+from tpurag.memory.service import MemoryService  # noqa: F401
+from tpurag.memory.freshness import freshness_scores  # noqa: F401

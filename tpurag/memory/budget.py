@@ -1,0 +1,38 @@
+"""Token-budget selection for memories.
+
+Reference: TokenBudgetManager (src/lib/memory/budget.ts): CJK-aware token
+estimate, 10% reserve, greedy fill in score order, truncate the last item
+if >= 50 tokens still fit."""
+
+from __future__ import annotations
+
+from tpurag.core.config import MemoryConfig
+from tpurag.ingest.chunker import estimate_tokens
+
+
+def select_within_budget(items: list, scores: list[float],
+                         texts: list[str],
+                         config: MemoryConfig | None = None,
+                         budget: int | None = None):
+    """Greedy budget fill. Returns list of (item, text) kept; the final text
+    may be truncated (budget.ts:61-93)."""
+    cfg = config or MemoryConfig()
+    limit = int((budget or cfg.token_budget) * (1.0 - cfg.budget_reserve_ratio))
+    order = sorted(range(len(items)), key=lambda i: -scores[i])
+    kept: list[tuple] = []
+    used = 0
+    for i in order:
+        t = texts[i]
+        need = estimate_tokens(t)
+        if used + need <= limit:
+            kept.append((items[i], t))
+            used += need
+        else:
+            room = limit - used
+            if room >= cfg.min_truncate_tokens:
+                # Truncate to roughly `room` tokens (4 chars/token latin est).
+                approx_chars = room * 4
+                kept.append((items[i], t[:approx_chars]))
+                used = limit
+            break
+    return kept

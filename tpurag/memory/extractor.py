@@ -1,0 +1,109 @@
+"""Memory extraction from conversations.
+
+Reference: src/lib/memory/extractor.ts — an LLM JSON-extracts typed
+memories (preference/fact/context/instruction) with confidence, gated by a
+heuristic `shouldExtractMemory` (length/keyword rules, extractor.ts:146-166)
+and deduplicated by content key (:190-204).
+
+The LLM is a pluggable callable here (`llm(prompt) -> str`); without one, a
+rule-based extractor covers the deterministic cases (explicit preference /
+instruction phrasings), keeping the engine LLM-free by default — SURVEY.md
+§7.3: don't let LLM coupling contaminate the engine's determinism.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Callable, Optional
+
+from tpurag.core.types import MemoryEntry, content_key
+
+LLMFn = Callable[[str], str]
+
+_MIN_LEN = 10
+_EXTRACT_HINTS = re.compile(
+    r"(my name|i am|i'm|i like|i prefer|i need|i want|i work|call me|remember"
+    r"|always|never|from now on|请记住|我叫|我是|我喜欢|我需要|我希望|以后)",
+    re.IGNORECASE,
+)
+
+_RULES: list[tuple[str, re.Pattern]] = [
+    ("preference", re.compile(
+        r"\b(?:i (?:like|love|prefer|enjoy|hate|dislike)|我喜欢|我讨厌)\s+(.{2,80})",
+        re.IGNORECASE)),
+    ("instruction", re.compile(
+        r"\b(?:always|never|please always|from now on|以后请?)\s+(.{2,80})",
+        re.IGNORECASE)),
+    ("fact", re.compile(
+        r"\b(?:my name is|i am called|call me|i work (?:at|as|on)|i live in"
+        r"|我叫|我住在|我在.{0,10}工作)\s*(.{2,80})", re.IGNORECASE)),
+]
+
+_PROMPT = """Extract long-term memories from this conversation turn.
+Return a JSON array of objects: {{"content": str, "type": one of
+"preference"|"fact"|"context"|"instruction", "confidence": 0..1}}.
+Only include durable user-specific information. Return [] if none.
+
+User: {user}
+Assistant: {assistant}
+JSON:"""
+
+
+def should_extract(text: str) -> bool:
+    """Heuristic gate (extractor.ts:146-166): skip short/non-personal turns."""
+    if len(text.strip()) < _MIN_LEN:
+        return False
+    return bool(_EXTRACT_HINTS.search(text))
+
+
+def extract_rules(text: str) -> list[MemoryEntry]:
+    out = []
+    for sentence in re.split(r"(?<=[.!?。！？\n])", text):
+        for mtype, pat in _RULES:
+            m = pat.search(sentence)
+            if m:
+                out.append(MemoryEntry(
+                    content=sentence.strip(), memory_type=mtype,
+                    confidence=0.7,
+                ))
+                break
+    return out
+
+
+def extract_llm(user: str, assistant: str, llm: LLMFn) -> list[MemoryEntry]:
+    raw = llm(_PROMPT.format(user=user, assistant=assistant))
+    try:
+        m = re.search(r"\[.*\]", raw, re.DOTALL)
+        items = json.loads(m.group(0) if m else raw)
+    except (json.JSONDecodeError, AttributeError):
+        return []
+    out = []
+    for it in items:
+        if not isinstance(it, dict) or not it.get("content"):
+            continue
+        mtype = it.get("type", "fact")
+        if mtype not in ("preference", "fact", "context", "instruction"):
+            mtype = "fact"
+        conf = float(it.get("confidence", 0.8))
+        out.append(MemoryEntry(content=str(it["content"]), memory_type=mtype,
+                               confidence=max(0.0, min(conf, 1.0))))
+    return out
+
+
+def extract_memories(user: str, assistant: str = "",
+                     llm: Optional[LLMFn] = None) -> list[MemoryEntry]:
+    """Gate -> extract (LLM if provided, rules otherwise) -> content dedup
+    (extractor.ts:190-204)."""
+    if not should_extract(user + " " + assistant):
+        return []
+    entries = (extract_llm(user, assistant, llm) if llm
+               else extract_rules(user))
+    seen: set[str] = set()
+    out = []
+    for e in entries:
+        key = content_key(e.content.lower())
+        if key not in seen:
+            seen.add(key)
+            out.append(e)
+    return out

@@ -1,0 +1,64 @@
+"""Memory freshness scoring — vectorized.
+
+Reference formula (src/lib/memory/freshness.ts:20-23,37-56):
+
+    score = confidence * exp(-decay_rate * hours_since_access)
+                       * (1 + freq_bonus * ln(access_count + 1))
+    clamped to [0, 1];  decay_rate=0.05/h (half-life ~14h), freq_bonus=0.1.
+
+The reference computes this per-memory in JS at query time; here it is one
+vectorized transform over the whole candidate batch, fused into the
+retrieval scoring. Wall-clock timestamps are passed in as arrays so the
+computation stays pure (SURVEY.md §7.3)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpurag.core.config import FreshnessConfig
+
+
+@jax.jit
+def _freshness(confidence, hours_since_access, access_count,
+               decay_rate, freq_bonus):
+    score = (
+        confidence
+        * jnp.exp(-decay_rate * hours_since_access)
+        * (1.0 + freq_bonus * jnp.log(access_count + 1.0))
+    )
+    return jnp.clip(score, 0.0, 1.0)
+
+
+def freshness_scores(confidence, last_accessed_at, access_count, now: float,
+                     config: FreshnessConfig | None = None):
+    """Batch freshness scores.
+
+    Args:
+      confidence: (M,) float array.
+      last_accessed_at: (M,) unix seconds.
+      access_count: (M,) int/float array.
+      now: current unix seconds (passed in, not read, to keep this pure).
+    """
+    cfg = config or FreshnessConfig()
+    # Subtract in float64 on host: unix-epoch seconds exceed fp32 integer
+    # resolution (~64s at 1.7e9), so fp32 subtraction would quantize ages.
+    hours = np.maximum(
+        now - np.asarray(last_accessed_at, np.float64), 0.0) / 3600.0
+    hours = jnp.asarray(hours, jnp.float32)
+    return _freshness(
+        jnp.asarray(confidence, jnp.float32),
+        hours,
+        jnp.asarray(access_count, jnp.float32),
+        jnp.float32(cfg.decay_rate_per_hour),
+        jnp.float32(cfg.freq_bonus),
+    )
+
+
+def combined_memory_scores(relevance, freshness,
+                           relevance_weight: float = 0.7,
+                           freshness_weight: float = 0.3):
+    """0.7*relevance + 0.3*freshness (src/lib/memory/store.ts:160)."""
+    return (relevance_weight * jnp.asarray(relevance, jnp.float32)
+            + freshness_weight * jnp.asarray(freshness, jnp.float32))

@@ -1,0 +1,69 @@
+"""Memory service facade.
+
+Reference: src/lib/memory/service.ts — retrieve -> threshold filter ->
+budget select -> touch -> format (service.ts:47-100); conversation-end
+pipeline extract -> dedup -> save (service.ts:106-143)."""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from tpurag.core.config import MemoryConfig
+from tpurag.core.types import MemoryEntry
+from tpurag.memory.budget import select_within_budget
+from tpurag.memory.extractor import LLMFn, extract_memories
+from tpurag.memory.store import MemoryStore
+
+
+class MemoryService:
+    def __init__(self, kb, config: Optional[MemoryConfig] = None,
+                 llm: Optional[LLMFn] = None):
+        self.config = config or MemoryConfig()
+        self.store = MemoryStore(kb, self.config)
+        self.llm = llm
+
+    def remember(self, content: str, memory_type: str = "fact",
+                 confidence: float = 1.0, now: Optional[float] = None) -> int:
+        return self.store.add(
+            MemoryEntry(content=content, memory_type=memory_type,
+                        confidence=confidence), now=now)
+
+    def recall(self, query: str, k: int = 5,
+               budget: Optional[int] = None,
+               now: Optional[float] = None) -> list[tuple[MemoryEntry, float]]:
+        """Retrieve -> budget select -> access-touch (service.ts:47-100)."""
+        scored = self.store.retrieve(query, k=k, now=now)
+        if not scored:
+            return []
+        kept = select_within_budget(
+            scored, [s for _, s in scored],
+            [e.content for e, _ in scored],
+            self.config, budget=budget,
+        )
+        kept_entries = [item[0][0] for item in kept]
+        self.store.touch(kept_entries, now=now)
+        kept_set = {id(e) for e in kept_entries}
+        return [(e, s) for e, s in scored if id(e) in kept_set]
+
+    def format_memories(self, scored: list[tuple[MemoryEntry, float]]) -> str:
+        """Markdown block for prompt assembly (service.ts format step)."""
+        if not scored:
+            return ""
+        lines = ["## Relevant memories"]
+        for e, s in scored:
+            lines.append(f"- [{e.memory_type}] {e.content} (score={s:.2f})")
+        return "\n".join(lines)
+
+    def process_conversation_end(self, user: str, assistant: str = "",
+                                 now: Optional[float] = None) -> list[int]:
+        """Extract + save memories from a finished turn (service.ts:106-143).
+
+        Runs synchronously here; callers wanting the reference's async
+        behavior can submit it to an executor."""
+        now = now or time.time()
+        entries = extract_memories(user, assistant, llm=self.llm)
+        return [self.store.add(e, now=now) for e in entries]
+
+    def __len__(self) -> int:
+        return len(self.store)

@@ -1,0 +1,105 @@
+"""Memory store: dual-write host record + vector row in the shared index.
+
+Reference: src/lib/memory/store.ts — memories are written both to Prisma
+and as vector nodes tagged metadata.type='memory' inside the *same* KB
+index (store.ts:36-82); retrieval over-fetches x2, filters to memory rows,
+applies the relevance threshold, and scores 0.7*relevance + 0.3*freshness
+(store.ts:160). Unlike the reference — where vector delete was never
+implemented (store.ts:240-249) — deletes here tombstone the dense row too.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from tpurag.core.config import MemoryConfig
+from tpurag.core.types import Chunk, MemoryEntry
+from tpurag.memory.freshness import combined_memory_scores, freshness_scores
+
+
+class MemoryStore:
+    def __init__(self, kb, config: Optional[MemoryConfig] = None):
+        """kb: the KnowledgeBase whose dense index memories share."""
+        self.kb = kb
+        self.config = config or MemoryConfig()
+        self.entries: dict[int, MemoryEntry] = {}  # chunk_id -> entry
+
+    def add(self, entry: MemoryEntry, now: Optional[float] = None) -> int:
+        """Store a memory; returns its chunk id, or the existing id if a
+        near-duplicate (cosine >= 0.9, store.ts:274-285) already exists."""
+        now = now or time.time()
+        dup = self._find_duplicate(entry.content)
+        if dup is not None:
+            return dup
+        chunk = Chunk(text=entry.content, source="memory",
+                      metadata={"memory_type": entry.memory_type})
+        [cid] = self.kb.add_chunks([chunk])
+        entry.memory_id = cid
+        entry.created_at = entry.created_at or now
+        entry.last_accessed_at = now
+        self.entries[cid] = entry
+        return cid
+
+    def _find_duplicate(self, content: str) -> Optional[int]:
+        if not self.entries:
+            return None
+        vec = self.kb.embedder([content])
+        scores, ids = self.kb.dense.search(vec, k=min(8, len(self.kb.dense)))
+        for s, i in zip(np.asarray(scores)[0], np.asarray(ids)[0]):
+            i = int(i)
+            if i in self.entries and float(s) >= self.config.dedup_similarity:
+                return i
+        return None
+
+    def retrieve(self, query: str, k: int = 5,
+                 now: Optional[float] = None) -> list[tuple[MemoryEntry, float]]:
+        """Top-k memories by 0.7*relevance + 0.3*freshness, thresholded."""
+        now = now or time.time()
+        if not self.entries:
+            return []
+        vec = self.kb.embedder([query])
+        # x2 over-fetch then filter to memory rows (store.ts retrieve).
+        kk = min(k * self.config.overfetch_factor + len(self.kb.chunks)
+                 - len(self.entries), len(self.kb.dense))
+        scores, ids = self.kb.dense.search(vec, k=max(kk, k))
+        cand: list[tuple[MemoryEntry, float]] = []
+        for s, i in zip(np.asarray(scores)[0], np.asarray(ids)[0]):
+            i = int(i)
+            e = self.entries.get(i)
+            if e is None or float(s) < self.config.relevance_threshold:
+                continue
+            cand.append((e, float(s)))
+        if not cand:
+            return []
+        fresh = freshness_scores(
+            [e.confidence for e, _ in cand],
+            [e.last_accessed_at for e, _ in cand],
+            [e.access_count for e, _ in cand],
+            now, self.config.freshness,
+        )
+        combined = np.asarray(combined_memory_scores(
+            [r for _, r in cand], fresh,
+            self.config.relevance_weight, self.config.freshness_weight))
+        order = np.argsort(-combined, kind="stable")[:k]
+        return [(cand[i][0], float(combined[i])) for i in order]
+
+    def touch(self, entries: list[MemoryEntry], now: Optional[float] = None) -> None:
+        """Access bump (store.ts:207-235)."""
+        now = now or time.time()
+        for e in entries:
+            e.access_count += 1
+            e.last_accessed_at = now
+
+    def delete(self, memory_id: int) -> bool:
+        e = self.entries.pop(memory_id, None)
+        if e is None:
+            return False
+        self.kb.dense.delete([memory_id])
+        self.kb.chunks[memory_id].metadata["deleted"] = True
+        return True
+
+    def __len__(self) -> int:
+        return len(self.entries)

@@ -1,0 +1,55 @@
+"""ctypes loader for the native C++ runtime (libtpurag.so).
+
+The native library accelerates the host-side hot paths around the TPU:
+tokenization + term counting for inverted-index builds (the reference
+outsources this to the Rust Meilisearch server). Built by
+``tpurag/native/build.sh``; every entry point has a pure-Python fallback,
+so the library is an accelerator, never a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import pathlib
+
+_LIB_PATH = pathlib.Path(__file__).parent / "libtpurag.so"
+_lib = None
+_load_failed = False
+
+
+def _load():
+    global _lib, _load_failed
+    if _lib is None and not _load_failed and _LIB_PATH.exists():
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.tr_term_counts_json.restype = ctypes.c_void_p
+            lib.tr_term_counts_json.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+            lib.tr_free.argtypes = [ctypes.c_void_p]
+            lib.tr_tokenize_count.restype = ctypes.c_size_t
+            lib.tr_tokenize_count.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+            _lib = lib
+        except OSError:
+            _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def term_counts(text: str) -> dict[str, int]:
+    """Tokenize text and return {term: frequency} via the C++ tokenizer."""
+    lib = _load()
+    raw = text.encode("utf-8")
+    ptr = lib.tr_term_counts_json(raw, len(raw))
+    try:
+        return json.loads(ctypes.string_at(ptr).decode("utf-8"))
+    finally:
+        lib.tr_free(ptr)
+
+
+def token_count(text: str) -> int:
+    lib = _load()
+    raw = text.encode("utf-8")
+    return int(lib.tr_tokenize_count(raw, len(raw)))

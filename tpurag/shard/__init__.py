@@ -1,0 +1,2 @@
+from tpurag.shard.mesh import make_mesh  # noqa: F401
+from tpurag.shard.search import sharded_dense_topk  # noqa: F401

@@ -1,0 +1,90 @@
+"""Sharded corpus search: per-shard top-k + ICI all-gather merge.
+
+Design (SURVEY.md §2.12/§5.8, "How to Scale Your Model" recipe): shard the
+chunk axis of the embedding matrix over the 'data' mesh axis; each device
+scans only its local rows (HBM-bandwidth-parallel); per-shard top-k
+candidates — k·(score,id) pairs, a few KB — are all-gathered over ICI and
+merged on every device. The bytes on the interconnect are O(B·k·shards),
+independent of corpus size: the corpus never moves.
+
+The query batch can additionally shard over a 'batch' axis (data-parallel
+query streams); each batch shard runs the same corpus-sharded search.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
+from tpurag.kernels.runtime import interpret_mode
+from tpurag.kernels.topk import select_topk
+
+
+def _local_search(q, emb_local, n_valid, k, shard_rows, data_axis,
+                  use_pallas):
+    """Runs per-device inside shard_map."""
+    shard_idx = jax.lax.axis_index(data_axis)
+    offset = shard_idx * shard_rows
+    n_local = jnp.clip(n_valid - offset, 0, shard_rows)
+    if use_pallas:
+        vals, ids = dense_topk_pallas(q, emb_local, n_local, k,
+                                      interpret=interpret_mode())
+    else:
+        vals, ids = dense_topk_xla(q, emb_local, n_local, k)
+    gids = jnp.where(ids >= 0, ids + offset, -1)
+    # All-gather the tiny candidate sets over ICI and merge everywhere.
+    all_vals = jax.lax.all_gather(vals, data_axis, axis=1, tiled=True)
+    all_ids = jax.lax.all_gather(gids, data_axis, axis=1, tiled=True)
+    # Re-unique ids for tie-breaking: -1 empties share an id; map them to
+    # distinct sentinels so select_topk stays deterministic.
+    pos = jax.lax.broadcasted_iota(jnp.int32, all_ids.shape, 1)
+    tb = jnp.where(all_ids >= 0, all_ids, 2**30 + pos)
+    vals_k, tb_k = select_topk(all_vals, tb, k)
+    return vals_k, jnp.where(tb_k >= 2**30, -1, tb_k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "mesh", "data_axis", "batch_axis", "use_pallas"),
+)
+def sharded_dense_topk(
+    queries: jax.Array,   # (B, D)
+    emb: jax.Array,       # (N, D), N divisible by mesh['data']
+    n_valid: jax.Array,   # scalar int32 (global row count)
+    k: int,
+    mesh: Mesh,
+    data_axis: str = "data",
+    batch_axis: Optional[str] = None,
+    use_pallas: bool = False,
+):
+    """Corpus-sharded dense top-k over a device mesh.
+
+    Returns (scores, ids) (B, k), replicated over 'data' (sharded over
+    'batch' if batch_axis is given)."""
+    n = emb.shape[0]
+    n_shards = mesh.shape[data_axis]
+    if n % n_shards:
+        raise ValueError(f"corpus rows {n} not divisible by {n_shards} shards")
+    shard_rows = n // n_shards
+    qspec = P(batch_axis, None)
+    fn = shard_map(
+        functools.partial(
+            _local_search, k=k, shard_rows=shard_rows,
+            data_axis=data_axis, use_pallas=use_pallas),
+        mesh=mesh,
+        in_specs=(qspec, P(data_axis, None), P()),
+        out_specs=(qspec, qspec),
+        check_vma=False,
+    )
+    return fn(queries, emb, jnp.asarray(n_valid, jnp.int32))
+
+
+def shard_corpus(emb, mesh: Mesh, data_axis: str = "data"):
+    """Place an (N, D) matrix row-sharded over the mesh's data axis."""
+    return jax.device_put(emb, NamedSharding(mesh, P(data_axis, None)))
