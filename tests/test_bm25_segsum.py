@@ -1,0 +1,97 @@
+"""bm25_topk_segsum must produce identical results to the scatter path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpurag.core.config import BM25Config
+from tpurag.index.inverted import InvertedIndex
+from tpurag.kernels.bm25 import bm25_topk, bm25_topk_segsum
+from tpurag.kernels.runtime import NEG_INF
+
+
+def make_args(rng, n=3000, vocab=200, b=6, t=5, p_max=64):
+    df = rng.integers(1, p_max, vocab)
+    starts_host = np.zeros(vocab + 1, np.int64)
+    np.cumsum(df, out=starts_host[1:])
+    nnz = int(starts_host[-1])
+    # doc ids ascending within each term (as InvertedIndex builds them)
+    post_doc = np.zeros(nnz, np.int32)
+    for v in range(vocab):
+        s, e = starts_host[v], starts_host[v + 1]
+        post_doc[s:e] = np.sort(rng.choice(n, e - s, replace=False))
+    post_tf = rng.integers(1, 6, nnz).astype(np.float32)
+    dnorm = rng.uniform(0.4, 2.2, n).astype(np.float32)
+    tid = rng.integers(0, vocab, (b, t))
+    starts = starts_host[tid].astype(np.int32)
+    lens = df[tid].astype(np.int32)
+    # zero out some term slots (unused)
+    lens[:, -1] = 0
+    idf = rng.uniform(0.5, 3.0, (b, t)).astype(np.float32)
+    return (jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(idf),
+            jnp.asarray(post_doc), jnp.asarray(post_tf), jnp.asarray(dnorm),
+            jnp.int32(n))
+
+
+def test_segsum_matches_scatter(rng):
+    args = make_args(rng)
+    v1, i1 = bm25_topk(*args, k=10, p_max=64)
+    v2, i2 = bm25_topk_segsum(*args, k=10, p_max=64)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+    # ids may differ on exact ties; compare where scores are distinct
+    v = np.asarray(v1)
+    distinct = np.abs(v - np.roll(v, 1, axis=1)) > 1e-6
+    np.testing.assert_array_equal(
+        np.asarray(i1)[distinct], np.asarray(i2)[distinct])
+
+
+def test_segsum_duplicate_doc_merge(rng):
+    # Same doc in two terms' postings -> contributions must sum.
+    starts = jnp.asarray(np.asarray([[0, 2]], np.int32))
+    lens = jnp.asarray(np.asarray([[2, 2]], np.int32))
+    idf = jnp.asarray(np.asarray([[1.0, 2.0]], np.float32))
+    post_doc = jnp.asarray(np.asarray([3, 7, 3, 9], np.int32))
+    post_tf = jnp.asarray(np.asarray([1.0, 1.0, 1.0, 1.0], np.float32))
+    dnorm = jnp.asarray(np.ones(16, np.float32))
+    v, i = bm25_topk_segsum(starts, lens, idf, post_doc, post_tf, dnorm,
+                            jnp.int32(16), k=3, p_max=2)
+    # contrib per (idf): idf * 1*2.2/(1+1) = idf*1.1
+    got = {int(d): float(s) for s, d in zip(np.asarray(v)[0], np.asarray(i)[0]) if d >= 0}
+    assert abs(got[3] - 3.0 * 1.1) < 1e-5   # idf 1+2
+    assert abs(got[7] - 1.1) < 1e-5
+    assert abs(got[9] - 2.2) < 1e-5
+
+
+def test_segsum_no_hits():
+    starts = jnp.asarray(np.zeros((2, 3), np.int32))
+    lens = jnp.asarray(np.zeros((2, 3), np.int32))
+    idf = jnp.asarray(np.ones((2, 3), np.float32))
+    post_doc = jnp.asarray(np.zeros(4, np.int32))
+    post_tf = jnp.asarray(np.ones(4, np.float32))
+    dnorm = jnp.asarray(np.ones(8, np.float32))
+    v, i = bm25_topk_segsum(starts, lens, idf, post_doc, post_tf, dnorm,
+                            jnp.int32(8), k=3, p_max=4)
+    assert np.all(np.asarray(i) == -1)
+    assert np.all(np.asarray(v) <= NEG_INF / 2)
+
+
+def test_inverted_index_segsum_default():
+    docs = ["quick fox", "lazy dog", "fox and dog and fox"]
+    a = InvertedIndex(BM25Config(use_segsum=True))
+    b = InvertedIndex(BM25Config(use_segsum=False))
+    for i, d in enumerate(docs):
+        a.add(i, d)
+        b.add(i, d)
+    sa, ia = a.search(["fox dog"], k=3)
+    sb, ib = b.search(["fox dog"], k=3)
+    np.testing.assert_allclose(sa, sb, atol=1e-5)
+    np.testing.assert_array_equal(ia, ib)
+
+
+def test_max_df_ratio_drops_stopwords():
+    docs = [f"the document number {i}" for i in range(10)]
+    idx = InvertedIndex(BM25Config(max_df_ratio=0.5))
+    for i, d in enumerate(docs):
+        idx.add(i, d)
+    # 'the' and 'document' appear in every doc -> dropped; 'number' too.
+    s, i = idx.search(["the document 3"], k=3)
+    assert int(i[0][0]) == 3  # only the distinctive term scores

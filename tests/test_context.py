@@ -1,0 +1,207 @@
+import numpy as np
+import pytest
+
+from tpurag import KnowledgeBase
+from tpurag.context.compress import compress, compress_rule
+from tpurag.context.decision import make_retrieval_decision
+from tpurag.context.dedup import char_jaccard, keyword_coverage, process_results
+from tpurag.context.engine import ContextEngine
+from tpurag.context.history import HistorySummarizer
+from tpurag.context.intent import analyze_intent, detect_intent_fast
+from tpurag.context.merger import ContextChunk, assemble, merge_sources, normalize
+from tpurag.core.config import ContextConfig, SourceWeights
+from tpurag.core.types import SearchResult
+from tpurag.memory.service import MemoryService
+
+
+class TestIntent:
+    def test_greeting_fast_path(self):
+        it = detect_intent_fast("hello!")
+        assert it.intent == "greeting" and it.skip_agent
+
+    def test_cjk_greeting(self):
+        assert detect_intent_fast("你好").intent == "greeting"
+
+    def test_analytical(self):
+        it = analyze_intent("why does XLA fuse elementwise ops?")
+        assert it.intent == "analytical_query"
+
+    def test_task(self):
+        assert analyze_intent("write a summary of chapter 2").intent == "task_request"
+
+    def test_instruction(self):
+        assert analyze_intent("always answer in bullet points").intent == "instruction"
+
+    def test_default_factual(self):
+        it = analyze_intent("capital of France")
+        assert it.intent == "factual_query"
+        assert not it.skip_agent
+
+    def test_llm_path(self):
+        llm = lambda p: '{"intent": "follow_up", "confidence": 0.9, "keywords": ["it"]}'
+        assert analyze_intent("and what about it?", llm=llm).intent == "follow_up"
+
+    def test_llm_garbage_falls_back(self):
+        it = analyze_intent("what is a mesh", llm=lambda p: "garbage")
+        assert it.intent in ("factual_query", "analytical_query")
+
+
+class TestDecision:
+    def test_skip_greeting(self):
+        d = make_retrieval_decision("hello")
+        assert not d.should_retrieve
+
+    def test_skip_time_weather(self):
+        assert not make_retrieval_decision("what time is it?").should_retrieve
+        assert not make_retrieval_decision("weather in Paris").should_retrieve
+
+    def test_graph_routing(self):
+        assert make_retrieval_decision("relationship between A and B").query_type == "graph"
+
+    def test_keyword_routing(self):
+        assert make_retrieval_decision('find "exact phrase" please').query_type == "keyword"
+
+    def test_budget_scales_topk(self):
+        lo = make_retrieval_decision("explain the architecture", 600)
+        hi = make_retrieval_decision("explain the architecture", 3000)
+        assert hi.top_k >= lo.top_k
+
+
+class TestDedup:
+    def test_jaccard(self):
+        assert char_jaccard("abcdef", "abcdef") == 1.0
+        assert char_jaccard("aaa", "zzz") == 0.0
+
+    def test_coverage(self):
+        assert keyword_coverage("quick fox", "the quick brown fox") == 1.0
+        assert keyword_coverage("quick fox", "lazy dog") == 0.0
+
+    def test_process_dedups_near_identical(self):
+        r1 = SearchResult(0, 0.02, "The quick brown fox jumps over the lazy dog daily", found_in=("vector",))
+        r2 = SearchResult(1, 0.01, "The quick brown fox jumps over the lazy dog daily!", found_in=("vector",))
+        out = process_results([r1, r2], "quick fox")
+        assert len(out) == 1
+
+    def test_relevance_gate_drops_keywordless_nonvector(self):
+        r = SearchResult(0, 0.5, "completely unrelated content here totally", found_in=("keyword",))
+        assert process_results([r], "quantum flux") == []
+
+    def test_rerank_prefers_coverage(self):
+        r1 = SearchResult(0, 0.020, "about quick foxes and dogs together", found_in=("vector",))
+        r2 = SearchResult(1, 0.019, "unrelated but a vector hit with fox", found_in=("vector",))
+        out = process_results([r1, r2], "quick fox dogs")
+        assert out[0].chunk_id == 0
+
+
+class TestMerger:
+    def test_source_weights_order(self):
+        w = SourceWeights()
+        chunks = (normalize([("m", 0.5)], "memory", w)
+                  + normalize([("r", 0.5)], "rag", w)
+                  + normalize([("h", 0.5)], "history", w))
+        kept, _ = merge_sources(chunks, budget=1000)
+        assert [c.source for c in kept] == ["memory", "rag", "history"]
+
+    def test_budget_fill_and_truncate(self):
+        w = SourceWeights()
+        chunks = normalize([("x" * 2000, 0.9), ("y" * 2000, 0.8)], "rag", w)
+        kept, stats = merge_sources(chunks, budget=600)
+        assert stats.total_tokens <= 600
+        assert len(kept) == 2 and kept[1].tokens < chunks[1].tokens
+
+    def test_assemble_sections(self):
+        w = SourceWeights()
+        chunks = normalize([("memfact", 1.0)], "memory", w) + \
+                 normalize([("ragchunk", 1.0)], "rag", w)
+        text = assemble(chunks)
+        assert "## User memories" in text and "## Knowledge base" in text
+        assert text.index("memories") < text.index("Knowledge base")
+
+
+class TestCompress:
+    def test_rule_reduces_length(self):
+        text = ". ".join(f"Sentence {i} has filler words (aside {i}) here" for i in range(20))
+        out = compress_rule(text, 0.4, keywords=["sentence"])
+        assert len(out) < len(text)
+        assert "(aside" not in out
+
+    def test_keeps_keyword_sentences(self):
+        text = ("Alpha beta gamma. The revenue was 42 million. "
+                "Nothing interesting here at all. Target keyword match line.")
+        out = compress_rule(text, 0.5, keywords=["keyword", "revenue"])
+        assert "42" in out
+
+    def test_llm_path_with_fallback(self):
+        out = compress("long text " * 100, 0.3, llm=lambda p: (_ for _ in ()).throw(RuntimeError()))
+        assert len(out) < len("long text " * 100)
+
+
+class TestHistory:
+    def test_short_history_passthrough(self):
+        h = HistorySummarizer()
+        msgs = [{"role": "user", "content": f"m{i}"} for i in range(6)]
+        summary, recent = h.summarize(msgs)
+        assert summary == "" and recent == msgs
+
+    def test_long_history_summarized(self):
+        h = HistorySummarizer()
+        msgs = [{"role": "user", "content": f"message number {i} about topic {i}"}
+                for i in range(14)]
+        summary, recent = h.summarize(msgs)
+        assert summary and len(recent) == 6  # 3 rounds * 2
+
+    def test_cache(self):
+        calls = []
+        def llm(p):
+            calls.append(1)
+            return "sum"
+        h = HistorySummarizer(llm=llm)
+        msgs = [{"role": "user", "content": f"m{i}"} for i in range(14)]
+        h.summarize(msgs)
+        h.summarize(msgs)
+        assert len(calls) == 1
+
+
+class TestEngine:
+    @pytest.fixture
+    def engine(self):
+        kb = KnowledgeBase("ctx-kb")
+        kb.add_document("jax", "JAX compiles numerical programs with XLA. "
+                               "Sharding uses meshes and named axes. " * 3)
+        kb.add_document("bread", "Bake bread with flour water salt yeast. " * 3)
+        mem = MemoryService(kb)
+        mem.remember("User prefers concise answers with code", "preference")
+        return ContextEngine(kb, memory_service=mem)
+
+    def test_build_basic(self, engine):
+        ctx = engine.build_context("how does jax compile programs with xla?")
+        assert ctx.text
+        assert ctx.stats.total_tokens <= 3000
+        assert any(c.source == "rag" for c in ctx.chunks)
+
+    def test_greeting_skips_retrieval(self, engine):
+        ctx = engine.build_context("hello!")
+        assert ctx.intent.skip_agent
+        assert not ctx.documents
+
+    def test_memory_included(self, engine):
+        ctx = engine.build_context("user prefers concise answers with code?")
+        assert any(c.source == "memory" for c in ctx.chunks)
+
+    def test_history_summary_in_context(self, engine):
+        hist = [{"role": "user", "content": f"tell me about topic {i} in detail"}
+                for i in range(14)]
+        ctx = engine.build_context("and the sharding meshes?", history=hist)
+        assert ctx.stats.total_tokens <= 3000
+
+    def test_compression_on_small_budget(self, engine):
+        ctx = engine.build_context("jax xla sharding meshes compile", max_tokens=60)
+        assert ctx.stats.budget == 60
+
+    def test_trace_phases(self, engine):
+        ctx = engine.build_context("how does jax compile?")
+        assert "intent" in ctx.trace.phases and "total" in ctx.trace.phases
+
+    def test_conversation_end_extracts(self, engine):
+        ids = engine.process_conversation_end("Please remember: I always use metric units.")
+        assert ids

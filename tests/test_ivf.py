@@ -1,0 +1,95 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurag.core.config import IVFConfig
+from tpurag.index.ivf import IVFIndex
+from tpurag.kernels.dense import dense_topk_xla
+from tpurag.index.dense import l2_normalize
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(42)
+    # Clustered data (realistic for IVF): 32 gaussian blobs.
+    centers = rng.standard_normal((32, 48)).astype(np.float32) * 3
+    data = np.concatenate([
+        centers[i] + rng.standard_normal((128, 48)).astype(np.float32)
+        for i in range(32)
+    ])
+    rng.shuffle(data)
+    return data
+
+
+@pytest.fixture(scope="module")
+def ivf(corpus):
+    return IVFIndex(IVFConfig(n_lists=64, n_probe=8, kmeans_iters=5)).build(
+        corpus, dtype=jnp.float32)
+
+
+def exact(corpus, q, k):
+    emb = jnp.asarray(np.asarray(l2_normalize(corpus)))
+    return dense_topk_xla(l2_normalize(q), emb, jnp.int32(len(corpus)), k)
+
+
+def test_full_probe_equals_exact(corpus, ivf):
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((5, 48)).astype(np.float32)
+    _, ei = exact(corpus, jnp.asarray(q), 10)
+    sv, si = ivf.search(q, k=10, nprobe=ivf.n_lists)
+    # Probing every list is exhaustive -> identical id sets.
+    for a, b in zip(np.asarray(si), np.asarray(ei)):
+        assert set(a) == set(b)
+
+
+def test_recall_at_10_meets_target(corpus, ivf):
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal((20, 48)).astype(np.float32)
+    _, ei = exact(corpus, jnp.asarray(q), 10)
+    _, si = ivf.search(q, k=10, nprobe=16)
+    recalls = [
+        len(set(np.asarray(si)[i]) & set(np.asarray(ei)[i])) / 10
+        for i in range(20)
+    ]
+    assert float(np.mean(recalls)) >= 0.95
+
+
+def test_tune_nprobe(corpus, ivf):
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((10, 48)).astype(np.float32)
+    _, ei = exact(corpus, jnp.asarray(q), 10)
+    np_star = ivf.tune_nprobe(q, ei, k=10, target_recall=0.95)
+    assert 1 <= np_star <= ivf.n_lists
+    _, si = ivf.search(q, k=10, nprobe=np_star)
+    recall = np.mean([
+        len(set(np.asarray(si)[i]) & set(np.asarray(ei)[i])) / 10
+        for i in range(10)
+    ])
+    assert recall >= 0.95
+
+
+def test_single_query_vector(corpus, ivf):
+    q = corpus[7]
+    sv, si = ivf.search(q, k=1, nprobe=8)
+    assert int(np.asarray(si)[0, 0]) == 7
+    assert float(np.asarray(sv)[0, 0]) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_save_load(corpus, ivf, tmp_path):
+    ivf.save(tmp_path / "ivf")
+    ivf2 = IVFIndex.load(tmp_path / "ivf", dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    q = rng.standard_normal((3, 48)).astype(np.float32)
+    s1, i1 = ivf.search(q, k=5, nprobe=8)
+    s2, i2 = ivf2.search(q, k=5, nprobe=8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_small_corpus():
+    rng = np.random.default_rng(5)
+    data = rng.standard_normal((40, 16)).astype(np.float32)
+    ivf = IVFIndex(IVFConfig(n_lists=128, kmeans_iters=3)).build(
+        data, dtype=jnp.float32)
+    assert ivf.n_lists <= 40 // 8
+    _, si = ivf.search(data[3], k=1, nprobe=ivf.n_lists)
+    assert int(np.asarray(si)[0, 0]) == 3

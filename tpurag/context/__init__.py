@@ -1,0 +1,1 @@
+from tpurag.context.engine import ContextEngine  # noqa: F401

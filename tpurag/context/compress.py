@@ -1,0 +1,67 @@
+"""Context compression.
+
+Reference: src/lib/context/optimizer/compressor.ts — LLM semantic
+compression to a target ratio (default 0.4, :17-21) with a rule fallback
+that strips parentheticals/references and keeps keyword/number sentences
+(:72-115), plus an extractive summary scorer (:119-162)."""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Optional
+
+from tpurag.ingest.chunker import estimate_tokens, split_sentences
+from tpurag.ingest.tokenizer import tokenize
+
+_PARENS = re.compile(r"\([^)]{0,120}\)|（[^）]{0,120}）|\[[0-9,\s]+\]")
+_HAS_NUMBER = re.compile(r"\d")
+
+
+def compress_rule(text: str, target_ratio: float = 0.5,
+                  keywords: Optional[list[str]] = None) -> str:
+    """Rule compression (compressor.ts:72-115): strip parentheticals,
+    score sentences by keyword/number content, keep the best until the
+    target token count is reached (original order preserved)."""
+    stripped = _PARENS.sub("", text)
+    sents = split_sentences(stripped)
+    if len(sents) <= 1:
+        limit = max(int(len(stripped) * target_ratio), 40)
+        return stripped[:limit]
+    kw = set(k.lower() for k in (keywords or []))
+    scored = []
+    for i, s in enumerate(sents):
+        toks = tokenize(s)
+        score = sum(1.0 for t in toks if t in kw)
+        if _HAS_NUMBER.search(s):
+            score += 0.5
+        score += 0.3 if i == 0 else 0.0  # lead sentence bias
+        scored.append((score, i, s))
+    target_tokens = max(int(estimate_tokens(text) * target_ratio), 20)
+    keep: list[tuple[int, str]] = []
+    used = 0
+    for score, i, s in sorted(scored, key=lambda t: (-t[0], t[1])):
+        t = estimate_tokens(s)
+        if used + t > target_tokens and keep:
+            continue
+        keep.append((i, s))
+        used += t
+    keep.sort()
+    return " ".join(s for _, s in keep)
+
+
+def compress(text: str, target_ratio: float = 0.5,
+             llm: Optional[Callable[[str], str]] = None,
+             keywords: Optional[list[str]] = None) -> str:
+    """LLM compression with rule fallback (engine.ts:189-192)."""
+    if llm is not None:
+        try:
+            out = llm(
+                f"Compress the following context to about "
+                f"{int(target_ratio * 100)}% of its length, preserving all "
+                f"facts, numbers and names. Output only the compressed text.\n\n"
+                f"{text}")
+            if out and estimate_tokens(out) < estimate_tokens(text):
+                return out.strip()
+        except Exception:
+            pass
+    return compress_rule(text, target_ratio, keywords)

@@ -1,0 +1,53 @@
+"""Retrieval decision rule engine.
+
+Reference: src/lib/context/rag/retrieval-decision.ts — skip patterns for
+greetings/weather/time (:47-54), query-type routing to
+graph/keyword/semantic/hybrid (:17-42), and budget-derived topK
+allocation per type (`calculateRetrievalCount`, :144-195)."""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+
+_SKIP = re.compile(
+    r"^\s*(hi|hello|hey|thanks?|thank you|bye|你好|谢谢|再见)\b"
+    r"|what time is it|current time|today'?s date|weather|天气|几点|日期",
+    re.IGNORECASE)
+
+_GRAPH_HINT = re.compile(
+    r"relationship|related to|connection|who (knows|works with)|graph"
+    r"|关系|相关|关联", re.IGNORECASE)
+_KEYWORD_HINT = re.compile(
+    r"\"[^\"]+\"|'[^']+'|exact|verbatim|error code|function name"
+    r"|[A-Z]{2,}[0-9]+|0x[0-9a-f]+", re.IGNORECASE)
+_SEMANTIC_HINT = re.compile(
+    r"similar to|like this|about|concept|idea|含义|类似", re.IGNORECASE)
+
+
+@dataclasses.dataclass
+class RetrievalDecision:
+    should_retrieve: bool = True
+    query_type: str = "hybrid"         # graph | keyword | semantic | hybrid
+    top_k: int = 8
+    reason: str = ""
+
+
+def make_retrieval_decision(query: str, token_budget: int = 3000) -> RetrievalDecision:
+    q = query.strip()
+    if not q or _SKIP.search(q):
+        return RetrievalDecision(False, "hybrid", 0, "skip pattern")
+    if _GRAPH_HINT.search(q):
+        qtype = "graph"
+    elif _KEYWORD_HINT.search(q):
+        qtype = "keyword"
+    elif _SEMANTIC_HINT.search(q):
+        qtype = "semantic"
+    else:
+        qtype = "hybrid"
+    # Budget-derived depth (retrieval-decision.ts:144-195): roughly one
+    # chunk per ~300 tokens of budget, clamped per query type.
+    base = max(token_budget // 300, 2)
+    caps = {"graph": 8, "keyword": 6, "semantic": 10, "hybrid": 12}
+    return RetrievalDecision(True, qtype, min(base, caps[qtype]),
+                             f"{qtype} routing")

@@ -1,0 +1,69 @@
+"""Result post-processing: relevance gate, noise filter, dedup, rerank.
+
+Reference: src/lib/context/rag/dedup-filter.ts —
+- keyword-match relevance gate (:215-231)
+- noise filters (:96-127)
+- char-level Jaccard dedup, threshold 0.85 over first 200 chars (:26-42)
+- rerank 0.7*fusion + 0.3*keyword-coverage (:132-155)."""
+
+from __future__ import annotations
+
+import re
+
+from tpurag.core.config import ContextConfig
+from tpurag.core.types import SearchResult
+from tpurag.ingest.tokenizer import tokenize, tokenize_query
+
+_NOISE = re.compile(r"^[\s\W]*$|^.{0,15}$")  # empty-ish or ultra-short
+
+
+def char_jaccard(a: str, b: str, prefix: int = 200) -> float:
+    sa, sb = set(a[:prefix]), set(b[:prefix])
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def keyword_coverage(query: str, text: str) -> float:
+    q_terms = set(tokenize_query(query))
+    if not q_terms:
+        return 0.0
+    t_terms = set(tokenize(text))
+    return len(q_terms & t_terms) / len(q_terms)
+
+
+def process_results(results: list[SearchResult], query: str,
+                    config: ContextConfig | None = None) -> list[SearchResult]:
+    """Noise filter -> relevance gate -> Jaccard dedup -> rerank."""
+    cfg = config or ContextConfig()
+    # Noise + relevance gate (some keyword overlap OR a vector hit).
+    gated = []
+    for r in results:
+        if _NOISE.match(r.text):
+            continue
+        if "vector" not in r.found_in and keyword_coverage(query, r.text) == 0.0:
+            continue
+        gated.append(r)
+    # Dedup (keep first = higher fused score).
+    kept: list[SearchResult] = []
+    for r in gated:
+        if any(char_jaccard(r.text, k.text, cfg.dedup_prefix_chars)
+               >= cfg.dedup_jaccard for k in kept):
+            continue
+        kept.append(r)
+    # Rerank: 0.7*fusion + 0.3*coverage. Fusion scores are normalized to
+    # [0,1] within the batch first (RRF magnitudes are tiny).
+    if kept:
+        mx = max(r.score for r in kept) or 1.0
+        rescored = [
+            (cfg.rerank_fusion_weight * (r.score / mx)
+             + cfg.rerank_keyword_weight * keyword_coverage(query, r.text), r)
+            for r in kept
+        ]
+        rescored.sort(key=lambda t: -t[0])
+        out = []
+        for s, r in rescored:
+            r.metadata = {**r.metadata, "rerank_score": s}
+            out.append(r)
+        return out
+    return kept

@@ -1,0 +1,55 @@
+"""Conversation-history summarization.
+
+Reference: src/lib/context/history-summary.ts — summarize when history
+exceeds 10 messages, keep the last 3 rounds verbatim, hash-keyed cache
+(:39-57,62-134). LLM optional; the fallback is an extractive digest."""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Optional
+
+from tpurag.context.compress import compress_rule
+from tpurag.core.config import ContextConfig
+
+
+def _hash_messages(messages: list[dict]) -> str:
+    h = hashlib.blake2b(digest_size=12)
+    for m in messages:
+        h.update(m.get("role", "").encode())
+        h.update(m.get("content", "").encode("utf-8", "ignore"))
+    return h.hexdigest()
+
+
+class HistorySummarizer:
+    def __init__(self, config: Optional[ContextConfig] = None,
+                 llm: Optional[Callable[[str], str]] = None):
+        self.config = config or ContextConfig()
+        self.llm = llm
+        self._cache: dict[str, str] = {}
+
+    def summarize(self, messages: list[dict]) -> tuple[str, list[dict]]:
+        """Returns (summary_of_older, recent_messages_verbatim)."""
+        cfg = self.config
+        keep = cfg.history_keep_rounds * 2
+        if len(messages) <= cfg.history_summary_after:
+            return "", messages
+        older, recent = messages[:-keep], messages[-keep:]
+        key = _hash_messages(older)
+        summary = self._cache.get(key)
+        if summary is None:
+            text = "\n".join(
+                f"{m.get('role', '?')}: {m.get('content', '')}" for m in older)
+            if self.llm is not None:
+                try:
+                    summary = self.llm(
+                        "Summarize this conversation in a short paragraph, "
+                        "keeping user goals, decisions and facts:\n" + text
+                    ).strip()
+                except Exception:
+                    summary = compress_rule(text, 0.25)
+            else:
+                summary = compress_rule(text, 0.25)
+            if len(self._cache) < 256:
+                self._cache[key] = summary
+        return summary, recent

@@ -1,0 +1,114 @@
+"""Intent analysis.
+
+Reference: src/lib/context/intent/analyzer.ts — LLM JSON classification
+over 9 intent types with a regex fast path (`detectIntentFast`,
+analyzer.ts:128) and a per-intent context-weights table (:296-315).
+The LLM is optional here; the fast path covers the deterministic cases
+and `shouldSkipAgent` (:289) mirrors the greeting/small-talk bypass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from typing import Callable, Optional
+
+INTENT_TYPES = (
+    "greeting", "small_talk", "factual_query", "analytical_query",
+    "task_request", "follow_up", "clarification", "feedback", "instruction",
+)
+
+# Per-intent context weights (analyzer.ts:296-315 shape: how much each
+# source matters for this intent).
+INTENT_WEIGHTS: dict[str, dict[str, float]] = {
+    "greeting":         {"memory": 0.5, "rag": 0.1, "history": 0.3},
+    "small_talk":       {"memory": 0.6, "rag": 0.1, "history": 0.5},
+    "factual_query":    {"memory": 0.6, "rag": 1.2, "history": 0.4},
+    "analytical_query": {"memory": 0.7, "rag": 1.3, "history": 0.6},
+    "task_request":     {"memory": 1.0, "rag": 1.0, "history": 0.8},
+    "follow_up":        {"memory": 0.8, "rag": 0.9, "history": 1.3},
+    "clarification":    {"memory": 0.6, "rag": 0.8, "history": 1.4},
+    "feedback":         {"memory": 1.0, "rag": 0.3, "history": 1.0},
+    "instruction":      {"memory": 1.2, "rag": 0.4, "history": 0.7},
+}
+
+_GREETING = re.compile(
+    r"^\s*(hi|hello|hey|yo|good (morning|afternoon|evening)|你好|您好|嗨|早上好|晚上好)\s*[!.。！]*\s*$",
+    re.IGNORECASE)
+_SMALL_TALK = re.compile(
+    r"^(how are you|what'?s up|nice to meet|thanks?|thank you|bye|goodbye"
+    r"|谢谢|再见|辛苦了)", re.IGNORECASE)
+_FOLLOW_UP = re.compile(
+    r"^(and |what about|how about|also|then|那|还有|另外|继续)|(it|that|this|它|这个|那个)\?$",
+    re.IGNORECASE)
+_INSTRUCTION = re.compile(
+    r"^(always|never|please (always|never)|remember|from now on|以后|请记住)",
+    re.IGNORECASE)
+_ANALYTICAL = re.compile(
+    r"(why|how does|compare|difference|analyz|explain|evaluate|为什么|怎么|对比|分析|解释)",
+    re.IGNORECASE)
+_TASK = re.compile(
+    r"^(write|create|generate|make|build|draw|summarize|translate|list"
+    r"|写|创建|生成|画|总结|翻译|列出)", re.IGNORECASE)
+
+
+@dataclasses.dataclass
+class Intent:
+    intent: str = "factual_query"
+    confidence: float = 0.6
+    keywords: list[str] = dataclasses.field(default_factory=list)
+
+    @property
+    def weights(self) -> dict[str, float]:
+        return INTENT_WEIGHTS.get(self.intent, INTENT_WEIGHTS["factual_query"])
+
+    @property
+    def skip_agent(self) -> bool:
+        """Greeting/small-talk bypass (analyzer.ts:289, agent.ts:206-249)."""
+        return self.intent in ("greeting", "small_talk")
+
+
+def detect_intent_fast(query: str) -> Optional[Intent]:
+    """Regex fast path (analyzer.ts:128)."""
+    q = query.strip()
+    if _GREETING.match(q):
+        return Intent("greeting", 0.95)
+    if _SMALL_TALK.match(q):
+        return Intent("small_talk", 0.9)
+    if _INSTRUCTION.match(q):
+        return Intent("instruction", 0.85)
+    if _FOLLOW_UP.match(q):
+        return Intent("follow_up", 0.7)
+    if _TASK.match(q):
+        return Intent("task_request", 0.75)
+    if _ANALYTICAL.search(q):
+        return Intent("analytical_query", 0.7)
+    return None
+
+
+def analyze_intent(query: str, history: Optional[list] = None,
+                   llm: Optional[Callable[[str], str]] = None) -> Intent:
+    """Fast path first; LLM classification when provided; factual default."""
+    fast = detect_intent_fast(query)
+    if fast is not None and fast.confidence >= 0.85:
+        return fast
+    if llm is not None:
+        hist = "\n".join(
+            f"{m.get('role', '?')}: {m.get('content', '')[:200]}"
+            for m in (history or [])[-4:])
+        raw = llm(
+            "Classify the user query intent as one of "
+            f"{list(INTENT_TYPES)}. Respond JSON "
+            '{"intent": str, "confidence": 0..1, "keywords": [str]}.\n'
+            f"History:\n{hist}\nQuery: {query}\nJSON:")
+        try:
+            m = re.search(r"\{.*\}", raw, re.DOTALL)
+            data = json.loads(m.group(0) if m else raw)
+            if data.get("intent") in INTENT_TYPES:
+                return Intent(data["intent"],
+                              float(data.get("confidence", 0.7)),
+                              [str(x) for x in data.get("keywords", [])])
+        except (json.JSONDecodeError, AttributeError, TypeError, ValueError):
+            pass
+    return fast or Intent("factual_query", 0.6)

@@ -1,0 +1,98 @@
+"""Multi-source context merger.
+
+Reference: src/lib/context/optimizer/multi-source-merger.ts — normalize
+memory/rag/tool/history items to ContextChunk, apply source weights
+(memory 1.2 / rag 1.0 / tool 0.8 / history 0.6, :18-23), priority sort,
+greedy budget fill with tail truncation (:120-152), sectioned markdown
+assembly (:157-209), CJK-aware token estimate (:95-99)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from tpurag.core.config import ContextConfig, SourceWeights
+from tpurag.ingest.chunker import estimate_tokens
+
+_SECTION_TITLES = {
+    "memory": "User memories",
+    "rag": "Knowledge base",
+    "tool": "Tool results",
+    "history": "Conversation summary",
+}
+_SECTION_ORDER = ("memory", "rag", "tool", "history")
+
+
+@dataclasses.dataclass
+class ContextChunk:
+    text: str
+    source: str             # memory | rag | tool | history
+    score: float = 0.0      # source-native relevance in [0,1]
+    priority: float = 0.0   # weighted priority used for packing
+    tokens: int = 0
+    metadata: dict = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class ContextStats:
+    """Mirrors ContextStats (src/lib/context/types.ts:96-107)."""
+
+    total_tokens: int = 0
+    budget: int = 0
+    usage: float = 0.0
+    chunks_by_source: dict = dataclasses.field(default_factory=dict)
+    tokens_by_source: dict = dataclasses.field(default_factory=dict)
+
+
+def normalize(items: list[tuple[str, float]], source: str,
+              weights: SourceWeights) -> list[ContextChunk]:
+    w = getattr(weights, source, 1.0)
+    out = []
+    for text, score in items:
+        out.append(ContextChunk(
+            text=text, source=source, score=score,
+            priority=w * score, tokens=estimate_tokens(text)))
+    return out
+
+
+def merge_sources(chunks: list[ContextChunk], budget: int,
+                  config: Optional[ContextConfig] = None
+                  ) -> tuple[list[ContextChunk], ContextStats]:
+    """Priority sort -> greedy fill -> truncate tail (merger.ts:120-152)."""
+    cfg = config or ContextConfig()
+    ordered = sorted(chunks, key=lambda c: -c.priority)
+    kept: list[ContextChunk] = []
+    used = 0
+    for c in ordered:
+        if used + c.tokens <= budget:
+            kept.append(c)
+            used += c.tokens
+        else:
+            room = budget - used
+            if room >= 50:  # same floor as the memory budget truncation
+                text = c.text[: room * 4]
+                kept.append(dataclasses.replace(
+                    c, text=text, tokens=estimate_tokens(text)))
+                used = budget
+            break
+    stats = ContextStats(total_tokens=used, budget=budget,
+                         usage=used / budget if budget else 0.0)
+    for c in kept:
+        stats.chunks_by_source[c.source] = stats.chunks_by_source.get(c.source, 0) + 1
+        stats.tokens_by_source[c.source] = (
+            stats.tokens_by_source.get(c.source, 0) + c.tokens)
+    return kept, stats
+
+
+def assemble(chunks: list[ContextChunk]) -> str:
+    """Sectioned markdown assembly (merger.ts:157-209)."""
+    sections: dict[str, list[str]] = {}
+    for c in chunks:
+        sections.setdefault(c.source, []).append(c.text)
+    parts = []
+    for src in _SECTION_ORDER:
+        if src in sections:
+            parts.append(f"## {_SECTION_TITLES[src]}")
+            parts.extend(f"- {t}" if src == "memory" else t
+                         for t in sections[src])
+    return "\n\n".join(parts)

@@ -67,6 +67,10 @@ class BM25Config:
     k1: float = 1.2
     b: float = 0.75
     rank_compat_scores: bool = False  # emit 1/(rank+1) instead of BM25 score
+    use_segsum: bool = True   # sort+segment-sum scoring (faster on TPU than
+                              # XLA scatter-add; identical results)
+    max_df_ratio: float = 1.0  # skip query terms matching more than this
+                               # fraction of docs (stopword elision; 1.0 = off)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -23,7 +23,7 @@ import numpy as np
 
 from tpurag.core.config import BM25Config
 from tpurag.ingest.tokenizer import tokenize, tokenize_query
-from tpurag.kernels.bm25 import bm25_topk, rank_compat
+from tpurag.kernels.bm25 import bm25_topk, bm25_topk_segsum, rank_compat
 from tpurag.kernels.runtime import NEG_INF
 
 try:  # C++-accelerated tokenize/count path (optional).
@@ -129,9 +129,13 @@ class InvertedIndex:
                 np.full((bsz, k), -1, np.int32),
             )
         # Host-side vocab lookup -> per-term CSR slices and IDFs.
+        df_cap = int(self.config.max_df_ratio * self.n_docs)
         rows = []
         for toks in token_lists:
             tids = [self.vocab[t] for t in toks if t in self.vocab]
+            if self.config.max_df_ratio < 1.0:
+                tids = [t for t in tids
+                        if self._starts_host[t + 1] - self._starts_host[t] <= df_cap]
             rows.append(tids)
         t_max = _next_pow2(max((len(r) for r in rows), default=1))
         starts = np.zeros((bsz, t_max), np.int32)
@@ -149,7 +153,8 @@ class InvertedIndex:
                 p_max = max(p_max, ln)
         p_max = _next_pow2(p_max)
         post_doc, post_tf, dnorm = self._dev
-        scores, ids = bm25_topk(
+        score_fn = bm25_topk_segsum if self.config.use_segsum else bm25_topk
+        scores, ids = score_fn(
             jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(idf),
             post_doc, post_tf, dnorm,
             jnp.int32(n), k=min(k, n), p_max=p_max, k1=self.config.k1,

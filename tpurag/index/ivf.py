@@ -1,0 +1,196 @@
+"""IVF (inverted-file) partitioned dense index.
+
+No reference equivalent — the reference is exact-only brute force
+(SURVEY.md §2.1); the BASELINE.json target adds recall@10 >= 0.95 at 10M
+chunks on v5e-8.
+
+TPU-first design note: for LARGE query batches, exact search is already
+near-optimal on TPU — one (B, D)x(D, N) MXU matmul amortizes every corpus
+byte read across the whole batch, so IVF's skipped clusters buy little
+(with random batched queries nearly every cluster is probed by someone).
+IVF here targets the complementary regime: SMALL batches / single-query
+latency, where scanning nprobe*Cmax gathered rows instead of all N cuts
+work by ~N/(nprobe*Cmax) (150x at 10M rows, nlist 4096, nprobe 64).
+The engine picks exact vs IVF by batch size; recall accounting always
+runs against the exact oracle (SURVEY.md §7.3).
+
+Layout: k-means centroids (C, D); corpus rows reordered cluster-major in
+one flat (Npad, D) device matrix; a (C, Cmax) row-id table (-1 padded)
+drives per-probe gathers. Search scans probes with lax.scan, folding each
+probe's scores into a running top-k (static shapes throughout).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import pathlib
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpurag.core.config import IVFConfig
+from tpurag.index.dense import l2_normalize
+from tpurag.kernels.runtime import NEG_INF, round_up
+from tpurag.kernels.topk import merge_topk, select_topk
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",), donate_argnums=(1,))
+def _kmeans(data, centroids, n_iters: int):
+    """Lloyd iterations on-device (cosine/spherical k-means: data and
+    centroids L2-normalized, assignment by max dot)."""
+
+    def step(cents, _):
+        cents = cents / jnp.maximum(
+            jnp.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+        scores = jnp.dot(data, cents.T, preferred_element_type=jnp.float32)
+        assign = jnp.argmax(scores, axis=1)
+        onehot = jax.nn.one_hot(assign, cents.shape[0], dtype=jnp.float32)
+        sums = jnp.dot(onehot.T, data, preferred_element_type=jnp.float32)
+        counts = jnp.sum(onehot, axis=0)[:, None]
+        new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), cents)
+        return new, None
+
+    cents, _ = jax.lax.scan(step, centroids.astype(jnp.float32), None,
+                            length=n_iters)
+    return cents / jnp.maximum(
+        jnp.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "c_max"))
+def _ivf_search(q, centroids, emb_ivf, row_table, row_ids, n_lists,
+                k: int, nprobe: int, c_max: int):
+    """q: (B, D) normalized. Returns (B, k) scores + ORIGINAL row ids."""
+    b = q.shape[0]
+    cscores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(cscores, nprobe)          # (B, nprobe)
+
+    init = (jnp.full((b, k), NEG_INF), jnp.full((b, k), 2**30, jnp.int32)
+            + jax.lax.broadcasted_iota(jnp.int32, (b, k), 1))
+
+    def scan_probe(carry, p):
+        run_v, run_i = carry
+        cl = probe[:, p]                                # (B,)
+        rows = row_table[cl]                            # (B, Cmax) ivf rows
+        valid = rows >= 0
+        safe = jnp.where(valid, rows, 0)
+        vecs = emb_ivf[safe]                            # (B, Cmax, D)
+        s = jnp.einsum("bd,bcd->bc", q, vecs.astype(q.dtype),
+                       preferred_element_type=jnp.float32)
+        s = jnp.where(valid, s, NEG_INF)
+        tv, ti = select_topk(s, jnp.where(valid, safe, 2**30 - 1),
+                             min(k, c_max))
+        run_v, run_i = merge_topk(run_v, run_i, tv, ti, k)
+        return (run_v, run_i), None
+
+    (vals, ivf_rows), _ = jax.lax.scan(
+        scan_probe, init, jnp.arange(nprobe))
+    empty = vals <= NEG_INF / 2
+    orig = row_ids[jnp.clip(ivf_rows, 0, row_ids.shape[0] - 1)]
+    return jnp.where(empty, NEG_INF, vals), jnp.where(empty, -1, orig)
+
+
+class IVFIndex:
+    """Built once from a snapshot of vectors (rebuild to refresh — the
+    active/incremental segment stays on the exact path)."""
+
+    def __init__(self, config: Optional[IVFConfig] = None):
+        self.config = config or IVFConfig()
+        self.centroids = None        # (C, D) f32
+        self.emb_ivf = None          # (Npad, D) storage dtype
+        self.row_table = None        # (C, Cmax) int32 ivf-row ids, -1 pad
+        self.row_ids = None          # (Npad,) int32 original ids
+        self.n = 0
+        self.c_max = 0
+
+    def build(self, vectors, dtype=jnp.bfloat16,
+              seed: int = 0) -> "IVFIndex":
+        cfg = self.config
+        data = np.asarray(l2_normalize(np.asarray(vectors, np.float32)))
+        n, d = data.shape
+        n_lists = min(cfg.n_lists, max(n // 8, 1))
+        rng = np.random.default_rng(seed)
+        sample = data[rng.choice(n, min(n, cfg.sample_size), replace=False)]
+        init = data[rng.choice(n, n_lists, replace=False)]
+        cents = _kmeans(jnp.asarray(sample), jnp.asarray(init),
+                        cfg.kmeans_iters)
+        # Assign all rows (chunked to bound memory).
+        assign = np.empty(n, np.int32)
+        step = 262_144
+        for s in range(0, n, step):
+            sc = jnp.dot(jnp.asarray(data[s:s + step]), cents.T,
+                         preferred_element_type=jnp.float32)
+            assign[s:s + step] = np.asarray(jnp.argmax(sc, axis=1))
+        order = np.argsort(assign, kind="stable")
+        counts = np.bincount(assign, minlength=n_lists)
+        self.c_max = int(round_up(max(int(counts.max()), 1), 8))
+        starts = np.zeros(n_lists + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        row_table = np.full((n_lists, self.c_max), -1, np.int32)
+        for c in range(n_lists):
+            rows = np.arange(starts[c], starts[c + 1], dtype=np.int32)
+            row_table[c, : len(rows)] = rows
+        self.centroids = cents
+        self.emb_ivf = jnp.asarray(data[order], dtype)
+        self.row_ids = jnp.asarray(order.astype(np.int32))
+        self.row_table = jnp.asarray(row_table)
+        self.n = n
+        self.n_lists = n_lists
+        return self
+
+    def search(self, queries, k: int, nprobe: Optional[int] = None):
+        nprobe = min(nprobe or self.config.n_probe, self.n_lists)
+        q = l2_normalize(queries)
+        if q.ndim == 1:
+            q = q[None]
+        return _ivf_search(q, self.centroids, self.emb_ivf, self.row_table,
+                           self.row_ids, self.n_lists, k=k, nprobe=nprobe,
+                           c_max=self.c_max)
+
+    def tune_nprobe(self, queries, exact_ids, k: int = 10,
+                    target_recall: float = 0.95) -> int:
+        """Smallest nprobe whose recall@k vs the exact oracle meets the
+        target (the BASELINE gate). exact_ids: (B, k) from exact search."""
+        exact = np.asarray(exact_ids)
+        nprobe = 1
+        while nprobe <= self.n_lists:
+            _, ids = self.search(queries, k=k, nprobe=nprobe)
+            got = np.asarray(ids)
+            recall = np.mean([
+                len(set(got[i]) & set(exact[i])) / max(len(set(exact[i])), 1)
+                for i in range(exact.shape[0])
+            ])
+            if recall >= target_recall:
+                return nprobe
+            nprobe *= 2
+        return self.n_lists
+
+    def save(self, path) -> None:
+        path = pathlib.Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            path,
+            centroids=np.asarray(self.centroids, np.float32),
+            emb=np.asarray(self.emb_ivf, np.float32),
+            row_table=np.asarray(self.row_table),
+            row_ids=np.asarray(self.row_ids),
+            meta=json.dumps({"n": self.n, "c_max": self.c_max,
+                             "n_lists": self.n_lists}),
+        )
+
+    @classmethod
+    def load(cls, path, config: Optional[IVFConfig] = None,
+             dtype=jnp.bfloat16) -> "IVFIndex":
+        data = np.load(pathlib.Path(path).with_suffix(".npz"))
+        meta = json.loads(str(data["meta"]))
+        idx = cls(config)
+        idx.centroids = jnp.asarray(data["centroids"])
+        idx.emb_ivf = jnp.asarray(data["emb"], dtype)
+        idx.row_table = jnp.asarray(data["row_table"])
+        idx.row_ids = jnp.asarray(data["row_ids"])
+        idx.n = meta["n"]
+        idx.c_max = meta["c_max"]
+        idx.n_lists = meta["n_lists"]
+        return idx
