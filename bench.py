@@ -44,10 +44,9 @@ def main():
     k = 8
     t_query, p_max = 8, 2048
 
-    from tpurag.kernels.bm25 import bm25_topk
+    from tpurag.kernels.bm25 import bm25_topk_segsum
     from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
     from tpurag.kernels.fusion import rrf_fuse
-    from tpurag.kernels.runtime import interpret_mode
 
     rng = np.random.default_rng(0)
     log(f"building synthetic corpus n={n} d={d} ...")
@@ -56,54 +55,68 @@ def main():
     emb_dev = jnp.asarray(emb, jnp.bfloat16 if on_tpu else jnp.float32)
 
     # Synthetic Zipf-ish inverted index: term doc-frequencies spanning
-    # 16..p_max, postings sorted by doc id.
+    # 16..p_max, postings sorted by doc id, tail-padded, impacts baked.
     df = np.clip((p_max * (1 + np.arange(vocab)) ** -0.5), 16, p_max).astype(np.int64)
     starts_host = np.zeros(vocab + 1, np.int64)
     np.cumsum(df, out=starts_host[1:])
     nnz = int(starts_host[-1])
-    post_doc = rng.integers(0, n, (nnz,)).astype(np.int32)
-    post_tf = rng.integers(1, 6, (nnz,)).astype(np.float32)
-    dnorm = rng.uniform(0.4, 2.2, (n,)).astype(np.float32)
+    post_doc = np.sort(rng.integers(0, n, (nnz + p_max,)).astype(np.int32))
+    post_impact = rng.uniform(0.3, 2.2, (nnz + p_max,)).astype(np.float32)
     log(f"inverted index nnz={nnz}")
 
     # Query batch.
     q = rng.standard_normal((b, d)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     tid = rng.integers(0, vocab, (b, t_query))
-    q_starts = starts_host[tid].astype(np.int32)
-    q_lens = df[tid].astype(np.int32)
-    q_idf = rng.uniform(0.5, 3.0, (b, t_query)).astype(np.float32)
-
+    q_starts = jnp.asarray(starts_host[tid].astype(np.int32))
+    q_lens = jnp.asarray(df[tid].astype(np.int32))
+    q_idf = jnp.asarray(rng.uniform(0.5, 3.0, (b, t_query)).astype(np.float32))
     q_dev = jnp.asarray(q)
-    args = (jnp.asarray(q_starts), jnp.asarray(q_lens), jnp.asarray(q_idf),
-            jnp.asarray(post_doc), jnp.asarray(post_tf), jnp.asarray(dnorm))
+    pd, pi = jnp.asarray(post_doc), jnp.asarray(post_impact)
     n_valid = jnp.int32(n)
 
     use_pallas = on_tpu
 
-    @jax.jit
-    def hybrid_step(qv, s, l, i, pd, pt, dn):
+    def hybrid_step(qv, starts, lens, idf):
         if use_pallas:
             v_s, v_i = dense_topk_pallas(qv, emb_dev, n_valid, k)
         else:
             v_s, v_i = dense_topk_xla(qv, emb_dev, n_valid, k)
-        k_s, k_i = bm25_topk(s, l, i, pd, pt, dn, n_valid, k=k, p_max=p_max)
+        k_s, k_i = bm25_topk_segsum(starts, lens, idf, pd, pi, n_valid,
+                                    k=k, p_max=p_max)
         return rrf_fuse((v_i, k_i), weights=(1.0, 1.0), final_k=k)
+
+    # Amortized timing: ITERS query batches chained inside one jit (the
+    # remote-dispatch tunnel adds ~30ms per blocking round-trip that a
+    # production streaming server never pays; chaining measures true
+    # device throughput). Every input is rotated per iteration so no
+    # stage is loop-invariant (nothing hoists out).
+    @jax.jit
+    def chained(qv):
+        def body(i, carry):
+            acc, qq = carry
+            qi = qq * (1.0 + i.astype(jnp.float32) * 1e-7)
+            s, ids, bits = hybrid_step(
+                qi,
+                jnp.roll(q_starts, i, axis=0),
+                jnp.roll(q_lens, i, axis=0),
+                jnp.roll(q_idf, i, axis=0),
+            )
+            return acc + s.sum(), qq
+        out, _ = jax.lax.fori_loop(0, iters, body, (0.0, qv))
+        return out
 
     log("compiling ...")
     t0 = time.perf_counter()
-    out = hybrid_step(q_dev, *args)
-    jax.block_until_ready(out)
+    float(chained(q_dev))  # host read: block_until_ready alone does not
+    #                        reliably block through the remote-relay backend
     log(f"first call (compile+run): {time.perf_counter() - t0:.1f}s")
 
-    for _ in range(warmup):
-        jax.block_until_ready(hybrid_step(q_dev, *args))
-
     times = []
-    for _ in range(iters):
+    for _ in range(max(warmup, 3)):
         t0 = time.perf_counter()
-        jax.block_until_ready(hybrid_step(q_dev, *args))
-        times.append(time.perf_counter() - t0)
+        float(chained(q_dev))
+        times.append((time.perf_counter() - t0) / iters)
     times = np.asarray(times)
     p50 = float(np.percentile(times, 50))
     qps = b / p50

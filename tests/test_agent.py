@@ -1,0 +1,177 @@
+import re
+
+import pytest
+
+from tpurag import KnowledgeBase
+from tpurag.agent.mermaid import clean_mermaid, detect_chart_type, is_valid_mermaid
+from tpurag.agent.quality import evaluate_quality, final_validation, format_precheck
+from tpurag.agent.react import Agent
+from tpurag.agent.tools import ToolContext, create_all_tools
+from tpurag.graph.index import GraphIndex
+from tpurag.memory.service import MemoryService
+
+
+@pytest.fixture
+def kb():
+    kb = KnowledgeBase("agent-kb")
+    kb.add_document("jax-guide", "JAX compiles numerical programs with XLA. "
+                                 "Sharding uses meshes and named axes.")
+    kb.add_document("bread", "Bake bread with flour, water, salt and yeast. "
+                             "Let the dough rise for two hours.")
+    return kb
+
+
+@pytest.fixture
+def ctx(kb):
+    g = GraphIndex(kb.embedder)
+    for i, c in enumerate(kb.chunks):
+        g.ingest_chunk(i, c.text)
+    return ToolContext(kb=kb, graph=g)
+
+
+class TestTools:
+    def test_nine_tools(self, ctx):
+        tools = create_all_tools(ctx)
+        assert len(tools) == 9
+
+    def test_search_captures_first_results(self, ctx):
+        tools = create_all_tools(ctx)
+        out = tools["search_knowledge"](query="bake bread yeast")
+        assert "bread" in out
+        assert ctx.search_results
+
+    def test_keyword_tool(self, ctx):
+        out = create_all_tools(ctx)["keyword_search"](query="XLA meshes")
+        assert "jax-guide" in out
+
+    def test_summarize_by_doc_name(self, ctx):
+        out = create_all_tools(ctx)["summarize_topic"](topic="bread")
+        assert out.startswith("【文档: bread】")
+
+    def test_summarize_fallback(self, ctx):
+        out = create_all_tools(ctx)["summarize_topic"](topic="yeast dough")
+        assert "yeast" in out
+
+    def test_datetime(self, ctx):
+        out = create_all_tools(ctx)["get_current_datetime"](now=1700000000.0)
+        assert "2023-11-15" in out and "Asia/Shanghai" in out
+
+    def test_diagram_too_short(self, ctx):
+        out = create_all_tools(ctx)["generate_diagram"](description="tiny")
+        assert "too short" in out.lower()
+
+    def test_diagram_fallback(self, ctx):
+        out = create_all_tools(ctx)["generate_diagram"](
+            description="mix flour, knead dough, let it rise, bake in oven")
+        assert "[MERMAID_DIAGRAM]" in out and "flowchart TD" in out
+
+    def test_web_tools_unconfigured(self, ctx):
+        tools = create_all_tools(ctx)
+        assert "not configured" in tools["web_search"](query="x")
+        assert "not configured" in tools["fetch_webpage"](url="http://x")
+
+    def test_graph_tool_fallback_no_graph(self, kb):
+        ctx = ToolContext(kb=kb, graph=None)
+        out = create_all_tools(ctx)["graph_search"](query="bread yeast")
+        assert "bread" in out
+
+
+class TestMermaid:
+    def test_detect(self):
+        assert detect_chart_type("flowchart TD\nA-->B") == "flowchart"
+        assert detect_chart_type("not a chart") is None
+
+    def test_clean_strips_fences(self):
+        out = clean_mermaid("```mermaid\nflowchart TD\nA --> B\n```")
+        assert "```" not in out and out.startswith("flowchart")
+
+    def test_arrow_fix(self):
+        assert "-->" in clean_mermaid("graph TD\nA - -> B")
+
+    def test_valid(self):
+        assert is_valid_mermaid("flowchart TD\nA[start] --> B[end]")
+        assert not is_valid_mermaid("just some text")
+        assert not is_valid_mermaid("flowchart TD\nA[unbalanced --> B")
+
+
+class TestQuality:
+    def test_precheck_passes_valid(self):
+        ok, _ = format_precheck("[MERMAID_DIAGRAM]\nflowchart TD\nA --> B\n[/MERMAID_DIAGRAM]")
+        assert ok
+
+    def test_empty_fails(self):
+        assert not evaluate_quality("q", "").passed
+
+    def test_no_llm_passes(self):
+        assert evaluate_quality("q", "a decent answer").passed
+
+    def test_llm_fail_verdict(self):
+        llm = lambda p: '{"pass": false, "reason": "wrong order"}'
+        v = evaluate_quality("q", "answer", llm=llm)
+        assert not v.passed and "order" in v.reason
+
+    def test_judge_garbage_defaults_pass(self):
+        assert evaluate_quality("q", "answer", llm=lambda p: "???").passed
+
+    def test_final_validation_wraps_loose_mermaid(self):
+        out = final_validation("Here:\n```mermaid\nflowchart TD\nA --> B\n```")
+        assert "[MERMAID_DIAGRAM]" in out
+
+
+class TestAgentDeterministic:
+    def test_factual_query(self, kb):
+        agent = Agent(kb)
+        res = agent.query("how do I bake bread with yeast?")
+        assert "bread" in res.answer
+        assert res.tool_calls
+
+    def test_greeting_fast_path(self, kb):
+        res = Agent(kb).query("hello!")
+        assert res.answer
+        assert not res.tool_calls
+
+    def test_datetime_routing(self, kb):
+        res = Agent(kb).query("what time is it right now, the exact date?")
+        assert re.search(r"\d{4}-\d{2}-\d{2}", res.answer)
+
+    def test_memory_extraction_end_to_end(self, kb):
+        mem = MemoryService(kb)
+        agent = Agent(kb, memory=mem)
+        agent.query("Please remember: I always prefer metric units in answers.")
+        assert len(mem) >= 1
+
+
+class TestAgentWithFakeLLM:
+    def test_react_tool_then_answer(self, kb):
+        calls = []
+        def llm(prompt):
+            calls.append(prompt)
+            if "Observation:" not in prompt:
+                return ("Thought: search first\n"
+                        "Action: search_knowledge\n"
+                        "Action Input: bread yeast")
+            return "Answer: Bake with flour and yeast."
+        res = Agent(kb, llm=llm).query("how to bake bread?")
+        assert res.answer == "Bake with flour and yeast."
+        assert res.tool_calls and res.tool_calls[0]["tool"] == "search_knowledge"
+
+    def test_unknown_tool_recovers(self, kb):
+        def llm(prompt):
+            if "Unknown tool" not in prompt:
+                return "Action: bogus_tool\nAction Input: x"
+            return "Answer: done"
+        res = Agent(kb, llm=llm).query("question about anything here")
+        assert res.answer == "done"
+
+    def test_quality_retry_loop(self, kb):
+        state = {"n": 0}
+        def llm(prompt):
+            if "Judge whether" in prompt:
+                state["n"] += 1
+                ok = state["n"] >= 2
+                return f'{{"pass": {str(ok).lower()}, "reason": "r"}}'
+            if "failed review" in prompt:
+                return "Answer: corrected answer"
+            return "Answer: first answer"
+        res = Agent(kb, llm=llm).query("explain the bread process")
+        assert res.answer == "corrected answer"

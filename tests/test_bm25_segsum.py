@@ -14,12 +14,15 @@ def make_args(rng, n=3000, vocab=200, b=6, t=5, p_max=64):
     starts_host = np.zeros(vocab + 1, np.int64)
     np.cumsum(df, out=starts_host[1:])
     nnz = int(starts_host[-1])
-    # doc ids ascending within each term (as InvertedIndex builds them)
-    post_doc = np.zeros(nnz, np.int32)
+    # doc ids ascending within each term (as InvertedIndex builds them);
+    # tail-padded by p_max like the index build does.
+    post_doc = np.full(nnz + p_max, 2**30, np.int32)
     for v in range(vocab):
         s, e = starts_host[v], starts_host[v + 1]
         post_doc[s:e] = np.sort(rng.choice(n, e - s, replace=False))
-    post_tf = rng.integers(1, 6, nnz).astype(np.float32)
+    post_impact = np.where(
+        post_doc < n, rng.uniform(0.5, 2.0, nnz + p_max), 0.0
+    ).astype(np.float32)
     dnorm = rng.uniform(0.4, 2.2, n).astype(np.float32)
     tid = rng.integers(0, vocab, (b, t))
     starts = starts_host[tid].astype(np.int32)
@@ -28,14 +31,15 @@ def make_args(rng, n=3000, vocab=200, b=6, t=5, p_max=64):
     lens[:, -1] = 0
     idf = rng.uniform(0.5, 3.0, (b, t)).astype(np.float32)
     return (jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(idf),
-            jnp.asarray(post_doc), jnp.asarray(post_tf), jnp.asarray(dnorm),
-            jnp.int32(n))
+            jnp.asarray(post_doc), jnp.asarray(post_impact),
+            jnp.asarray(dnorm), jnp.int32(n))
 
 
 def test_segsum_matches_scatter(rng):
     args = make_args(rng)
     v1, i1 = bm25_topk(*args, k=10, p_max=64)
-    v2, i2 = bm25_topk_segsum(*args, k=10, p_max=64)
+    st, ln, idf, pd, pi, dn, nv = args
+    v2, i2 = bm25_topk_segsum(st, ln, idf, pd, pi, nv, k=10, p_max=64)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
     # ids may differ on exact ties; compare where scores are distinct
     v = np.asarray(v1)
@@ -49,26 +53,48 @@ def test_segsum_duplicate_doc_merge(rng):
     starts = jnp.asarray(np.asarray([[0, 2]], np.int32))
     lens = jnp.asarray(np.asarray([[2, 2]], np.int32))
     idf = jnp.asarray(np.asarray([[1.0, 2.0]], np.float32))
-    post_doc = jnp.asarray(np.asarray([3, 7, 3, 9], np.int32))
-    post_tf = jnp.asarray(np.asarray([1.0, 1.0, 1.0, 1.0], np.float32))
-    dnorm = jnp.asarray(np.ones(16, np.float32))
-    v, i = bm25_topk_segsum(starts, lens, idf, post_doc, post_tf, dnorm,
+    post_doc = jnp.asarray(np.asarray([3, 7, 3, 9, 2**30, 2**30], np.int32))
+    post_impact = jnp.asarray(
+        np.asarray([1.1, 1.1, 1.1, 1.1, 0.0, 0.0], np.float32))
+    v, i = bm25_topk_segsum(starts, lens, idf, post_doc, post_impact,
                             jnp.int32(16), k=3, p_max=2)
-    # contrib per (idf): idf * 1*2.2/(1+1) = idf*1.1
     got = {int(d): float(s) for s, d in zip(np.asarray(v)[0], np.asarray(i)[0]) if d >= 0}
     assert abs(got[3] - 3.0 * 1.1) < 1e-5   # idf 1+2
     assert abs(got[7] - 1.1) < 1e-5
     assert abs(got[9] - 2.2) < 1e-5
 
 
+def test_fused_pallas_matches_segsum(rng):
+    # t=4 (pow2, one term slot zeroed), p_max=64 -> exercises the kernel's
+    # merge network + prefix sums in interpret mode.
+    args = make_args(rng, t=4, p_max=64)
+    st, ln, idf, pd, pi, dn, nv = args
+    from tpurag.kernels.bm25_pallas import bm25_topk_fused
+    v1, i1 = bm25_topk_segsum(st, ln, idf, pd, pi, nv, k=10, p_max=64)
+    v2, i2 = bm25_topk_fused(st, ln, idf, pd, pi, nv, k=10, p_max=64)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+    v = np.asarray(v1)
+    distinct = np.abs(v - np.roll(v, 1, axis=1)) > 1e-6
+    np.testing.assert_array_equal(np.asarray(i1)[distinct],
+                                  np.asarray(i2)[distinct])
+
+
+def test_fused_pallas_single_term(rng):
+    args = make_args(rng, t=1, p_max=32)
+    st, ln, idf, pd, pi, dn, nv = args
+    from tpurag.kernels.bm25_pallas import bm25_topk_fused
+    v1, i1 = bm25_topk_segsum(st, ln, idf, pd, pi, nv, k=5, p_max=32)
+    v2, i2 = bm25_topk_fused(st, ln, idf, pd, pi, nv, k=5, p_max=32)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+
+
 def test_segsum_no_hits():
     starts = jnp.asarray(np.zeros((2, 3), np.int32))
     lens = jnp.asarray(np.zeros((2, 3), np.int32))
     idf = jnp.asarray(np.ones((2, 3), np.float32))
-    post_doc = jnp.asarray(np.zeros(4, np.int32))
-    post_tf = jnp.asarray(np.ones(4, np.float32))
-    dnorm = jnp.asarray(np.ones(8, np.float32))
-    v, i = bm25_topk_segsum(starts, lens, idf, post_doc, post_tf, dnorm,
+    post_doc = jnp.asarray(np.full(8, 2**30, np.int32))
+    post_impact = jnp.asarray(np.zeros(8, np.float32))
+    v, i = bm25_topk_segsum(starts, lens, idf, post_doc, post_impact,
                             jnp.int32(8), k=3, p_max=4)
     assert np.all(np.asarray(i) == -1)
     assert np.all(np.asarray(v) <= NEG_INF / 2)
@@ -83,6 +109,38 @@ def test_inverted_index_segsum_default():
         b.add(i, d)
     sa, ia = a.search(["fox dog"], k=3)
     sb, ib = b.search(["fox dog"], k=3)
+    np.testing.assert_allclose(sa, sb, atol=1e-5)
+    np.testing.assert_array_equal(ia, ib)
+
+
+def test_width_classes_match_uniform_padding(rng):
+    """Width-classed batching is a pure performance transform: results
+    must be identical to padding the whole batch to one width."""
+    words = [f"w{i}" for i in range(80)]
+    probs = (1.0 / (1 + np.arange(80)) ** 1.1)
+    probs /= probs.sum()
+    docs = [" ".join(rng.choice(words, size=20, p=probs)) for _ in range(800)]
+    a = InvertedIndex(BM25Config(width_classes=True))
+    b = InvertedIndex(BM25Config(width_classes=False))
+    for i, d in enumerate(docs):
+        a.add(i, d)
+        b.add(i, d)
+    queries = [" ".join(rng.choice(words, size=3, p=probs)) for _ in range(12)]
+    sa, ia = a.search(queries, k=10)
+    sb, ib = b.search(queries, k=10)
+    np.testing.assert_allclose(sa, sb, atol=1e-5)
+    np.testing.assert_array_equal(ia, ib)
+
+
+def test_heads_identical_when_df_small():
+    docs = ["alpha beta", "beta gamma", "gamma alpha delta"]
+    a = InvertedIndex(BM25Config(head_m=256))
+    b = InvertedIndex(BM25Config(exact_scoring=True))
+    for i, d in enumerate(docs):
+        a.add(i, d)
+        b.add(i, d)
+    sa, ia = a.search(["alpha gamma"], k=3)
+    sb, ib = b.search(["alpha gamma"], k=3)
     np.testing.assert_allclose(sa, sb, atol=1e-5)
     np.testing.assert_array_equal(ia, ib)
 

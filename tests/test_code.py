@@ -1,0 +1,135 @@
+import pathlib
+
+import pytest
+
+from tpurag.code.chunks import chunk_stats, create_code_chunks
+from tpurag.code.fetcher import walk_code_files
+from tpurag.code.modules import build_module_graph, export_module_graph, search_modules
+from tpurag.code.parser import parse_code_file
+from tpurag.code.structure import analyze_repo_structure
+from tpurag.ingest.embedder import HashEmbedder
+
+
+@pytest.fixture
+def repo(tmp_path):
+    (tmp_path / "src").mkdir()
+    (tmp_path / "src" / "engine.py").write_text(
+        "import utils.helpers\n\n"
+        "class Engine:\n    def run(self):\n        return 1\n\n"
+        "def main():\n    e = Engine()\n    e.run()\n")
+    (tmp_path / "utils").mkdir()
+    (tmp_path / "utils" / "helpers.py").write_text(
+        "def helper(x):\n    return x * 2\n")
+    (tmp_path / "web").mkdir()
+    (tmp_path / "web" / "app.ts").write_text(
+        "import { helper } from '../utils/helpers'\n"
+        "export function render(): void {\n  console.log('hi')\n}\n"
+        "export class View {\n  show() {}\n}\n")
+    (tmp_path / "README.md").write_text("# Demo repo\n")
+    big = "\n".join(f"x_{i} = {i}  # line filler" for i in range(450))
+    (tmp_path / "src" / "big.py").write_text(big)
+    (tmp_path / "node_modules").mkdir()
+    (tmp_path / "node_modules" / "junk.js").write_text("ignored")
+    return tmp_path
+
+
+class TestWalk:
+    def test_finds_code_skips_ignored(self, repo):
+        files = walk_code_files(repo)
+        rels = {f["rel"] for f in files}
+        assert "src/engine.py" in rels and "web/app.ts" in rels
+        assert not any("node_modules" in r for r in rels)
+
+    def test_language_tagging(self, repo):
+        files = {f["rel"]: f for f in walk_code_files(repo)}
+        assert files["src/engine.py"]["language"] == "python"
+        assert files["web/app.ts"]["language"] == "typescript"
+
+
+class TestStructure:
+    def test_analysis(self, repo):
+        s = analyze_repo_structure(repo)
+        assert s["primary_language"] == "python"
+        assert s["repo_type"] == "application"
+        assert s["n_files"] >= 4
+        assert "src/" in s["skeleton"]
+
+
+class TestParser:
+    def test_python_blocks(self):
+        text = ("class A:\n    def m(self):\n        return 1\n\n"
+                "def standalone():\n    pass\n")
+        blocks = parse_code_file(text, "python")
+        names = {b.name for b in blocks}
+        assert "A" in names and "standalone" in names
+
+    def test_typescript_blocks(self):
+        text = ("export function foo(): void {\n  bar()\n}\n"
+                "export class Baz {\n  m() {}\n}\n"
+                "export interface Opts {\n  a: string\n}\n")
+        blocks = parse_code_file(text, "typescript")
+        types = {b.block_type for b in blocks}
+        assert {"function", "class", "interface"} <= types
+
+    def test_line_numbers(self):
+        text = "def f():\n    return 1\n\ndef g():\n    return 2\n"
+        blocks = parse_code_file(text, "python")
+        assert blocks[0].start_line == 1
+        assert blocks[1].start_line == 4
+
+
+class TestChunks:
+    def test_headers_and_windows(self, repo):
+        files = walk_code_files(repo)
+        chunks = create_code_chunks(files)
+        assert all(c.text.startswith("【文件:") for c in chunks)
+        big_chunks = [c for c in chunks if c.doc_name == "src/big.py"]
+        assert len(big_chunks) >= 4  # 450 lines -> 100-line windows
+
+    def test_small_file_whole(self, repo):
+        files = [f for f in walk_code_files(repo) if f["rel"] == "utils/helpers.py"]
+        chunks = create_code_chunks(files)
+        assert len(chunks) == 1
+        assert "行号: 1-" in chunks[0].text
+
+    def test_stats(self, repo):
+        chunks = create_code_chunks(walk_code_files(repo))
+        st = chunk_stats(chunks)
+        assert st["total"] == len(chunks)
+        assert "python" in st["by_language"]
+
+
+class TestModules:
+    def test_graph_edges(self, repo):
+        files = walk_code_files(repo)
+        g = build_module_graph(files)
+        names = {m.name for m in g["modules"]}
+        assert {"src", "utils", "web"} <= names
+        assert ("src", "utils") in set(g["edges"])
+
+    def test_module_search(self, repo):
+        emb = HashEmbedder(64)
+        g = build_module_graph(walk_code_files(repo), embedder=emb)
+        hits = search_modules(g, "utils helpers module", emb, k=2)
+        assert hits and hits[0][0].name in ("utils", "src")
+
+    def test_export(self, repo):
+        g = build_module_graph(walk_code_files(repo))
+        out = export_module_graph(g)
+        ids = {n["id"] for n in out["nodes"]}
+        for e in out["edges"]:
+            assert e["source"] in ids and e["target"] in ids
+
+
+class TestCodeKB:
+    def test_end_to_end_code_search(self, repo):
+        """Code chunks into a KB with the 'code' preset (config parity)."""
+        from tpurag import KnowledgeBase
+        from tpurag.core.config import EngineConfig
+
+        kb = KnowledgeBase("code-kb", config=EngineConfig(preset="code"))
+        kb.add_chunks(create_code_chunks(walk_code_files(repo)))
+        r = kb.search("render view typescript", mode="keyword", top_k=3)
+        assert r.results and r.results[0].doc_name == "web/app.ts"
+        r2 = kb.search("class Engine run", top_k=3)
+        assert any("engine" in x.doc_name for x in r2.results)

@@ -1,0 +1,94 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurag.models.encoder import (
+    EncoderConfig,
+    EncoderEmbedder,
+    encode_tokens,
+    hash_token_ids,
+    init_params,
+    param_specs,
+    shard_params,
+)
+from tpurag.shard.mesh import make_mesh
+
+CFG = EncoderConfig(vocab_size=1024, dim=64, n_layers=2, n_heads=4,
+                    max_len=32, out_dim=128, dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, seed=0)
+
+
+def test_encode_shapes_and_norm(params):
+    ids, mask = hash_token_ids(["hello world", "quick brown fox"], CFG, 16)
+    out = encode_tokens(params, ids, mask, n_heads=CFG.n_heads)
+    assert out.shape == (2, 128)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out), axis=1), 1.0, atol=1e-4)
+
+
+def test_deterministic(params):
+    ids, mask = hash_token_ids(["same text"], CFG, 16)
+    a = encode_tokens(params, ids, mask, n_heads=CFG.n_heads)
+    b = encode_tokens(params, ids, mask, n_heads=CFG.n_heads)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mask_invariance(params):
+    # Padding length must not change the embedding (mask correctness).
+    ids1, m1 = hash_token_ids(["short text"], CFG, 8)
+    ids2, m2 = hash_token_ids(["short text"], CFG, 32)
+    a = encode_tokens(params, ids1, m1, n_heads=CFG.n_heads)
+    b = encode_tokens(params, ids2, m2, n_heads=CFG.n_heads)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_similar_texts_closer(params):
+    emb = EncoderEmbedder(CFG, seq_len=16)
+    v = emb(["the quick brown fox", "the quick brown foxes", "stock market crash"])
+    sim_close = float(v[0] @ v[1])
+    sim_far = float(v[0] @ v[2])
+    assert sim_close > sim_far
+
+
+def test_tensor_parallel_matches_single(params):
+    mesh = make_mesh([("data", 2), ("model", 4)])
+    sharded = shard_params(params, CFG, mesh)
+    ids, mask = hash_token_ids(["alpha beta gamma", "delta"], CFG, 16)
+    ref = encode_tokens(params, ids, mask, n_heads=CFG.n_heads)
+    got = encode_tokens(sharded, ids, mask, n_heads=CFG.n_heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
+def test_param_specs_tree_matches(params):
+    specs = param_specs(CFG)
+    jax.tree.map(lambda a, b: None, params, specs,
+                 is_leaf=lambda x: hasattr(x, "shape"))  # no structure error
+
+
+def test_kb_with_encoder_embedder():
+    from tpurag import KnowledgeBase
+    kb = KnowledgeBase("enc-kb", embedder=EncoderEmbedder(CFG, seq_len=16))
+    kb.add_document("a", "the quick brown fox jumps over the lazy dog")
+    kb.add_document("b", "bake bread with flour and yeast")
+    # A random-init encoder gives uninformative cosine ranking; the hybrid
+    # keyword leg must still disambiguate.
+    r = kb.search("quick brown fox", mode="hybrid", top_k=2)
+    assert r.results and r.results[0].doc_name == "a"
+
+
+def test_ingest_pipeline():
+    from tpurag import KnowledgeBase
+    from tpurag.ingest.pipeline import ingest_documents
+    kb = KnowledgeBase("pipe-kb")
+    docs = [(f"doc{i}", f"Document {i} talks about topic {i}. " * 5)
+            for i in range(10)]
+    marks = []
+    stats = ingest_documents(kb, docs, batch_size=4,
+                             progress=lambda n: marks.append(n))
+    assert stats["docs"] == 10 and stats["chunks"] == len(kb)
+    assert marks and marks[-1] == stats["chunks"]

@@ -1,0 +1,107 @@
+import numpy as np
+import pytest
+
+from tpurag import KnowledgeBase
+from tpurag.agent.react import Agent
+from tpurag.eval.generator import generate_questions
+from tpurag.eval.judges import JudgeScores, run_all_judges
+from tpurag.eval.service import EvalService
+
+
+@pytest.fixture
+def kb():
+    kb = KnowledgeBase("eval-kb")
+    kb.add_document("physics", "Newton's laws describe motion. Force equals "
+                               "mass times acceleration in classical physics.")
+    kb.add_document("cooking", "Bake bread with flour water salt and yeast.")
+    return kb
+
+
+class TestJudges:
+    def test_average_excludes_tool(self):
+        s = JudgeScores(retrieval=3, faithfulness=3, quality=3, tool=0)
+        assert s.average == pytest.approx(3.0)
+
+    def test_auto5_for_datetime_tool(self):
+        s = run_all_judges("what time is it", "12:00", "", ["get_current_datetime"])
+        assert s.retrieval == 5.0 and s.faithfulness == 5.0
+
+    def test_heuristic_scores_grounded_answer(self):
+        ctx = "Newton's laws describe motion and force."
+        s = run_all_judges("newton laws motion", "Newton's laws describe motion",
+                           ctx, ["search_knowledge"])
+        assert s.retrieval > 3 and s.faithfulness > 3
+
+    def test_llm_judges_parsed(self):
+        llm = lambda p: '{"score": 4, "reason": "good"}'
+        s = run_all_judges("q", "a", "ctx", ["search_knowledge"], llm=llm)
+        assert s.retrieval == 4 and s.quality == 4
+
+    def test_llm_garbage_scores_zero(self):
+        s = run_all_judges("q", "a", "ctx", ["search_knowledge"],
+                           llm=lambda p: "garbage")
+        assert s.retrieval == 0.0  # eval-judges.ts:75
+
+    def test_expected_tools_overlap(self):
+        s = run_all_judges("q", "a", "c", ["search_knowledge", "deep_search"],
+                           expected_tools=["deep_search", "graph_search"])
+        assert s.tool == pytest.approx(2.5)
+
+
+class TestGenerator:
+    def test_fixed_plus_tool_plus_kb(self, kb):
+        qs = generate_questions(kb, n=4, seed=1)
+        cats = [q.category for q in qs]
+        assert "summary" in cats and "tool" in cats
+        assert any(q.category == "kb" for q in qs)
+
+    def test_llm_questions(self, kb):
+        llm = lambda p: ('[{"question": "What is F=ma?", "expectedIntent": '
+                         '"factual_query", "expectedTools": ["search_knowledge"],'
+                         ' "keywords": ["force"]}]')
+        qs = generate_questions(kb, n=1, llm=llm)
+        assert any("F=ma" in q.question for q in qs)
+
+    def test_deterministic_given_seed(self, kb):
+        a = generate_questions(kb, n=3, seed=7)
+        b = generate_questions(kb, n=3, seed=7)
+        assert [q.question for q in a] == [q.question for q in b]
+
+
+class TestService:
+    def test_full_run_offline(self, kb):
+        agent = Agent(kb)
+        svc = EvalService(agent)
+        progress = []
+        run = svc.run(n=2, on_progress=lambda r: progress.append(r.progress))
+        assert run.status == "completed"
+        assert run.total == len(run.results) == progress[-1]
+        assert "average" in run.averages
+        assert all(r.scores is not None for r in run.results if not r.error)
+
+    def test_question_failure_recorded(self, kb):
+        agent = Agent(kb)
+        orig = agent.query
+        def boom(q, **kw):
+            raise RuntimeError("llm down")
+        agent.query = boom
+        run = EvalService(agent).run(n=1)
+        assert run.status == "failed"
+        assert all(r.error for r in run.results)
+
+
+class TestBenchConfigs:
+    def test_exact_dense_config(self):
+        from tpurag.eval.bench import config1_exact_dense
+        out = config1_exact_dense()
+        assert out["value"] == 1.0  # exact search recall is 1 by definition
+
+    def test_memory_fusion_config(self):
+        from tpurag.eval.bench import config3_memory_fusion
+        out = config3_memory_fusion()
+        assert out["value"] > 0
+
+    def test_sharded_config_on_cpu_mesh(self):
+        from tpurag.eval.bench import config5_sharded
+        out = config5_sharded()
+        assert out["value"] > 0 and out.get("devices", 0) == 8

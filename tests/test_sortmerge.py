@@ -1,0 +1,47 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurag.kernels.sortmerge import merge_sorted_lists
+
+
+@pytest.mark.parametrize("b,t,p", [(3, 2, 8), (2, 8, 16), (1, 4, 4)])
+def test_merge_matches_sort(rng, b, t, p):
+    keys = np.sort(rng.integers(0, 1000, (b, t, p)).astype(np.int32), axis=2)
+    vals = rng.standard_normal((b, t, p)).astype(np.float32)
+    mk, mv = merge_sorted_lists(jnp.asarray(keys), jnp.asarray(vals))
+    mk, mv = np.asarray(mk), np.asarray(mv)
+    # keys globally sorted
+    assert np.all(mk[:, 1:] >= mk[:, :-1])
+    # multiset of (key) preserved and per-key value sums preserved
+    for bi in range(b):
+        np.testing.assert_array_equal(np.sort(keys[bi].ravel()), mk[bi])
+        ref: dict[int, float] = {}
+        for kk, vv in zip(keys[bi].ravel(), vals[bi].ravel()):
+            ref[int(kk)] = ref.get(int(kk), 0.0) + float(vv)
+        got: dict[int, float] = {}
+        for kk, vv in zip(mk[bi], mv[bi]):
+            got[int(kk)] = got.get(int(kk), 0.0) + float(vv)
+        for kk in ref:
+            assert abs(ref[kk] - got[kk]) < 1e-4
+
+
+def test_merge_with_sentinel_tails(rng):
+    # Ascending prefixes + BIG-parked tails (the BM25 shape).
+    big = 2**30
+    keys = np.full((1, 4, 8), big, np.int32)
+    vals = np.zeros((1, 4, 8), np.float32)
+    for ti in range(4):
+        ln = [5, 0, 8, 2][ti]
+        keys[0, ti, :ln] = np.sort(rng.integers(0, 50, ln))
+        vals[0, ti, :ln] = 1.0
+    mk, mv = merge_sorted_lists(jnp.asarray(keys), jnp.asarray(vals))
+    mk = np.asarray(mk)
+    assert np.all(mk[:, 1:] >= mk[:, :-1])
+    assert (mk[0] < big).sum() == 15
+
+
+def test_non_pow2_raises():
+    with pytest.raises(ValueError):
+        merge_sorted_lists(jnp.zeros((1, 3, 8), jnp.int32),
+                           jnp.zeros((1, 3, 8), jnp.float32))

@@ -1,0 +1,2 @@
+from tpurag.agent.react import Agent  # noqa: F401
+from tpurag.agent.tools import ToolContext, create_all_tools  # noqa: F401

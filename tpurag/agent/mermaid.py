@@ -1,0 +1,64 @@
+"""Mermaid diagram cleanup.
+
+Reference: src/lib/mermaid-cleaner.ts — chart-type detection over 6 types
+(:7-14) and syntax cleanup/validation (:51-). Subset here: type
+detection, fence stripping, orphan-line removal, arrow normalization,
+and a validity check used by the quality evaluator's format pre-check."""
+
+from __future__ import annotations
+
+import re
+
+CHART_TYPES = ("graph", "flowchart", "sequenceDiagram", "classDiagram",
+               "stateDiagram", "pie", "gantt", "erDiagram")
+
+_FENCE = re.compile(r"```(?:mermaid)?\s*|```", re.IGNORECASE)
+_ARROW_FIX = [
+    (re.compile(r"-\s+->"), "-->"),
+    (re.compile(r"=\s+=>"), "==>"),
+    (re.compile(r"<-\s+-"), "<--"),
+]
+
+
+def detect_chart_type(text: str) -> str | None:
+    head = text.strip().split("\n", 1)[0].strip()
+    for t in CHART_TYPES:
+        if head.startswith(t):
+            return t
+    return None
+
+
+def clean_mermaid(text: str) -> str:
+    """Strip fences, normalize arrows, drop trailing prose lines."""
+    body = _FENCE.sub("", text).strip()
+    for pat, rep in _ARROW_FIX:
+        body = pat.sub(rep, body)
+    lines = body.split("\n")
+    if not lines:
+        return body
+    # Keep the header plus lines that look like diagram syntax.
+    kept = [lines[0]]
+    for ln in lines[1:]:
+        s = ln.strip()
+        if not s:
+            continue
+        if re.search(r"(-->|---|==>|:::|:|\[|\]|\(|\)|\{|\}|participant|subgraph|end$)", s):
+            kept.append(ln)
+    return "\n".join(kept)
+
+
+def is_valid_mermaid(text: str) -> bool:
+    body = clean_mermaid(text)
+    if detect_chart_type(body) is None:
+        return False
+    # Balanced brackets as a cheap structural check.
+    for o, c in ("[]", "()", "{}"):
+        if body.count(o) != body.count(c):
+            return False
+    return len(body.split("\n")) >= 2 or detect_chart_type(body) in ("pie", "gantt")
+
+
+def wrap_diagram(text: str) -> str:
+    """Wrap cleaned mermaid in the reference's [MERMAID_DIAGRAM] tags
+    (src/lib/llm/tools/diagram-tool.ts:98-104)."""
+    return f"[MERMAID_DIAGRAM]\n{clean_mermaid(text)}\n[/MERMAID_DIAGRAM]"

@@ -1,0 +1,76 @@
+"""Answer quality evaluation and final validation.
+
+Reference: src/lib/llm/quality-evaluator.ts — an LLM pass/fail judge
+focused on logical-order errors (:63-120), a diagram-format pre-check
+with auto-fix (:33-58), and finalValidation that wraps loose Mermaid
+blocks (:147-171). Judge parse failures default to pass (:119)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from typing import Callable, Optional
+
+from tpurag.agent.mermaid import clean_mermaid, detect_chart_type, is_valid_mermaid
+
+_MERMAID_TAG = re.compile(
+    r"\[MERMAID_DIAGRAM\](.*?)\[/MERMAID_DIAGRAM\]", re.DOTALL)
+_LOOSE_MERMAID = re.compile(
+    r"```mermaid\s*(.*?)```", re.DOTALL | re.IGNORECASE)
+
+
+@dataclasses.dataclass
+class QualityVerdict:
+    passed: bool
+    reason: str = ""
+
+
+def format_precheck(answer: str) -> tuple[bool, str]:
+    """Diagram format pre-check + auto-fix (quality-evaluator.ts:33-58)."""
+    fixed = answer
+    for m in _MERMAID_TAG.finditer(answer):
+        body = m.group(1)
+        if not is_valid_mermaid(body):
+            cleaned = clean_mermaid(body)
+            if detect_chart_type(cleaned):
+                fixed = fixed.replace(m.group(1), "\n" + cleaned + "\n")
+            else:
+                return False, fixed
+    return True, fixed
+
+
+def evaluate_quality(question: str, answer: str,
+                     llm: Optional[Callable[[str], str]] = None
+                     ) -> QualityVerdict:
+    """LLM pass/fail judge; parse failure or no LLM -> pass (the
+    reference defaults to pass on judge errors, :119)."""
+    ok, _ = format_precheck(answer)
+    if not ok:
+        return QualityVerdict(False, "invalid diagram format")
+    if not answer.strip():
+        return QualityVerdict(False, "empty answer")
+    if llm is None:
+        return QualityVerdict(True, "no judge configured")
+    try:
+        raw = llm(
+            "Judge whether this answer correctly and logically addresses "
+            "the question, paying special attention to ordering/sequence "
+            'errors. Respond JSON {"pass": bool, "reason": str}.\n'
+            f"Question: {question}\nAnswer: {answer}")
+        m = re.search(r"\{.*\}", raw, re.DOTALL)
+        data = json.loads(m.group(0) if m else raw)
+        return QualityVerdict(bool(data.get("pass", True)),
+                              str(data.get("reason", "")))
+    except Exception:
+        return QualityVerdict(True, "judge parse failure -> default pass")
+
+
+def final_validation(answer: str) -> str:
+    """Wrap loose ```mermaid``` blocks in [MERMAID_DIAGRAM] tags
+    (quality-evaluator.ts:147-171)."""
+    def wrap(m):
+        return f"[MERMAID_DIAGRAM]\n{clean_mermaid(m.group(1))}\n[/MERMAID_DIAGRAM]"
+    if _MERMAID_TAG.search(answer):
+        return answer
+    return _LOOSE_MERMAID.sub(wrap, answer)

@@ -1,0 +1,175 @@
+"""Agent orchestration (the reference's agenticQuery).
+
+Reference call stack (src/lib/llm/agent.ts:184-689, SURVEY.md §3.1):
+intent -> greeting fast path -> ContextEngine (3000 tokens) -> tool
+wiring -> enriched prompt -> ReAct loop -> output parse -> quality retry
+loop (max 3, 30s timeout, length>100 fallback pass) -> final validation
+-> async memory extraction.
+
+The LLM is pluggable (`llm(prompt) -> str`). Without one the agent runs
+in DETERMINISTIC mode: intent-routed tool execution + extractive answer
+assembly — the full retrieval stack with no generation, so the engine
+stays benchmarkable and testable offline (SURVEY.md §7.3)."""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import time
+from typing import Callable, Optional
+
+from tpurag.agent.quality import evaluate_quality, final_validation
+from tpurag.agent.tools import ToolContext, create_all_tools
+from tpurag.context.engine import ContextEngine
+from tpurag.core.config import EngineConfig
+from tpurag.core.types import QueryTrace
+
+_MAX_QUALITY_RETRIES = 3          # agent.ts:576-642
+_RETRY_TIMEOUT_S = 30.0           # agent.ts:608
+_FALLBACK_PASS_LEN = 100          # agent.ts:639
+_MAX_REACT_STEPS = 8
+
+_ACTION_RE = re.compile(
+    r"Action:\s*(\w+)\s*(?:Action Input:|Input:)?\s*(.*?)(?=\n(?:Thought|Action|Answer|Observation):|\Z)",
+    re.DOTALL)
+_ANSWER_RE = re.compile(r"Answer:\s*(.*)", re.DOTALL)
+
+SYSTEM_PROMPT = """You answer questions over a private knowledge base.
+Use tools via:
+Thought: <reasoning>
+Action: <tool_name>
+Action Input: <input>
+After observations, finish with:
+Answer: <final answer>
+Available tools: {tools}
+"""
+
+
+@dataclasses.dataclass
+class AgentResult:
+    answer: str
+    trace: QueryTrace
+    tool_calls: list
+    sources: list
+
+
+class Agent:
+    def __init__(self, kb, graph=None, memory=None,
+                 llm: Optional[Callable[[str], str]] = None,
+                 fetcher=None, config: Optional[EngineConfig] = None):
+        self.kb = kb
+        self.graph = graph
+        self.memory = memory
+        self.llm = llm
+        self.config = config or EngineConfig()
+        self.fetcher = fetcher
+        self.engine = ContextEngine(kb, memory_service=memory,
+                                    config=self.config, llm=llm)
+
+    # -- public ---------------------------------------------------------------
+
+    def query(self, question: str, history: Optional[list[dict]] = None,
+              now: Optional[float] = None) -> AgentResult:
+        t0 = time.perf_counter()
+        ctx = self.engine.build_context(question, history, now=now)
+        trace = ctx.trace
+
+        tool_ctx = ToolContext(kb=self.kb, graph=self.graph, llm=self.llm,
+                               fetcher=self.fetcher)
+        tools = create_all_tools(tool_ctx)
+
+        if ctx.intent.skip_agent:
+            # Greeting/small-talk direct response (agent.ts:206-249).
+            answer = self._direct_response(question, ctx)
+        elif self.llm is None:
+            answer = self._deterministic(question, ctx, tools, tool_ctx)
+        else:
+            answer = self._react(question, ctx, tools, tool_ctx)
+            answer = self._quality_loop(question, answer, ctx, tools, tool_ctx)
+
+        answer = final_validation(answer)
+        trace.answer = answer
+        trace.tool_calls = tool_ctx.tool_calls
+        trace.record("agent_total", time.perf_counter() - t0)
+
+        if self.memory is not None and not ctx.intent.skip_agent:
+            # Reference runs this async post-answer (agent.ts:678).
+            self.memory.process_conversation_end(question, answer, now=now)
+        return AgentResult(answer=answer, trace=trace,
+                           tool_calls=tool_ctx.tool_calls,
+                           sources=tool_ctx.search_results or ctx.trace.retrieved)
+
+    # -- modes ----------------------------------------------------------------
+
+    def _direct_response(self, question: str, ctx) -> str:
+        if self.llm is not None:
+            return self.llm(
+                f"{ctx.text}\n\nRespond briefly and warmly to: {question}")
+        return "Hello! Ask me anything about this knowledge base."
+
+    def _deterministic(self, question: str, ctx, tools, tool_ctx) -> str:
+        """No-LLM mode: route by intent/decision, run the right tool, and
+        assemble an extractive answer with sources."""
+        from tpurag.context.decision import make_retrieval_decision
+        decision = make_retrieval_decision(question)
+        if re.search(r"\b(time|date|datetime|今天|几点)\b", question.lower()):
+            out = tools["get_current_datetime"]()
+            tool_ctx.record("get_current_datetime", {}, out)
+            return out
+        tool = {"graph": "graph_search", "keyword": "keyword_search",
+                "semantic": "deep_search"}.get(decision.query_type,
+                                               "search_knowledge")
+        out = tools[tool](query=question)
+        tool_ctx.record(tool, {"query": question}, out)
+        if "No results" in out and ctx.text:
+            return ctx.text[:1500]
+        return out
+
+    def _react(self, question: str, ctx, tools, tool_ctx) -> str:
+        """ReAct loop over the pluggable LLM (agent.ts:517)."""
+        prompt = SYSTEM_PROMPT.format(tools=", ".join(tools)) + (
+            f"\n# Context\n{ctx.text}\n\n# Question\n{question}\n")
+        transcript = prompt
+        for _ in range(_MAX_REACT_STEPS):
+            out = self.llm(transcript)
+            ans = _ANSWER_RE.search(out)
+            if ans:
+                return ans.group(1).strip()
+            act = _ACTION_RE.search(out)
+            if not act:
+                return out.strip()  # model answered without the protocol
+            name = act.group(1).strip()
+            arg = act.group(2).strip().strip('"')
+            if name not in tools:
+                obs = f"Unknown tool '{name}'. Available: {', '.join(tools)}"
+            else:
+                key = "topic" if name == "summarize_topic" else (
+                    "description" if name == "generate_diagram" else (
+                        "url" if name == "fetch_webpage" else "query"))
+                try:
+                    obs = tools[name](**({key: arg} if arg else {}))
+                except TypeError:
+                    obs = tools[name]()
+                tool_ctx.record(name, {key: arg}, obs)
+            transcript += f"\n{out}\nObservation: {obs}\n"
+        return "I could not complete the reasoning loop for this question."
+
+    def _quality_loop(self, question, answer, ctx, tools, tool_ctx) -> str:
+        """Retry-on-fail loop, max 3, 30s budget, length>100 fallback pass
+        (agent.ts:576-642: keep the previous answer on repeated failure)."""
+        start = time.monotonic()
+        for attempt in range(_MAX_QUALITY_RETRIES):
+            verdict = evaluate_quality(question, answer, llm=self.llm)
+            if verdict.passed:
+                return answer
+            if time.monotonic() - start > _RETRY_TIMEOUT_S:
+                break
+            if len(answer) > _FALLBACK_PASS_LEN and attempt == _MAX_QUALITY_RETRIES - 1:
+                break  # long answers pass on final failure (agent.ts:639)
+            retry = self._react(
+                f"{question}\n(Your previous answer failed review: "
+                f"{verdict.reason}. Produce a corrected answer.)",
+                ctx, tools, tool_ctx)
+            if retry.strip():
+                answer = retry
+        return answer

@@ -1,0 +1,218 @@
+"""Agent tool registry.
+
+Reference: src/lib/llm/tools/* — 9 tools over a shared ToolContext
+(tools/index.ts:24-59). Depth constants mirror the reference:
+search 5+5 show 3, deep 10+10 show 8, keyword 5, summarize <=8000 chars
+(search-tools.ts:18-71, summarize-tool.ts:19-40).
+
+Network-touching tools (web_search / fetch_webpage) take a pluggable
+`fetcher(url) -> str`; without one they degrade gracefully (the
+reference likewise circuit-breaks SearXNG failures, web-tools.ts:24-31).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import time
+from typing import Callable, Optional
+
+from tpurag.agent.mermaid import is_valid_mermaid, wrap_diagram
+from tpurag.core.config import PRESETS
+
+
+@dataclasses.dataclass
+class Tool:
+    name: str
+    description: str
+    fn: Callable[..., str]
+
+    def __call__(self, **kw) -> str:
+        return self.fn(**kw)
+
+
+@dataclasses.dataclass
+class ToolContext:
+    """Mirrors createToolContext (tools/index.ts:24-34): carries the KB,
+    captured search results for the UI, and the call log."""
+
+    kb: object = None
+    graph: object = None
+    llm: Optional[Callable[[str], str]] = None
+    fetcher: Optional[Callable[[str], str]] = None
+    tool_calls: list = dataclasses.field(default_factory=list)
+    search_results: list = dataclasses.field(default_factory=list)
+    web_failures: int = 0
+
+    def record(self, tool: str, args: dict, output: str) -> None:
+        self.tool_calls.append({"tool": tool, "args": args,
+                                "output": output[:2000], "ts": time.time()})
+
+
+def _fmt(resp, show: int) -> str:
+    if not resp.results:
+        return "No results found in the knowledge base."
+    return resp.format(show)
+
+
+def create_search_tool(ctx: ToolContext) -> Tool:
+    def fn(query: str = "") -> str:
+        import dataclasses as dc
+        preset = dc.replace(PRESETS["document"], vector_top_k=5,
+                            keyword_top_k=5, final_top_k=5)
+        resp = ctx.kb.search(query, preset=preset)
+        if not ctx.search_results:  # first-call capture (search-tools.ts:33)
+            ctx.search_results = resp.results
+        return _fmt(resp, 3)
+    return Tool("search_knowledge",
+                "Hybrid search over the knowledge base (top 3 shown).", fn)
+
+
+def create_deep_search_tool(ctx: ToolContext) -> Tool:
+    def fn(query: str = "") -> str:
+        import dataclasses as dc
+        preset = dc.replace(PRESETS["document"], vector_top_k=10,
+                            keyword_top_k=10, final_top_k=8)
+        resp = ctx.kb.search(query, preset=preset)
+        return _fmt(resp, 8)
+    return Tool("deep_search",
+                "Deeper hybrid search (top 8) for complex questions.", fn)
+
+
+def create_keyword_search_tool(ctx: ToolContext) -> Tool:
+    def fn(query: str = "") -> str:
+        resp = ctx.kb.search(query, mode="keyword", top_k=5)
+        return _fmt(resp, 5)
+    return Tool("keyword_search",
+                "Exact keyword (BM25) search, best for names/codes.", fn)
+
+
+def create_graph_search_tool(ctx: ToolContext) -> Tool:
+    def fn(query: str = "", mode: str = "hybrid") -> str:
+        # Fallback to hybrid search when no graph exists
+        # (reference: graph-search.ts:22-31).
+        if ctx.graph is None or len(ctx.graph) == 0:
+            resp = ctx.kb.search(query, top_k=8)
+            return _fmt(resp, 8)
+        hits = ctx.graph.search_chunks(query, mode=mode, k=8)
+        if not hits:
+            resp = ctx.kb.search(query, top_k=8)
+            return _fmt(resp, 8)
+        lines = []
+        for cid, score in hits:
+            c = ctx.kb.chunks[cid]
+            lines.append(f"[{c.doc_name}#{c.chunk_index}] (score={score:.2f})")
+            lines.append(c.text[:400])
+        return "\n".join(lines)
+    return Tool("graph_search",
+                "Entity-graph search (modes: local/global/hybrid).", fn)
+
+
+def create_summarize_tool(ctx: ToolContext) -> Tool:
+    def fn(topic: str = "") -> str:
+        # Full-document lookup by name/content (summarize-tool.ts:19-40).
+        docs: dict[str, list] = {}
+        for c in ctx.kb.chunks:
+            if c.metadata.get("deleted"):
+                continue
+            if topic.lower() in c.doc_name.lower():
+                docs.setdefault(c.doc_name, []).append(c)
+        if docs:
+            name, chunks = next(iter(docs.items()))
+            text = "\n".join(c.text for c in sorted(chunks, key=lambda c: c.chunk_index))
+            return f"【文档: {name}】\n{text[:8000]}"
+        # Fallback: retrieve top-15 and concatenate (summarize-tool.ts:46-61).
+        resp = ctx.kb.search(topic, top_k=15)
+        return "\n".join(r.text for r in resp.results)[:8000] or \
+            f"No document matching '{topic}'."
+    return Tool("summarize_topic",
+                "Fetch a whole document (by name) for summarization.", fn)
+
+
+def create_datetime_tool(ctx: ToolContext) -> Tool:
+    def fn(now: Optional[float] = None) -> str:
+        # Asia/Shanghai formatting parity (datetime-tool.ts:10-46).
+        tz = datetime.timezone(datetime.timedelta(hours=8))
+        dt = datetime.datetime.fromtimestamp(now or time.time(), tz)
+        week = dt.isocalendar().week
+        return (f"Current datetime (Asia/Shanghai): "
+                f"{dt.strftime('%Y-%m-%d %H:%M:%S')} "
+                f"{dt.strftime('%A')}, week {week} of {dt.year}")
+    return Tool("get_current_datetime", "Current date and time.", fn)
+
+
+def create_diagram_tool(ctx: ToolContext) -> Tool:
+    def fn(description: str = "") -> str:
+        if len(description.strip()) < 20:  # diagram-tool.ts:19-24
+            return ("Description too short (need >=20 chars describing the "
+                    "process/structure to diagram).")
+        if ctx.llm is not None:
+            # Two-step: logic analysis then generation (diagram-tool.ts:29-82).
+            plan = ctx.llm("List the steps/entities and their order for a "
+                           f"diagram of: {description}")
+            raw = ctx.llm("Generate ONLY Mermaid syntax (flowchart TD) for "
+                          f"this plan:\n{plan}")
+            if is_valid_mermaid(raw):
+                return wrap_diagram(raw)
+        # Deterministic fallback: linear flowchart from clause splitting.
+        import re
+        steps = [s.strip() for s in
+                 re.split(r"(?:->|then|,|;|。|，)", description) if s.strip()]
+        steps = steps[:8] or [description[:40]]
+        lines = ["flowchart TD"]
+        for i, s in enumerate(steps):
+            label = re.sub(r"[\[\]{}()\"']", "", s)[:40]
+            lines.append(f"    S{i}[{label}]")
+        for i in range(len(steps) - 1):
+            lines.append(f"    S{i} --> S{i + 1}")
+        return wrap_diagram("\n".join(lines))
+    return Tool("generate_diagram",
+                "Generate a Mermaid diagram from a description (>=20 chars).", fn)
+
+
+def create_web_search_tool(ctx: ToolContext) -> Tool:
+    def fn(query: str = "") -> str:
+        # Circuit breaker after 3 failures (web-tools.ts:24-31).
+        if ctx.web_failures >= 3:
+            return "Web search disabled (repeated failures)."
+        if ctx.fetcher is None:
+            return ("Web search is not configured in this deployment; "
+                    "answer from the knowledge base instead.")
+        try:
+            return ctx.fetcher(f"search://{query}")[:3000]
+        except Exception as e:
+            ctx.web_failures += 1
+            return f"Web search failed: {e}"
+    return Tool("web_search", "Search the web (when configured).", fn)
+
+
+def create_fetch_webpage_tool(ctx: ToolContext) -> Tool:
+    def fn(url: str = "") -> str:
+        if ctx.fetcher is None:
+            return "Webpage fetching is not configured in this deployment."
+        try:
+            import re
+            html = ctx.fetcher(url)
+            text = re.sub(r"<script.*?</script>|<style.*?</style>", "", html,
+                          flags=re.DOTALL | re.IGNORECASE)
+            text = re.sub(r"<[^>]+>", " ", text)
+            return re.sub(r"\s+", " ", text)[:3000]  # web-tools.ts 3000 cap
+        except Exception as e:
+            return f"Fetch failed: {e}"
+    return Tool("fetch_webpage", "Fetch and strip a webpage to text.", fn)
+
+
+def create_all_tools(ctx: ToolContext) -> dict[str, Tool]:
+    """All 9 tools (tools/index.ts:39-59)."""
+    tools = [
+        create_search_tool(ctx),
+        create_deep_search_tool(ctx),
+        create_keyword_search_tool(ctx),
+        create_graph_search_tool(ctx),
+        create_summarize_tool(ctx),
+        create_web_search_tool(ctx),
+        create_fetch_webpage_tool(ctx),
+        create_datetime_tool(ctx),
+        create_diagram_tool(ctx),
+    ]
+    return {t.name: t for t in tools}

@@ -1,0 +1,4 @@
+from tpurag.code.fetcher import walk_code_files, clone_repo  # noqa: F401
+from tpurag.code.structure import analyze_repo_structure  # noqa: F401
+from tpurag.code.chunks import create_code_chunks  # noqa: F401
+from tpurag.code.modules import build_module_graph  # noqa: F401

@@ -1,0 +1,73 @@
+"""Code -> RAG chunks.
+
+Reference: src/lib/github/chunk-strategy.ts — chunks carry
+'【文件/行号/类型/语言】' headers (:132-149); files <= 200 lines index
+whole, larger ones split into 100-line windows (:50-91); stats (:170-194).
+Structured blocks from the parser take precedence over line windows."""
+
+from __future__ import annotations
+
+from tpurag.code.parser import parse_code_file
+from tpurag.core.types import Chunk
+
+WHOLE_FILE_LINES = 200
+WINDOW_LINES = 100
+
+
+def _header(rel: str, start: int, end: int, btype: str, language: str) -> str:
+    return f"【文件: {rel} | 行号: {start}-{end} | 类型: {btype} | 语言: {language}】"
+
+
+def create_code_chunks(files: list[dict], use_parser: bool = True) -> list[Chunk]:
+    """files: walk_code_files output. Returns header-prefixed Chunks."""
+    chunks: list[Chunk] = []
+    for f in files:
+        rel, lang, text = f["rel"], f["language"], f["text"]
+        lines = text.split("\n")
+        blocks = parse_code_file(text, lang) if use_parser else []
+        made = 0
+        if blocks and len(lines) > WHOLE_FILE_LINES:
+            for b in blocks:
+                body = b.text
+                if not body.strip():
+                    continue
+                chunks.append(Chunk(
+                    text=_header(rel, b.start_line, b.end_line,
+                                 b.block_type, lang) + "\n" + body,
+                    doc_id=rel, doc_name=rel, chunk_index=made, source="code",
+                    metadata={"language": lang, "start_line": b.start_line,
+                              "end_line": b.end_line,
+                              "block_type": b.block_type,
+                              "symbol": b.name}))
+                made += 1
+        if made == 0:
+            if len(lines) <= WHOLE_FILE_LINES:
+                windows = [(1, len(lines), text)]
+            else:
+                windows = [
+                    (s + 1, min(s + WINDOW_LINES, len(lines)),
+                     "\n".join(lines[s : s + WINDOW_LINES]))
+                    for s in range(0, len(lines), WINDOW_LINES)
+                ]
+            for s, e, body in windows:
+                if not body.strip():
+                    continue
+                chunks.append(Chunk(
+                    text=_header(rel, s, e, "file", lang) + "\n" + body,
+                    doc_id=rel, doc_name=rel, chunk_index=made, source="code",
+                    metadata={"language": lang, "start_line": s,
+                              "end_line": e, "block_type": "file"}))
+                made += 1
+    return chunks
+
+
+def chunk_stats(chunks: list[Chunk]) -> dict:
+    """Mirrors chunk-strategy.ts:170-194."""
+    by_lang: dict[str, int] = {}
+    by_type: dict[str, int] = {}
+    for c in chunks:
+        by_lang[c.metadata.get("language", "?")] = \
+            by_lang.get(c.metadata.get("language", "?"), 0) + 1
+        by_type[c.metadata.get("block_type", "?")] = \
+            by_type.get(c.metadata.get("block_type", "?"), 0) + 1
+    return {"total": len(chunks), "by_language": by_lang, "by_type": by_type}

@@ -1,0 +1,74 @@
+"""Repository fetching and file walking.
+
+Reference: src/lib/github/repo-fetcher.ts — GitHub zip download with
+`git clone --depth 1` fallback (:185-300) and a file walker with ignore
+lists (:31-50,327-372). This environment is zero-egress, so clone_repo
+shells out to git (works for local/mirrored remotes) and local paths are
+first-class."""
+
+from __future__ import annotations
+
+import pathlib
+import subprocess
+
+IGNORE_DIRS = {
+    ".git", "node_modules", "dist", "build", "out", ".next", "coverage",
+    "__pycache__", ".venv", "venv", "target", ".idea", ".vscode", "vendor",
+    ".pytest_cache", ".mypy_cache", "storage",
+}
+CODE_EXTENSIONS = {
+    ".ts": "typescript", ".tsx": "typescript", ".js": "javascript",
+    ".jsx": "javascript", ".py": "python", ".go": "go", ".rs": "rust",
+    ".java": "java", ".c": "c", ".h": "c", ".cc": "cpp", ".cpp": "cpp",
+    ".hpp": "cpp", ".rb": "ruby", ".php": "php", ".cs": "csharp",
+    ".swift": "swift", ".kt": "kotlin", ".scala": "scala", ".sh": "shell",
+    ".sql": "sql", ".md": "markdown", ".json": "json", ".yaml": "yaml",
+    ".yml": "yaml", ".toml": "toml",
+}
+MAX_FILE_BYTES = 512 * 1024
+
+
+def clone_repo(url_or_path: str, dest: str, depth: int = 1) -> pathlib.Path:
+    """Clone (shallow) or just return an existing local directory."""
+    p = pathlib.Path(url_or_path)
+    if p.exists() and p.is_dir():
+        return p
+    dest_p = pathlib.Path(dest)
+    dest_p.parent.mkdir(parents=True, exist_ok=True)
+    subprocess.run(
+        ["git", "clone", "--depth", str(depth), url_or_path, str(dest_p)],
+        check=True, capture_output=True, timeout=300)
+    return dest_p
+
+
+def walk_code_files(root, include_docs: bool = True,
+                    max_files: int = 5000) -> list[dict]:
+    """Walk code files under root; returns [{path, rel, language, lines}]."""
+    root = pathlib.Path(root)
+    out: list[dict] = []
+    for p in sorted(root.rglob("*")):
+        if len(out) >= max_files:
+            break
+        if not p.is_file():
+            continue
+        if any(part in IGNORE_DIRS for part in p.parts):
+            continue
+        lang = CODE_EXTENSIONS.get(p.suffix.lower())
+        if lang is None:
+            continue
+        if not include_docs and lang in ("markdown", "json", "yaml", "toml"):
+            continue
+        try:
+            if p.stat().st_size > MAX_FILE_BYTES:
+                continue
+            text = p.read_text(encoding="utf-8", errors="ignore")
+        except OSError:
+            continue
+        out.append({
+            "path": str(p),
+            "rel": str(p.relative_to(root)),
+            "language": lang,
+            "lines": text.count("\n") + 1,
+            "text": text,
+        })
+    return out

@@ -1,0 +1,144 @@
+"""Module graph: per-module summaries, dependency edges, embedding search.
+
+Reference: src/lib/github/module-graph-builder.ts — module rows with
+dependency edges from package.json workspace deps + import regexes
+(:211-327), LLM module summaries + summary embeddings (:136-181,386-432),
+and JS cosine module search (:470-529). The cosine search here runs on
+the DenseIndex engine instead of a JS loop."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import re
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from tpurag.index.dense import DenseIndex
+
+_IMPORT_RES = [
+    re.compile(r"""(?:import|from)\s+['"]([^'"]+)['"]"""),
+    re.compile(r"""require\(\s*['"]([^'"]+)['"]\s*\)"""),
+    re.compile(r"^from\s+([\w.]+)\s+import", re.MULTILINE),
+    re.compile(r"^import\s+([\w.]+)", re.MULTILINE),
+]
+
+
+@dataclasses.dataclass
+class Module:
+    name: str
+    path: str
+    files: list[str] = dataclasses.field(default_factory=list)
+    summary: str = ""
+    module_id: int = -1
+
+
+def _module_of(rel: str, workspaces: list[str]) -> str:
+    parts = pathlib.PurePath(rel).parts
+    if len(parts) >= 2 and parts[0] in ("packages", "apps", "libs"):
+        return "/".join(parts[:2])
+    return parts[0] if len(parts) > 1 else "."
+
+
+def build_module_graph(files: list[dict], workspaces: list[str] | None = None,
+                       embedder: Optional[Callable] = None,
+                       llm: Optional[Callable[[str], str]] = None) -> dict:
+    """Returns {"modules": [Module], "edges": [(src, dst)], "index": DenseIndex|None}."""
+    workspaces = workspaces or []
+    modules: dict[str, Module] = {}
+    file_module: dict[str, str] = {}
+    for f in files:
+        m = _module_of(f["rel"], workspaces)
+        mod = modules.setdefault(m, Module(name=m, path=m))
+        mod.files.append(f["rel"])
+        file_module[f["rel"]] = m
+
+    # Dependency edges from import statements (module-graph-builder.ts:211-327).
+    edges: set[tuple[str, str]] = set()
+    for f in files:
+        src_mod = file_module[f["rel"]]
+        for pat in _IMPORT_RES:
+            for imp in pat.findall(f["text"][:50_000]):
+                target = _resolve_import(imp, f["rel"], file_module)
+                if target and target != src_mod:
+                    edges.add((src_mod, target))
+
+    # Summaries: LLM when available, else extractive (first doc lines +
+    # file census).
+    for mod in modules.values():
+        sample = "\n".join(mod.files[:20])
+        if llm is not None:
+            try:
+                mod.summary = llm(
+                    f"Summarize the purpose of module '{mod.name}' from its "
+                    f"file list:\n{sample}")[:500]
+                continue
+            except Exception:
+                pass
+        mod.summary = f"Module {mod.name} with {len(mod.files)} files: {sample[:300]}"
+
+    index = None
+    ordered = sorted(modules.values(), key=lambda m: m.name)
+    for i, m in enumerate(ordered):
+        m.module_id = i
+    if embedder is not None and ordered:
+        vecs = embedder([f"{m.name}: {m.summary}" for m in ordered])
+        index = DenseIndex(vecs.shape[1], dtype=jnp.float32,
+                           capacity=max(len(ordered), 128))
+        index.add(vecs)
+    return {"modules": ordered, "edges": sorted(edges), "index": index}
+
+
+def _resolve_import(imp: str, src_rel: str, file_module: dict[str, str]) -> str | None:
+    if imp.startswith("."):
+        base = pathlib.PurePath(src_rel).parent
+        try:
+            resolved = str((base / imp).as_posix())
+        except ValueError:
+            return None
+        for rel, mod in file_module.items():
+            if rel.startswith(resolved.lstrip("./")):
+                return mod
+        return None
+    head = imp.split("/")[0].split(".")[0]
+    for rel, mod in file_module.items():
+        if rel.split("/")[0] == head or mod.endswith("/" + head) or mod == head:
+            return mod
+    return None
+
+
+def search_modules(graph: dict, query: str, embedder, k: int = 5):
+    """Cosine module search on-device (replaces JS cosineSimilarity,
+    module-graph-builder.ts:514-529)."""
+    index = graph.get("index")
+    if index is None or len(index) == 0:
+        return []
+    import numpy as np
+
+    scores, ids = index.search(embedder([query]), k=min(k, len(index)))
+    out = []
+    for s, i in zip(np.asarray(scores)[0], np.asarray(ids)[0]):
+        if i >= 0:
+            out.append((graph["modules"][int(i)], float(s)))
+    return out
+
+
+def export_module_graph(graph: dict) -> dict:
+    """Viz-shaped export (parity: api/codebases/[id]/module-graph)."""
+    return {
+        "nodes": [{"id": m.name, "files": len(m.files), "summary": m.summary}
+                  for m in graph["modules"]],
+        "edges": [{"source": a, "target": b} for a, b in graph["edges"]],
+    }
+
+
+def save_module_graph(graph: dict, path) -> None:
+    p = pathlib.Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    data = {
+        "modules": [dataclasses.asdict(m) for m in graph["modules"]],
+        "edges": list(map(list, graph["edges"])),
+    }
+    p.write_text(json.dumps(data, ensure_ascii=False))

@@ -1,0 +1,113 @@
+"""Regex-based code structure extraction.
+
+Reference: src/lib/github/code-parser.ts — function/class/interface/type/
+component regex patterns (:108-129), brace-matching block-end finder
+(:214-244), small-block merging (:250-337). Extended with Python/Go/Rust
+patterns (the reference only handled TS/JS)."""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+
+_PATTERNS: dict[str, list[tuple[str, re.Pattern]]] = {
+    "typescript": [
+        ("function", re.compile(r"^(?:export\s+)?(?:async\s+)?function\s+(\w+)")),
+        ("function", re.compile(r"^(?:export\s+)?const\s+(\w+)\s*=\s*(?:async\s*)?\(")),
+        ("class", re.compile(r"^(?:export\s+)?(?:abstract\s+)?class\s+(\w+)")),
+        ("interface", re.compile(r"^(?:export\s+)?interface\s+(\w+)")),
+        ("type", re.compile(r"^(?:export\s+)?type\s+(\w+)\s*=")),
+    ],
+    "python": [
+        ("function", re.compile(r"^(?:async\s+)?def\s+(\w+)")),
+        ("class", re.compile(r"^class\s+(\w+)")),
+    ],
+    "go": [
+        ("function", re.compile(r"^func\s+(?:\([^)]*\)\s*)?(\w+)")),
+        ("type", re.compile(r"^type\s+(\w+)\s+(?:struct|interface)")),
+    ],
+    "rust": [
+        ("function", re.compile(r"^\s*(?:pub\s+)?(?:async\s+)?fn\s+(\w+)")),
+        ("struct", re.compile(r"^\s*(?:pub\s+)?struct\s+(\w+)")),
+        ("trait", re.compile(r"^\s*(?:pub\s+)?trait\s+(\w+)")),
+        ("impl", re.compile(r"^\s*impl(?:<[^>]*>)?\s+(\w+)")),
+    ],
+    "cpp": [
+        ("class", re.compile(r"^\s*(?:class|struct)\s+(\w+)")),
+        ("function", re.compile(r"^[\w:<>*&\s]+?\b(\w+)\s*\([^;]*\)\s*\{")),
+    ],
+}
+_PATTERNS["javascript"] = _PATTERNS["typescript"]
+_PATTERNS["c"] = _PATTERNS["cpp"]
+
+
+@dataclasses.dataclass
+class CodeBlock:
+    name: str
+    block_type: str
+    start_line: int      # 1-based inclusive
+    end_line: int
+    text: str
+
+
+def _find_block_end_braces(lines: list[str], start: int) -> int:
+    """Brace matching from `start` (code-parser.ts:214-244)."""
+    depth = 0
+    seen_open = False
+    for i in range(start, len(lines)):
+        for ch in lines[i]:
+            if ch == "{":
+                depth += 1
+                seen_open = True
+            elif ch == "}":
+                depth -= 1
+                if seen_open and depth == 0:
+                    return i
+        if not seen_open and i > start + 2:
+            return start  # declaration-only line
+    return len(lines) - 1
+
+
+def _find_block_end_indent(lines: list[str], start: int) -> int:
+    """Python: block ends at the next line with <= def's indentation."""
+    indent = len(lines[start]) - len(lines[start].lstrip())
+    end = start
+    for i in range(start + 1, len(lines)):
+        s = lines[i]
+        if not s.strip():
+            continue
+        if len(s) - len(s.lstrip()) <= indent:
+            return end
+        end = i
+    return end
+
+
+def parse_code_file(text: str, language: str,
+                    min_block_lines: int = 3) -> list[CodeBlock]:
+    patterns = _PATTERNS.get(language)
+    if not patterns:
+        return []
+    lines = text.split("\n")
+    blocks: list[CodeBlock] = []
+    taken = [False] * len(lines)
+    for i, line in enumerate(lines):
+        if taken[i]:
+            continue
+        for btype, pat in patterns:
+            m = pat.match(line)
+            if not m:
+                continue
+            end = (_find_block_end_indent(lines, i) if language == "python"
+                   else _find_block_end_braces(lines, i))
+            end = max(end, i)
+            blocks.append(CodeBlock(
+                name=m.group(1), block_type=btype, start_line=i + 1,
+                end_line=end + 1, text="\n".join(lines[i : end + 1])))
+            for j in range(i, end + 1):
+                taken[j] = True
+            break
+    # The reference merges tiny adjacent blocks (code-parser.ts:250-337) to
+    # avoid micro-chunks; here distinct symbols stay separate — the chunk
+    # strategy's line windows already absorb leftovers, and symbol-level
+    # blocks make keyword search results addressable by name.
+    return blocks

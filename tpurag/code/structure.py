@@ -1,0 +1,83 @@
+"""LLM-free repository structure analysis.
+
+Reference: src/lib/github/repo-structure.ts:116-707 — monorepo/single/
+library detection, workspace expansion, language census, entry-point and
+core-file discovery, 3-deep directory skeleton."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+_ENTRY_CANDIDATES = (
+    "main.py", "__main__.py", "app.py", "index.ts", "index.js", "main.ts",
+    "main.go", "main.rs", "src/main.rs", "src/index.ts", "src/main.py",
+    "cmd/main.go", "lib.rs", "src/lib.rs", "setup.py", "pyproject.toml",
+)
+_CORE_HINTS = ("core", "engine", "lib", "src", "kernel", "runtime", "api")
+
+
+def analyze_repo_structure(root, files: list[dict] | None = None) -> dict:
+    from tpurag.code.fetcher import walk_code_files
+
+    root = pathlib.Path(root)
+    files = files if files is not None else walk_code_files(root)
+
+    # Language census by line count.
+    langs: dict[str, int] = {}
+    for f in files:
+        if f["language"] not in ("markdown", "json", "yaml", "toml"):
+            langs[f["language"]] = langs.get(f["language"], 0) + f["lines"]
+
+    # Repo type: workspaces/packages dir => monorepo; exported-lib markers
+    # => library; else application.
+    repo_type = "application"
+    workspaces: list[str] = []
+    pkg = root / "package.json"
+    if pkg.exists():
+        try:
+            data = json.loads(pkg.read_text())
+            ws = data.get("workspaces")
+            if ws:
+                repo_type = "monorepo"
+                workspaces = list(ws if isinstance(ws, list) else ws.get("packages", []))
+        except json.JSONDecodeError:
+            pass
+    if repo_type != "monorepo":
+        if (root / "packages").is_dir() or (root / "apps").is_dir():
+            repo_type = "monorepo"
+        elif any((root / m).exists() for m in ("setup.py", "pyproject.toml")) \
+                and not any(f["rel"].endswith(("main.py", "__main__.py", "app.py"))
+                            for f in files):
+            repo_type = "library"
+
+    entry_points = [f["rel"] for f in files
+                    if any(f["rel"].endswith(c) or f["rel"] == c
+                           for c in _ENTRY_CANDIDATES)]
+    core_files = sorted(
+        (f["rel"] for f in files
+         if any(h in f["rel"].lower().split("/")[0:2] for h in _CORE_HINTS)
+         and f["language"] not in ("markdown", "json", "yaml", "toml")),
+    )[:50]
+
+    # Directory skeleton, 3 levels deep (repo-structure.ts skeleton).
+    skeleton: dict = {}
+    for f in files:
+        parts = pathlib.PurePath(f["rel"]).parts[:3]
+        node = skeleton
+        for part in parts[:-1]:
+            node = node.setdefault(part + "/", {})
+        node.setdefault("_files", 0)
+        node["_files"] += 1
+
+    return {
+        "repo_type": repo_type,
+        "workspaces": workspaces,
+        "languages": dict(sorted(langs.items(), key=lambda kv: -kv[1])),
+        "primary_language": max(langs, key=langs.get) if langs else "",
+        "entry_points": entry_points[:20],
+        "core_files": core_files,
+        "n_files": len(files),
+        "total_lines": sum(f["lines"] for f in files),
+        "skeleton": skeleton,
+    }

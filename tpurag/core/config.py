@@ -71,6 +71,16 @@ class BM25Config:
                               # XLA scatter-add; identical results)
     max_df_ratio: float = 1.0  # skip query terms matching more than this
                                # fraction of docs (stopword elision; 1.0 = off)
+    head_m: int = 0     # impact-ordered head size: terms with df > head_m
+                        # score only their top-head_m-impact postings
+                        # (WAND-style pruning; bounds candidate width at
+                        # T*head_m lanes but is APPROXIMATE — fails on
+                        # flat-impact corpora). 0 (default) = exact.
+    exact_scoring: bool = False  # force full postings even if head_m set
+    width_classes: bool = True   # group queries by their own postings-width
+                                 # bucket and run each class at its natural
+                                 # width (exact; avoids padding every query
+                                 # to the batch-max df)
 
 
 @dataclasses.dataclass(frozen=True)

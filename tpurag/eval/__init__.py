@@ -1,0 +1,2 @@
+from tpurag.eval.judges import run_all_judges  # noqa: F401
+from tpurag.eval.service import EvalService  # noqa: F401

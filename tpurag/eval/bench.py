@@ -1,0 +1,255 @@
+"""Performance benchmark suite driven by BASELINE.json's five configs.
+
+Each config returns {"metric", "value", "unit", ...} dicts; `bench.py`
+at the repo root runs config 2 (the headline). Sizes auto-scale down on
+CPU so the suite smoke-runs in CI; TPU runs use the full shapes.
+
+Timing method: ITERS iterations chained inside one jit via lax.fori_loop
+with per-iteration input rotation — measures device throughput without
+the per-dispatch relay round-trip (see bench.py for why)."""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _chain_time(step_fn, iters: int = 10, reps: int = 4) -> float:
+    """Per-iteration seconds of `step_fn(i) -> scalar` chained in one jit."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(x0):
+        def body(i, acc):
+            return acc + step_fn(i)
+        return jax.lax.fori_loop(0, iters, body, x0)
+
+    float(loop(jnp.float32(0.0)))  # compile + host read (forces completion)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(loop(jnp.float32(0.0)))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / iters
+
+
+def _random_corpus(rng, n, d):
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    return emb
+
+
+def config1_exact_dense(seed: int = 0) -> dict:
+    """Single KB ~1k chunks, fp32 cosine top-3, exactness vs numpy."""
+    import jax.numpy as jnp
+
+    from tpurag.kernels.dense import dense_topk_xla
+
+    rng = np.random.default_rng(seed)
+    n, d, b, k = 1024, 1024, 64, 3
+    emb = _random_corpus(rng, n, d)
+    q = _random_corpus(rng, b, d)
+    vals, ids = dense_topk_xla(jnp.asarray(q), jnp.asarray(emb),
+                               jnp.int32(n), k)
+    ref_ids = np.argsort(-(q @ emb.T), axis=1, kind="stable")[:, :k]
+    recall = float(np.mean([
+        len(set(np.asarray(ids)[i]) & set(ref_ids[i])) / k for i in range(b)]))
+    emb_dev = jnp.asarray(emb)
+    q_dev = jnp.asarray(q)
+
+    def step(i):
+        v, _ = dense_topk_xla(q_dev * (1 + i.astype(jnp.float32) * 1e-7),
+                              emb_dev, jnp.int32(n), k)
+        return v.sum()
+
+    sec = _chain_time(step)
+    return {"metric": "exact_dense_recall", "value": recall, "unit": "recall@3",
+            "qps": b / sec, "p50_ms": sec * 1e3}
+
+
+def config2_hybrid(seed: int = 0, n: Optional[int] = None) -> dict:
+    """Hybrid top-8 dense+BM25+RRF. The headline config (see /bench.py)."""
+    import jax.numpy as jnp
+
+    from tpurag.kernels.bm25_pallas import bm25_topk_fused
+    from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
+    from tpurag.kernels.fusion import rrf_fuse
+
+    on_tpu = _on_tpu()
+    rng = np.random.default_rng(seed)
+    n = n or (100_000 if on_tpu else 8_192)
+    d = 1024 if on_tpu else 256
+    b = 512 if on_tpu else 32
+    vocab = 50_000 if on_tpu else 2_000
+    p_max, tq, k = (2048 if on_tpu else 128), 8, 8
+
+    emb_dev = jnp.asarray(_random_corpus(rng, n, d),
+                          jnp.bfloat16 if on_tpu else jnp.float32)
+    q_dev = jnp.asarray(_random_corpus(rng, b, d))
+    df = np.clip((p_max * (1 + np.arange(vocab)) ** -0.5), 16, p_max).astype(np.int64)
+    sh = np.zeros(vocab + 1, np.int64)
+    np.cumsum(df, out=sh[1:])
+    nnz = int(sh[-1])
+    pd = jnp.asarray(np.sort(rng.integers(0, n, (nnz + p_max,)).astype(np.int32)))
+    pi = jnp.asarray(rng.uniform(0.3, 2.2, (nnz + p_max,)).astype(np.float32))
+    tid = rng.integers(0, vocab, (b, tq))
+    qs = jnp.asarray(sh[tid].astype(np.int32))
+    ql = jnp.asarray(df[tid].astype(np.int32))
+    qi = jnp.asarray(rng.uniform(0.5, 3.0, (b, tq)).astype(np.float32))
+    nv = jnp.int32(n)
+
+    def step(i):
+        qq = q_dev * (1.0 + i.astype(jnp.float32) * 1e-7)
+        if on_tpu:
+            v_s, v_i = dense_topk_pallas(qq, emb_dev, nv, k)
+        else:
+            v_s, v_i = dense_topk_xla(qq, emb_dev, nv, k)
+        k_s, k_i = bm25_topk_fused(
+            jnp.roll(qs, i, axis=0), jnp.roll(ql, i, axis=0),
+            jnp.roll(qi, i, axis=0), pd, pi, nv, k=k, p_max=p_max)
+        s, ids, bits = rrf_fuse((v_i, k_i), weights=(1.0, 1.0), final_k=k)
+        return s.sum()
+
+    sec = _chain_time(step, iters=10 if on_tpu else 3)
+    return {"metric": "hybrid_qps_per_chip", "value": b / sec, "unit": "QPS",
+            "p50_ms": sec * 1e3, "n": n, "batch": b}
+
+
+def config3_memory_fusion(seed: int = 0) -> dict:
+    """Unified memory+RAG: 3-source RRF with freshness-decay weighting."""
+    import jax.numpy as jnp
+
+    from tpurag.kernels.fusion import rrf_fuse
+    from tpurag.memory.freshness import combined_memory_scores, freshness_scores
+
+    rng = np.random.default_rng(seed)
+    b, k = 256, 8
+    now = 1.7e9
+    mem_ids = jnp.asarray(rng.integers(0, 1000, (b, 8)).astype(np.int32))
+    rag_ids = jnp.asarray(rng.integers(0, 1000, (b, 8)).astype(np.int32))
+    hist_ids = jnp.asarray(rng.integers(0, 1000, (b, 4)).astype(np.int32))
+    conf = rng.uniform(0.5, 1.0, 64).astype(np.float32)
+    last = now - rng.uniform(0, 100, 64) * 3600
+    cnt = rng.integers(0, 20, 64)
+    fresh = freshness_scores(conf, last, cnt, now)
+    _ = combined_memory_scores(np.full(64, 0.8, np.float32), fresh)
+
+    def step(i):
+        s, ids, bits = rrf_fuse(
+            (jnp.roll(mem_ids, i, axis=0), jnp.roll(rag_ids, i, axis=0),
+             jnp.roll(hist_ids, i, axis=0)),
+            weights=(1.2, 1.0, 0.6), final_k=k)  # merger.ts:18-23 weights
+        return s.sum()
+
+    sec = _chain_time(step)
+    return {"metric": "memory_fusion_qps", "value": b / sec, "unit": "QPS",
+            "p50_ms": sec * 1e3}
+
+
+def config4_graph(seed: int = 0) -> dict:
+    """Entity kNN + 1-hop expansion at scale (1M entities on TPU)."""
+    import jax.numpy as jnp
+
+    from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
+    from tpurag.kernels.graphops import expand_neighbors
+
+    on_tpu = _on_tpu()
+    rng = np.random.default_rng(seed)
+    n_ent = 1_000_000 if on_tpu else 10_000
+    d = 1024 if on_tpu else 128
+    b, k, max_nbr = 256 if on_tpu else 16, 16, 32
+    emb = jnp.asarray(_random_corpus(rng, n_ent, d),
+                      jnp.bfloat16 if on_tpu else jnp.float32)
+    q = jnp.asarray(_random_corpus(rng, b, d))
+    deg = rng.integers(1, max_nbr, n_ent)
+    off = np.zeros(n_ent + 1, np.int64)
+    np.cumsum(deg, out=off[1:])
+    flat = jnp.asarray(rng.integers(0, n_ent, int(off[-1])).astype(np.int32))
+    offs = jnp.asarray(off.astype(np.int32))
+    nv = jnp.int32(n_ent)
+
+    def step(i):
+        qq = q * (1.0 + i.astype(jnp.float32) * 1e-7)
+        if on_tpu:
+            _, ids = dense_topk_pallas(qq, emb, nv, k)
+        else:
+            _, ids = dense_topk_xla(qq, emb, nv, k)
+        nbrs = expand_neighbors(ids, offs, flat, max_nbr)
+        return jnp.sum(nbrs >= 0).astype(jnp.float32)
+
+    sec = _chain_time(step, iters=5)
+    return {"metric": "graph_search_qps", "value": b / sec, "unit": "QPS",
+            "n_entities": n_ent, "p50_ms": sec * 1e3}
+
+
+def config5_sharded(seed: int = 0) -> dict:
+    """Corpus sharded over the mesh: per-shard top-k + all-gather merge.
+    10M chunks on v5e-8; virtual 8-dev CPU mesh otherwise (tiny shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpurag.shard.mesh import make_mesh
+    from tpurag.shard.search import shard_corpus, sharded_dense_topk
+
+    on_tpu = _on_tpu()
+    rng = np.random.default_rng(seed)
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        try:
+            devices = jax.devices("cpu")
+        except RuntimeError:
+            devices = jax.devices()
+        n_dev = len(devices)
+    else:
+        devices = jax.devices()
+    if n_dev < 2:
+        return {"metric": "sharded_qps", "value": 0.0, "unit": "QPS",
+                "skipped": "needs >= 2 devices"}
+    n = 10_000_000 if (on_tpu and n_dev >= 8) else 8192 * n_dev
+    d = 1024 if on_tpu else 128
+    b, k = 256, 10
+    mesh = make_mesh([("data", n_dev)], devices=devices)
+    emb = _random_corpus(rng, n, d)
+    emb_sharded = shard_corpus(
+        jnp.asarray(emb, jnp.bfloat16 if on_tpu else jnp.float32), mesh)
+    q = jnp.asarray(_random_corpus(rng, b, d))
+
+    def run_once():
+        s, ids = sharded_dense_topk(q, emb_sharded, jnp.int32(n), k,
+                                    mesh=mesh)
+        return float(np.asarray(s).sum())
+
+    run_once()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_once()
+        ts.append(time.perf_counter() - t0)
+    sec = min(ts)
+    return {"metric": "sharded_qps", "value": b / sec, "unit": "QPS",
+            "n": n, "devices": n_dev, "p50_ms": sec * 1e3}
+
+
+CONFIGS = {
+    "exact_dense": config1_exact_dense,
+    "hybrid": config2_hybrid,
+    "memory_fusion": config3_memory_fusion,
+    "graph": config4_graph,
+    "sharded": config5_sharded,
+}
+
+
+def run_all(names: Optional[list[str]] = None) -> list[dict]:
+    out = []
+    for name in (names or list(CONFIGS)):
+        out.append({"config": name, **CONFIGS[name]()})
+    return out

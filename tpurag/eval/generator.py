@@ -1,0 +1,91 @@
+"""Eval question generation.
+
+Reference: src/lib/eval-generator.ts — one fixed summary question plus
+one random tool question (datetime/weather, :19-45,219-223) plus
+LLM-generated KB-specific questions carrying expectedIntent /
+expectedTools / keywords (:120-199). LLM optional: the fallback derives
+questions from document names and frequent terms."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from typing import Callable, Optional
+
+LLMFn = Callable[[str], str]
+
+
+@dataclasses.dataclass
+class EvalQuestion:
+    question: str
+    expected_intent: str = "factual_query"
+    expected_tools: list[str] = dataclasses.field(default_factory=list)
+    keywords: list[str] = dataclasses.field(default_factory=list)
+    category: str = "kb"
+
+
+FIXED_QUESTIONS = [
+    EvalQuestion(
+        question="Summarize the main topics covered in this knowledge base.",
+        expected_intent="task_request",
+        expected_tools=["summarize_topic", "deep_search"],
+        category="summary",
+    ),
+]
+
+TOOL_QUESTIONS = [
+    EvalQuestion(
+        question="What is the current date and time?",
+        expected_intent="factual_query",
+        expected_tools=["get_current_datetime"],
+        category="tool",
+    ),
+    EvalQuestion(
+        question="What is the weather like today?",
+        expected_intent="factual_query",
+        expected_tools=["web_search"],
+        category="tool",
+    ),
+]
+
+
+def generate_questions(kb, n: int = 5, llm: Optional[LLMFn] = None,
+                       seed: int = 0) -> list[EvalQuestion]:
+    import random
+
+    rng = random.Random(seed)
+    out = list(FIXED_QUESTIONS)
+    out.append(rng.choice(TOOL_QUESTIONS))  # eval-generator.ts:219-223
+
+    doc_names = sorted({c.doc_name for c in kb.chunks
+                        if c.doc_name and not c.metadata.get("deleted")})
+    if llm is not None and doc_names:
+        sample = "\n".join(
+            c.text[:200] for c in kb.chunks[: min(10, len(kb.chunks))])
+        raw = llm(
+            "Generate evaluation questions for a knowledge base. Return a "
+            'JSON array of {"question": str, "expectedIntent": str, '
+            '"expectedTools": [str], "keywords": [str]}. '
+            f"Generate {n} questions.\nSample content:\n{sample}")
+        try:
+            m = re.search(r"\[.*\]", raw, re.DOTALL)
+            for item in json.loads(m.group(0) if m else raw)[:n]:
+                out.append(EvalQuestion(
+                    question=str(item.get("question", "")),
+                    expected_intent=str(item.get("expectedIntent",
+                                                 "factual_query")),
+                    expected_tools=[str(t) for t in item.get("expectedTools", [])],
+                    keywords=[str(k) for k in item.get("keywords", [])],
+                ))
+        except (json.JSONDecodeError, AttributeError, TypeError):
+            pass
+    # Deterministic fallback/additional: per-document questions.
+    for name in doc_names[: max(n - (len(out) - 2), 0)]:
+        out.append(EvalQuestion(
+            question=f"What does the document '{name}' say? Summarize it.",
+            expected_intent="task_request",
+            expected_tools=["summarize_topic", "search_knowledge"],
+            keywords=[name],
+        ))
+    return out

@@ -1,0 +1,122 @@
+"""Four-dimension LLM-judge scoring.
+
+Reference: src/lib/eval-judges.ts — four judges scored 0-5 run in
+parallel (runAllJudges :362-386): retrieval relevance (:82), faithfulness
+(:169), answer quality (:256), tool choice (:301). Special cases mirror
+the reference: web/datetime tool runs auto-score 5 on retrieval and
+faithfulness (:141-150,233-242); judge parse failure scores 0 (:75);
+the reported average is (retrieval+faithfulness+quality)/3 — the tool
+judge is excluded (:375).
+
+LLM optional: the heuristic fallback scores lexical overlap so the eval
+pipeline runs (and is testable) offline."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Optional
+
+from tpurag.context.dedup import keyword_coverage
+
+LLMFn = Callable[[str], str]
+_AUTO5_TOOLS = {"web_search", "fetch_webpage", "get_current_datetime"}
+
+
+@dataclasses.dataclass
+class JudgeScores:
+    retrieval: float = 0.0
+    faithfulness: float = 0.0
+    quality: float = 0.0
+    tool: float = 0.0
+    reasons: dict = dataclasses.field(default_factory=dict)
+
+    @property
+    def average(self) -> float:
+        """(R + F + Q) / 3 — tool excluded (eval-judges.ts:375)."""
+        return (self.retrieval + self.faithfulness + self.quality) / 3.0
+
+
+def _llm_score(llm: LLMFn, prompt: str) -> tuple[float, str]:
+    try:
+        raw = llm(prompt)
+        m = re.search(r"\{.*\}", raw, re.DOTALL)
+        data = json.loads(m.group(0) if m else raw)
+        return (max(0.0, min(float(data.get("score", 0)), 5.0)),
+                str(data.get("reason", "")))
+    except Exception:
+        return 0.0, "judge parse failure"  # eval-judges.ts:75
+
+
+def _heuristic(question: str, answer: str, context: str) -> tuple[float, float, float]:
+    rel = 5.0 * keyword_coverage(question, context) if context else 0.0
+    faith = 5.0 * keyword_coverage(answer, context) if context else 2.5
+    qual = 5.0 if len(answer) > 80 else (3.0 if len(answer) > 20 else 1.0)
+    return min(rel, 5.0), min(faith, 5.0), qual
+
+
+def judge_retrieval(question, answer, context, tools_used, llm=None):
+    if _AUTO5_TOOLS & set(tools_used):  # eval-judges.ts:141-150
+        return 5.0, "auto-5: external tool run"
+    if llm is None:
+        return _heuristic(question, answer, context)[0], "heuristic"
+    return _llm_score(llm, (
+        'Score 0-5 how relevant the retrieved context is to the question. '
+        'JSON {"score": n, "reason": str}.\n'
+        f"Question: {question}\nContext: {context[:3000]}"))
+
+
+def judge_faithfulness(question, answer, context, tools_used, llm=None):
+    if _AUTO5_TOOLS & set(tools_used):  # eval-judges.ts:233-242
+        return 5.0, "auto-5: external tool run"
+    if llm is None:
+        return _heuristic(question, answer, context)[1], "heuristic"
+    return _llm_score(llm, (
+        'Score 0-5 whether the answer is grounded in the context with no '
+        'hallucination. JSON {"score": n, "reason": str}.\n'
+        f"Context: {context[:3000]}\nAnswer: {answer[:2000]}"))
+
+
+def judge_quality(question, answer, context, tools_used, llm=None):
+    if llm is None:
+        return _heuristic(question, answer, context)[2], "heuristic"
+    return _llm_score(llm, (
+        'Score 0-5 the answer quality (clarity, completeness, structure). '
+        'JSON {"score": n, "reason": str}.\n'
+        f"Question: {question}\nAnswer: {answer[:2000]}"))
+
+
+def judge_tool(question, tools_used, expected_tools=None, llm=None):
+    """Tool-choice judge: compares actual vs expected tool calls
+    (eval-judges.ts:301-357)."""
+    if expected_tools:
+        hits = len(set(tools_used) & set(expected_tools))
+        return 5.0 * hits / len(set(expected_tools)), "expected-tool overlap"
+    if llm is None:
+        return (5.0 if tools_used else 2.5), "heuristic"
+    return _llm_score(llm, (
+        'Score 0-5 whether the tools used fit the question. '
+        'JSON {"score": n, "reason": str}.\n'
+        f"Question: {question}\nTools used: {list(tools_used)}"))
+
+
+def run_all_judges(question: str, answer: str, context: str,
+                   tools_used: list[str],
+                   expected_tools: Optional[list[str]] = None,
+                   llm: Optional[LLMFn] = None) -> JudgeScores:
+    """All four judges in parallel (Promise.all, eval-judges.ts:366-371)."""
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        fr = ex.submit(judge_retrieval, question, answer, context, tools_used, llm)
+        ff = ex.submit(judge_faithfulness, question, answer, context, tools_used, llm)
+        fq = ex.submit(judge_quality, question, answer, context, tools_used, llm)
+        ft = ex.submit(judge_tool, question, tools_used, expected_tools, llm)
+        r, rr = fr.result()
+        f, fr_ = ff.result()
+        q, qr = fq.result()
+        t, tr = ft.result()
+    return JudgeScores(
+        retrieval=r, faithfulness=f, quality=q, tool=t,
+        reasons={"retrieval": rr, "faithfulness": fr_, "quality": qr,
+                 "tool": tr})

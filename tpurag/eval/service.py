@@ -1,0 +1,81 @@
+"""Eval run lifecycle.
+
+Reference: src/lib/eval-service.ts — run states pending/running/
+completed/failed; per-question agenticQuery -> judges -> persist ->
+progress callback (:122-231, SSE variant :327-441); averages across
+results (:268-298)."""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+import traceback
+from typing import Callable, Optional
+
+from tpurag.eval.generator import EvalQuestion, generate_questions
+from tpurag.eval.judges import JudgeScores, run_all_judges
+
+
+@dataclasses.dataclass
+class EvalResult:
+    question: EvalQuestion
+    answer: str = ""
+    scores: Optional[JudgeScores] = None
+    tools_used: list[str] = dataclasses.field(default_factory=list)
+    seconds: float = 0.0
+    error: str = ""
+
+
+@dataclasses.dataclass
+class EvalRun:
+    status: str = "pending"   # pending | running | completed | failed
+    results: list[EvalResult] = dataclasses.field(default_factory=list)
+    progress: int = 0
+    total: int = 0
+    averages: dict = dataclasses.field(default_factory=dict)
+    error: str = ""
+
+
+class EvalService:
+    def __init__(self, agent, llm=None):
+        self.agent = agent
+        self.llm = llm
+
+    def run(self, questions: Optional[list[EvalQuestion]] = None,
+            n: int = 5,
+            on_progress: Optional[Callable[[EvalRun], None]] = None
+            ) -> EvalRun:
+        """Sequential per-question evaluation (eval-service.ts:148-205)."""
+        qs = questions or generate_questions(self.agent.kb, n=n, llm=self.llm)
+        run = EvalRun(status="running", total=len(qs))
+        for q in qs:
+            t0 = time.perf_counter()
+            res = EvalResult(question=q)
+            try:
+                ar = self.agent.query(q.question)
+                res.answer = ar.answer
+                res.tools_used = [t["tool"] for t in ar.tool_calls]
+                context = "\n".join(
+                    r.text for r in (ar.sources or []))[:6000]
+                res.scores = run_all_judges(
+                    q.question, res.answer, context, res.tools_used,
+                    expected_tools=q.expected_tools or None, llm=self.llm)
+            except Exception:  # failed question -> recorded, run continues
+                res.error = traceback.format_exc(limit=3)
+            res.seconds = time.perf_counter() - t0
+            run.results.append(res)
+            run.progress += 1
+            if on_progress:
+                on_progress(run)
+        scored = [r.scores for r in run.results if r.scores]
+        if scored:
+            run.averages = {
+                "retrieval": sum(s.retrieval for s in scored) / len(scored),
+                "faithfulness": sum(s.faithfulness for s in scored) / len(scored),
+                "quality": sum(s.quality for s in scored) / len(scored),
+                "tool": sum(s.tool for s in scored) / len(scored),
+                "average": sum(s.average for s in scored) / len(scored),
+            }
+        run.status = "completed" if not all(r.error for r in run.results) \
+            else "failed"
+        return run

@@ -84,9 +84,14 @@ class InvertedIndex:
 
     def _build_device(self) -> None:
         nnz = sum(len(p) for p in self._postings_doc)
+        max_len = max((len(p) for p in self._postings_doc), default=1)
+        # Tail padding >= the largest possible p_max bucket so the kernel's
+        # contiguous dynamic slices never clamp (clamping would misalign
+        # the per-term validity mask). Width classes floor buckets at 16.
+        pad = max(_next_pow2(max_len), 16)
         starts = np.zeros(len(self._postings_doc) + 1, np.int32)
-        post_doc = np.zeros(max(nnz, 1), np.int32)
-        post_tf = np.zeros(max(nnz, 1), np.float32)
+        post_doc = np.full(nnz + pad, 2**30, np.int32)
+        post_tf = np.zeros(nnz + pad, np.float32)
         o = 0
         for tid, (docs, tfs) in enumerate(zip(self._postings_doc, self._postings_tf)):
             starts[tid] = o
@@ -98,14 +103,56 @@ class InvertedIndex:
         dl = np.asarray(self.doc_len, np.float32) if n else np.zeros(1, np.float32)
         avgdl = max(float(dl.sum()) / max(self.n_docs, 1), 1.0)
         k1, b = self.config.k1, self.config.b
-        dnorm = k1 * (1.0 - b + b * dl / avgdl)
-        dnorm = np.maximum(dnorm, 1e-6)
+        dnorm = np.maximum(k1 * (1.0 - b + b * dl / avgdl), 1e-6)
+        # Precomputed per-posting impacts: query-time score is idf * impact
+        # (kills the random per-posting dnorm gather; see kernels/bm25.py).
+        safe_doc = np.minimum(post_doc, max(n - 1, 0))
+        post_impact = np.where(
+            post_doc < n,
+            post_tf * (k1 + 1.0) / (post_tf + dnorm[safe_doc] + 1e-30),
+            0.0,
+        ).astype(np.float32)
         self._starts_host = starts
         self._dev = (
             jnp.asarray(post_doc),
-            jnp.asarray(post_tf),
+            jnp.asarray(post_impact),
             jnp.asarray(dnorm),
         )
+        # Impact-ordered heads: per term, the top-head_m postings by impact,
+        # re-sorted by doc id (WAND-style pruning — kernels/bm25.py). Terms
+        # with df <= head_m keep their full list, so those stay exact.
+        m = self.config.head_m
+        if m > 0 and not self.config.exact_scoring:
+            h_starts = np.zeros(len(self._postings_doc) + 1, np.int32)
+            hd: list[np.ndarray] = []
+            hi: list[np.ndarray] = []
+            o = 0
+            for tid in range(len(self._postings_doc)):
+                s, e = starts[tid], starts[tid + 1]
+                docs = post_doc[s:e]
+                imps = post_impact[s:e]
+                if e - s > m:
+                    top = np.argpartition(-imps, m - 1)[:m]
+                    top = top[np.argsort(docs[top], kind="stable")]
+                    docs, imps = docs[top], imps[top]
+                h_starts[tid] = o
+                hd.append(docs)
+                hi.append(imps)
+                o += len(docs)
+            h_starts[-1] = o
+            pad_h = _next_pow2(min(max_len, m))
+            head_doc = np.concatenate(
+                hd + [np.full(pad_h, 2**30, np.int32)]) if hd else \
+                np.full(pad_h, 2**30, np.int32)
+            head_imp = np.concatenate(
+                hi + [np.zeros(pad_h, np.float32)]) if hi else \
+                np.zeros(pad_h, np.float32)
+            self._head_starts_host = h_starts
+            self._head_dev = (jnp.asarray(head_doc),
+                              jnp.asarray(head_imp.astype(np.float32)))
+        else:
+            self._head_starts_host = None
+            self._head_dev = None
         self._dirty = False
 
     # -- query ---------------------------------------------------------------
@@ -137,37 +184,77 @@ class InvertedIndex:
                 tids = [t for t in tids
                         if self._starts_host[t + 1] - self._starts_host[t] <= df_cap]
             rows.append(tids)
-        t_max = _next_pow2(max((len(r) for r in rows), default=1))
-        starts = np.zeros((bsz, t_max), np.int32)
-        lens = np.zeros((bsz, t_max), np.int32)
-        idf = np.zeros((bsz, t_max), np.float32)
-        p_max = 1
+        use_heads = self._head_starts_host is not None
+        starts_table = self._head_starts_host if use_heads else self._starts_host
+
+        def row_pmax(tids):
+            return max((int(starts_table[t + 1] - starts_table[t])
+                        for t in tids), default=1)
+
+        # Width classes: group queries by their OWN postings-width bucket so
+        # one long-postings query doesn't pad the whole batch to its width
+        # (exactness preserved — each class runs the full segsum kernel at
+        # its natural width). Buckets are powers of two -> bounded number of
+        # compiled variants.
+        if self.config.width_classes and bsz > 1:
+            groups: dict[tuple[int, int], list[int]] = {}
+            for bi, tids in enumerate(rows):
+                key = (_next_pow2(max(row_pmax(tids), 16)),
+                       _next_pow2(max(len(tids), 1)))
+                groups.setdefault(key, []).append(bi)
+        else:
+            groups = {(_next_pow2(max(max(
+                (row_pmax(r) for r in rows), default=1), 1)),
+                _next_pow2(max((len(r) for r in rows), default=1)))
+                : list(range(bsz))}
+
+        scores = np.full((bsz, k), NEG_INF, np.float32)
+        ids = np.full((bsz, k), -1, np.int32)
+        for (p_max, t_max), members in groups.items():
+            g_scores, g_ids = self._score_group(
+                [rows[bi] for bi in members], k, p_max, t_max, n,
+                starts_table, use_heads)
+            scores[members] = g_scores[:, :k]
+            ids[members] = g_ids[:, :k]
+        if self.config.rank_compat_scores:
+            scores = np.asarray(rank_compat(jnp.asarray(scores)))
+        return scores, ids
+
+    def _score_group(self, rows, k, p_max, t_max, n, starts_table, use_heads):
+        g = len(rows)
+        starts = np.zeros((g, t_max), np.int32)
+        lens = np.zeros((g, t_max), np.int32)
+        idf = np.zeros((g, t_max), np.float32)
         for bi, tids in enumerate(rows):
             for ti, tid in enumerate(tids):
-                s = int(self._starts_host[tid])
-                ln = int(self._starts_host[tid + 1]) - s
-                starts[bi, ti] = s
-                lens[bi, ti] = ln
-                df = ln
-                idf[bi, ti] = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
-                p_max = max(p_max, ln)
-        p_max = _next_pow2(p_max)
-        post_doc, post_tf, dnorm = self._dev
-        score_fn = bm25_topk_segsum if self.config.use_segsum else bm25_topk
-        scores, ids = score_fn(
-            jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(idf),
-            post_doc, post_tf, dnorm,
-            jnp.int32(n), k=min(k, n), p_max=p_max, k1=self.config.k1,
-        )
-        if self.config.rank_compat_scores:
-            scores = rank_compat(scores)
-        scores = np.asarray(scores)
-        ids = np.asarray(ids)
-        if scores.shape[1] < k:  # pad back up if corpus smaller than k
-            pad = k - scores.shape[1]
-            scores = np.pad(scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
-            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
-        return scores, ids
+                starts[bi, ti] = int(starts_table[tid])
+                lens[bi, ti] = int(starts_table[tid + 1]) - starts[bi, ti]
+                # idf always uses the TRUE document frequency, even when
+                # scoring only the impact head.
+                df = int(self._starts_host[tid + 1] - self._starts_host[tid])
+                idf[bi, ti] = math.log(
+                    1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+        if use_heads:
+            post_doc, post_impact = self._head_dev
+        else:
+            post_doc, post_impact, _ = self._dev
+        kk = min(k, n)
+        if self.config.use_segsum:
+            s, i = bm25_topk_segsum(
+                jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(idf),
+                post_doc, post_impact, jnp.int32(n), k=kk, p_max=p_max)
+        else:
+            s, i = bm25_topk(
+                jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(idf),
+                post_doc, post_impact, self._dev[2], jnp.int32(n),
+                k=kk, p_max=p_max)
+        s = np.asarray(s)
+        i = np.asarray(i)
+        if s.shape[1] < k:  # corpus smaller than k
+            pad = k - s.shape[1]
+            s = np.pad(s, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            i = np.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+        return s, i
 
     def __len__(self) -> int:
         return self.n_docs

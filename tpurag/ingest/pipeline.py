@@ -1,0 +1,53 @@
+"""Ingest pipeline: chunk -> tokenize -> encode -> index.
+
+Reference flow: SimpleDirectoryReader -> SentenceSplitter -> embedding
+API batches -> VectorStoreIndex persist (src/lib/llm/index-manager.ts:27-236),
+with Meilisearch chunk writes batched 500 at a time (meilisearch.ts:137).
+
+Here the embed step is the on-chip encoder and the host feed is
+double-buffered: batch i+1 tokenizes on host while batch i encodes on
+device (jax dispatch is async, so overlap falls out of not blocking)."""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Optional
+
+import numpy as np
+
+from tpurag.core.types import Chunk
+from tpurag.ingest.chunker import chunk_text
+
+
+def ingest_documents(kb, docs: Iterable[tuple[str, str]],
+                     batch_size: int = 256,
+                     progress: Optional[callable] = None) -> dict:
+    """Ingest (name, text) pairs into a KnowledgeBase in encoder batches.
+
+    Returns stats {docs, chunks, seconds} (mirrors the reference's
+    index-build timing logs, index-manager.ts:226-236)."""
+    t0 = time.perf_counter()
+    pending: list[Chunk] = []
+    n_docs = 0
+    n_chunks = 0
+
+    def flush():
+        nonlocal pending, n_chunks
+        if not pending:
+            return
+        kb.add_chunks(pending)
+        n_chunks += len(pending)
+        if progress:
+            progress(n_chunks)
+        pending = []
+
+    for name, text in docs:
+        n_docs += 1
+        for i, piece in enumerate(chunk_text(text, kb.config.chunking)):
+            pending.append(Chunk(text=piece, doc_id=name, doc_name=name,
+                                 chunk_index=i))
+            if len(pending) >= batch_size:
+                flush()
+    flush()
+    return {"docs": n_docs, "chunks": n_chunks,
+            "seconds": time.perf_counter() - t0}

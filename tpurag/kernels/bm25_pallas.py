@@ -1,0 +1,145 @@
+"""Fused BM25 merge + segment-sum + top-k Pallas kernel.
+
+The jnp segsum path (kernels/bm25.py) lowers to ~40 separate
+compare-exchange stages, each bouncing the (B, W) candidate arrays
+through HBM (~6ms/batch of HBM traffic at W=16k). This kernel keeps a
+(TB, W) query tile resident in VMEM and runs the ENTIRE pipeline —
+bitonic merge network, Hillis-Steele prefix sum, running-max of segment
+boundaries, k-pass top-k — with no HBM round trips: HBM traffic is one
+read of the candidates and one (TB, k) write.
+
+Input contract (prepared by the XLA-side wrapper):
+- candidates (B, W=T*P) with T, P powers of two;
+- each P-block ascending by doc for even block index, DESCENDING for odd
+  (the wrapper flips odd terms), so each 2P block is bitonic and the
+  merge network can start at size 2P — 39 stages at T=8/P=2048 instead
+  of a full sort's ~105;
+- invalid lanes parked at doc=_BIG with contribution 0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurag.kernels.runtime import NEG_INF, interpret_mode, round_up
+from tpurag.kernels.topk import select_topk
+
+_BIG = 2**30
+
+
+def _merge_segsum_kernel(doc_ref, con_ref, out_v_ref, out_i_ref,
+                         *, k: int, p: int, w: int):
+    doc = doc_ref[:]
+    con = con_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, doc.shape, 1)
+
+    # Bitonic merge network starting at block size 2P. Direction mask:
+    # lane's kk-block sorts ascending iff (lane & kk) == 0; the lane takes
+    # the pair-min iff ascending XOR it is the upper lane of its pair.
+    kk = 2 * p
+    while kk <= w:
+        s = kk // 2
+        while s >= 1:
+            upper = (lane & s) != 0
+            # pltpu.roll requires non-negative shifts: -s == w - s (circular).
+            nbr_doc = jnp.where(upper, pltpu.roll(doc, s, axis=1),
+                                pltpu.roll(doc, w - s, axis=1))
+            nbr_con = jnp.where(upper, pltpu.roll(con, s, axis=1),
+                                pltpu.roll(con, w - s, axis=1))
+            want_min = ((lane & kk) == 0) ^ upper
+            # Logical form (select over i1 vectors is unsupported in Mosaic).
+            take = (want_min & (nbr_doc < doc)) | (~want_min & (nbr_doc > doc))
+            doc = jnp.where(take, nbr_doc, doc)
+            con = jnp.where(take, nbr_con, con)
+            s //= 2
+        kk *= 2
+
+    # Prefix sum of contributions (Hillis-Steele, log2 W shift-adds).
+    csum = con
+    d = 1
+    while d < w:
+        sh = pltpu.roll(csum, d, axis=1)
+        csum = csum + jnp.where(lane >= d, sh, 0.0)
+        d *= 2
+
+    # Segment ends and the previous end's csum (running max works because
+    # contributions >= 0 make csum monotone).
+    nxt = pltpu.roll(doc, w - 1, axis=1)
+    is_end = (doc != nxt) | (lane == w - 1)
+    end_vals = jnp.where(is_end, csum, 0.0)
+    prev = jnp.where(lane >= 1, pltpu.roll(end_vals, 1, axis=1), 0.0)
+    d = 1
+    while d < w:
+        prev = jnp.maximum(
+            prev, jnp.where(lane >= d, pltpu.roll(prev, d, axis=1), 0.0))
+        d *= 2
+
+    seg = jnp.where(is_end & (doc < _BIG), csum - prev, NEG_INF)
+    vals, ids = select_topk(seg, doc, k)
+    out_v_ref[:] = vals
+    out_i_ref[:] = ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "p", "tile_b", "interpret"))
+def merge_segsum_topk(doc: jax.Array, con: jax.Array, k: int, p: int,
+                      tile_b: int = 8, interpret: bool = False):
+    """doc/con: (B, W) per the module contract. Returns (B, k) (vals, ids),
+    empties as (-inf, -1)."""
+    b, w = doc.shape
+    bp = round_up(b, tile_b)
+    if bp != b:
+        doc = jnp.pad(doc, ((0, bp - b), (0, 0)), constant_values=_BIG)
+        con = jnp.pad(con, ((0, bp - b), (0, 0)))
+    kernel = functools.partial(_merge_segsum_kernel, k=k, p=p, w=w)
+    vals, ids = pl.pallas_call(
+        kernel,
+        grid=(bp // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, k), jnp.float32),
+            jax.ShapeDtypeStruct((bp, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(doc, con)
+    vals, ids = vals[:b], ids[:b]
+    empty = vals <= 0.0
+    return jnp.where(empty, NEG_INF, vals), jnp.where(empty, -1, ids)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "p_max"))
+def bm25_topk_fused(starts, lens, idf, post_doc, post_impact, n_valid,
+                    k: int, p_max: int):
+    """Full BM25 top-k with the fused Pallas tail. Same contract as
+    bm25_topk_segsum (kernels/bm25.py); T and p_max must be powers of 2."""
+    from tpurag.kernels.bm25 import _gather_candidates
+
+    b, t = starts.shape
+    doc, contrib = _gather_candidates(starts, lens, idf, post_doc,
+                                      post_impact, n_valid, p_max)
+    doc = doc.reshape(b, t, p_max)
+    contrib = contrib.reshape(b, t, p_max)
+    if t > 1:
+        # Flip odd terms so each 2P block is bitonic for the merge network.
+        flip = jnp.flip(doc[:, 1::2], axis=2)
+        doc = doc.at[:, 1::2].set(flip)
+        contrib = contrib.at[:, 1::2].set(jnp.flip(contrib[:, 1::2], axis=2))
+    return merge_segsum_topk(doc.reshape(b, t * p_max),
+                             contrib.reshape(b, t * p_max),
+                             k=k, p=p_max if t > 1 else t * p_max,
+                             interpret=interpret_mode())

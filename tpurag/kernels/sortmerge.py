@@ -1,0 +1,67 @@
+"""Bitonic multi-way merge of pre-sorted lists.
+
+The BM25 segment-sum path needs the (B, T, P) candidate lists merged into
+one doc-ordered (B, T*P) sequence. `jax.lax.sort` costs O(log^2(T*P))
+compare-exchange stages (~196 at width 16k, ~12ms/batch measured on
+v5e); but each term's postings are ALREADY doc-ascending from the CSR
+build, so a merge tree of bitonic merges needs only
+sum_{l=1..log T} log(2^l * P) stages (~39 at T=8, P=2048) — ~5x fewer
+passes for identical output.
+
+All ops are reshapes + elementwise min/max/where over the last axis:
+VPU-only, fully fusible by XLA, usable inside Pallas too.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _bitonic_merge(keys: jax.Array, vals: jax.Array):
+    """Merge a bitonic sequence along the last axis into ascending order.
+
+    keys/vals: (..., L) with L a power of two; the sequence must be
+    bitonic (ascending then descending)."""
+    length = keys.shape[-1]
+    stride = length // 2
+    while stride >= 1:
+        shape = keys.shape[:-1] + (length // (2 * stride), 2, stride)
+        k2 = keys.reshape(shape)
+        v2 = vals.reshape(shape)
+        lo_k, hi_k = k2[..., 0, :], k2[..., 1, :]
+        lo_v, hi_v = v2[..., 0, :], v2[..., 1, :]
+        swap = lo_k > hi_k
+        nk = jnp.stack([jnp.where(swap, hi_k, lo_k),
+                        jnp.where(swap, lo_k, hi_k)], axis=-2)
+        nv = jnp.stack([jnp.where(swap, hi_v, lo_v),
+                        jnp.where(swap, lo_v, hi_v)], axis=-2)
+        keys = nk.reshape(keys.shape)
+        vals = nv.reshape(vals.shape)
+        stride //= 2
+    return keys, vals
+
+
+def merge_sorted_lists(keys: jax.Array, vals: jax.Array):
+    """Merge T ascending-sorted lists into one ascending sequence.
+
+    keys/vals: (B, T, P) with T and P powers of two, each [b, t, :]
+    ascending. Returns (B, T*P) sorted by key (stable ordering of equal
+    keys is NOT guaranteed — fine for segment reduction, where only
+    grouping matters)."""
+    b, t, p = keys.shape
+    if t & (t - 1) or p & (p - 1):
+        raise ValueError(f"T={t} and P={p} must be powers of two")
+    while t > 1:
+        # Pair lists (2i, 2i+1): ascending ++ reversed(descending) is
+        # bitonic; merge to ascending of twice the length.
+        k2 = keys.reshape(b, t // 2, 2, p)
+        v2 = vals.reshape(b, t // 2, 2, p)
+        kcat = jnp.concatenate(
+            [k2[:, :, 0, :], jnp.flip(k2[:, :, 1, :], axis=-1)], axis=-1)
+        vcat = jnp.concatenate(
+            [v2[:, :, 0, :], jnp.flip(v2[:, :, 1, :], axis=-1)], axis=-1)
+        keys, vals = _bitonic_merge(kcat, vcat)
+        t //= 2
+        p *= 2
+    return keys.reshape(b, p), vals.reshape(b, p)

@@ -1,0 +1,171 @@
+"""On-chip transformer encoder for batch embedding generation.
+
+The reference embeds via a remote HTTPS API (text-embedding-v4,
+src/lib/llm/config.ts:31; dim-1024 qwen_embedding,
+lightrag-service/main.py:104-139) — one network call per batch. Here the
+encoder is an XLA-compiled transformer running on the same chips as the
+index, so chunk -> tokenize -> embed -> index is one on-chip pipeline
+(SURVEY.md §7.8).
+
+Design: pre-LN transformer, mean-pooled, projected, L2-normalized.
+Pure-pytree params (no framework dep) with explicit tensor-parallel
+PartitionSpecs: attention heads and MLP hidden shard over the 'model'
+mesh axis; the query/chunk batch shards over 'data'. Weights load from
+any checkpoint that matches the tree; random-init is deterministic for
+tests and benchmarking (throughput is weight-independent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpurag.ingest.tokenizer import tokenize
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 32768
+    dim: int = 512
+    n_layers: int = 4
+    n_heads: int = 8
+    mlp_ratio: int = 4
+    max_len: int = 512          # chunks are 512 tokens (config.ts:70-74)
+    out_dim: int = 1024         # embedding dim parity (main.py:188)
+    dtype: str = "bfloat16"
+
+
+def init_params(cfg: EncoderConfig, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+    dt = jnp.dtype(cfg.dtype)
+    d, h = cfg.dim, cfg.dim * cfg.mlp_ratio
+
+    def w(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[0]))
+        return jnp.asarray(
+            rng.standard_normal(shape).astype(np.float32) * scale, dt)
+
+    params = {
+        "tok_emb": w(cfg.vocab_size, d, scale=0.02),
+        "pos_emb": w(cfg.max_len, d, scale=0.02),
+        "out_proj": w(d, cfg.out_dim),
+        "final_ln": {"g": jnp.ones((d,), dt), "b": jnp.zeros((d,), dt)},
+        "layers": [],
+    }
+    for _ in range(cfg.n_layers):
+        params["layers"].append({
+            "ln1": {"g": jnp.ones((d,), dt), "b": jnp.zeros((d,), dt)},
+            "ln2": {"g": jnp.ones((d,), dt), "b": jnp.zeros((d,), dt)},
+            "wq": w(d, d), "wk": w(d, d), "wv": w(d, d), "wo": w(d, d),
+            "w1": w(d, h), "w2": w(h, d),
+        })
+    return params
+
+
+def param_specs(cfg: EncoderConfig) -> dict:
+    """Tensor-parallel PartitionSpecs: head dim / MLP hidden over 'model'."""
+    layer = {
+        "ln1": {"g": P(), "b": P()},
+        "ln2": {"g": P(), "b": P()},
+        "wq": P(None, "model"), "wk": P(None, "model"),
+        "wv": P(None, "model"), "wo": P("model", None),
+        "w1": P(None, "model"), "w2": P("model", None),
+    }
+    return {
+        "tok_emb": P(),
+        "pos_emb": P(),
+        "out_proj": P(None, "model"),
+        "final_ln": {"g": P(), "b": P()},
+        "layers": [layer] * cfg.n_layers,
+    }
+
+
+def shard_params(params: dict, cfg: EncoderConfig, mesh: Mesh) -> dict:
+    specs = param_specs(cfg)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: isinstance(x, jax.Array) or hasattr(x, "shape"))
+
+
+def _ln(x, g, b, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * g + b
+
+
+def _block(x, p, n_heads: int, mask):
+    b, s, d = x.shape
+    hd = d // n_heads
+    h = _ln(x, p["ln1"]["g"], p["ln1"]["b"])
+    q = (h @ p["wq"]).reshape(b, s, n_heads, hd)
+    k = (h @ p["wk"]).reshape(b, s, n_heads, hd)
+    v = (h @ p["wv"]).reshape(b, s, n_heads, hd)
+    att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                     preferred_element_type=jnp.float32) / np.sqrt(hd)
+    att = jnp.where(mask[:, None, None, :], att, -1e30)
+    att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, s, d)
+    x = x + o @ p["wo"]
+    h = _ln(x, p["ln2"]["g"], p["ln2"]["b"])
+    x = x + jax.nn.gelu(h @ p["w1"]) @ p["w2"]
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads",))
+def encode_tokens(params: dict, token_ids: jax.Array, mask: jax.Array,
+                  n_heads: int = 8) -> jax.Array:
+    """token_ids/mask: (B, S) int32/bool -> (B, out_dim) float32, normalized."""
+    s = token_ids.shape[1]
+    x = params["tok_emb"][token_ids] + params["pos_emb"][:s][None]
+    for layer in params["layers"]:
+        x = _block(x, layer, n_heads, mask)
+    x = _ln(x, params["final_ln"]["g"], params["final_ln"]["b"])
+    denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1)
+    pooled = jnp.sum(jnp.where(mask[:, :, None], x, 0), axis=1) / denom
+    out = (pooled @ params["out_proj"]).astype(jnp.float32)
+    return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-30)
+
+
+def hash_token_ids(texts: list[str], cfg: EncoderConfig,
+                   seq_len: Optional[int] = None):
+    """Hash-vocabulary tokenization (host side; a learned-vocab tokenizer
+    plugs in the same way). Returns (ids, mask) int32/bool (B, S)."""
+    import hashlib
+
+    s = seq_len or cfg.max_len
+    ids = np.zeros((len(texts), s), np.int32)
+    mask = np.zeros((len(texts), s), bool)
+    for i, t in enumerate(texts):
+        toks = tokenize(t)[:s]
+        for j, tok in enumerate(toks):
+            hv = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=4).digest(), "little")
+            ids[i, j] = hv % cfg.vocab_size
+        mask[i, : len(toks)] = True
+        if not toks:
+            mask[i, 0] = True
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+class EncoderEmbedder:
+    """Embedder-protocol adapter: texts -> (B, out_dim) numpy."""
+
+    def __init__(self, cfg: Optional[EncoderConfig] = None, seed: int = 0,
+                 params: Optional[dict] = None, seq_len: int = 128):
+        self.cfg = cfg or EncoderConfig()
+        self.params = params if params is not None else init_params(self.cfg, seed)
+        self.dim = self.cfg.out_dim
+        self.seq_len = seq_len
+
+    def __call__(self, texts: list[str]) -> np.ndarray:
+        ids, mask = hash_token_ids(texts, self.cfg, self.seq_len)
+        out = encode_tokens(self.params, ids, mask, n_heads=self.cfg.n_heads)
+        return np.asarray(out)
