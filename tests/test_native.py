@@ -1,0 +1,64 @@
+"""Native C++ tokenizer must match the Python spec exactly."""
+
+import collections
+import pathlib
+import shutil
+import subprocess
+
+import pytest
+
+from tpurag.ingest.tokenizer import tokenize
+
+NATIVE_DIR = pathlib.Path(__file__).parent.parent / "tpurag" / "native"
+
+
+@pytest.fixture(scope="module")
+def native():
+    if not (NATIVE_DIR / "libtpurag.so").exists():
+        if shutil.which("g++") is None:
+            pytest.skip("no g++ and no prebuilt libtpurag.so")
+        subprocess.run([str(NATIVE_DIR / "build.sh")], check=True,
+                       capture_output=True, timeout=120)
+    from tpurag.native import loader
+    if not loader.available():
+        pytest.skip("libtpurag.so failed to load")
+    return loader
+
+
+CASES = [
+    "Hello, World! foo_bar 123",
+    "向量检索和关键词检索的混合搜索 with MIXED ascii",
+    "猫",
+    "",
+    "!!! --- ???",
+    "a" * 50 + " " + "中" * 20,
+    "TPU kernels 倒排索引 and MXU",
+    "emoji 🦊 between 中文 words",
+    "Ünïcödé latin-1 čšž",
+]
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_term_counts_match_python(native, text):
+    py = dict(collections.Counter(tokenize(text)))
+    assert native.term_counts(text) == py
+
+
+def test_token_count(native):
+    for text in CASES:
+        assert native.token_count(text) == len(tokenize(text))
+
+
+def test_random_fuzz(native, rng):
+    alphabet = list("abc XYZ 09_ 中文字 、。 ひら 가나 !@#\n\t")
+    for _ in range(50):
+        s = "".join(rng.choice(alphabet, size=rng.integers(0, 200)))
+        assert native.term_counts(s) == dict(collections.Counter(tokenize(s)))
+
+
+def test_inverted_index_uses_native(native):
+    from tpurag.index.inverted import InvertedIndex
+    idx = InvertedIndex()
+    idx.add(0, "the quick brown fox 混合搜索")
+    s, i = idx.search(["quick fox"], k=1)
+    assert int(i[0][0]) == 0

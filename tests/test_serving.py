@@ -1,0 +1,144 @@
+import json
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from tpurag import KnowledgeBase
+from tpurag.agent.react import Agent
+from tpurag.api.server import RagServer
+from tpurag.engine.batching import BatchingExecutor
+
+
+class TestBatching:
+    def test_coalesces_and_orders(self):
+        seen_batches = []
+
+        def run(reqs):
+            seen_batches.append(len(reqs))
+            return [r * 2 for r in reqs]
+
+        ex = BatchingExecutor(run, max_batch=8, max_wait_ms=20)
+        futs = [ex.submit(i) for i in range(8)]
+        assert [f.result(5) for f in futs] == [i * 2 for i in range(8)]
+        ex.shutdown()
+        assert max(seen_batches) > 1  # coalesced
+
+    def test_error_propagates(self):
+        def boom(reqs):
+            raise RuntimeError("device on fire")
+
+        ex = BatchingExecutor(boom, max_batch=2, max_wait_ms=1)
+        with pytest.raises(RuntimeError):
+            ex.query("x", timeout=5)
+        ex.shutdown()
+
+
+@pytest.fixture(scope="module")
+def server():
+    kb = KnowledgeBase("srv-kb")
+    kb.add_document("jax", "JAX compiles numerical programs with XLA for TPU.")
+    kb.add_document("bread", "Bake bread with flour, water, salt and yeast.")
+    srv = RagServer(kb, agent=Agent(kb))
+    httpd = srv.serve(port=0, background=True)
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}", srv
+    srv.shutdown()
+
+
+def _req(base, method, path, body=None):
+    data = json.dumps(body or {}).encode()
+    req = urllib.request.Request(base + path, data=data if method == "POST" else None,
+                                 method=method,
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestServer:
+    def test_health(self, server):
+        base, _ = server
+        code, out = _req(base, "GET", "/health")
+        assert code == 200 and out["status"] == "ok"
+
+    def test_search(self, server):
+        base, _ = server
+        code, out = _req(base, "POST", "/search",
+                         {"query": "bake bread yeast", "top_k": 2})
+        assert code == 200
+        assert out["results"][0]["doc_name"] == "bread"
+
+    def test_search_missing_query(self, server):
+        base, _ = server
+        code, out = _req(base, "POST", "/search", {})
+        assert code == 400 and "query" in out["error"]
+
+    def test_chat(self, server):
+        base, _ = server
+        code, out = _req(base, "POST", "/chat",
+                         {"question": "how to bake bread with yeast?"})
+        assert code == 200 and "bread" in out["answer"]
+
+    def test_add_then_search_document(self, server):
+        base, _ = server
+        code, out = _req(base, "POST", "/documents",
+                         {"name": "tea", "text": "Green tea steeps at 80C."})
+        assert code == 200 and out["chunk_ids"]
+        code, out = _req(base, "POST", "/search", {"query": "green tea 80C"})
+        assert out["results"][0]["doc_name"] == "tea"
+
+    def test_delete_document(self, server):
+        base, _ = server
+        _req(base, "POST", "/documents", {"name": "zap", "text": "Unique zap content."})
+        code, out = _req(base, "POST", "/documents/delete", {"doc_id": "zap"})
+        assert out["deleted_chunks"] >= 1
+
+    def test_404(self, server):
+        base, _ = server
+        code, _ = _req(base, "GET", "/nope")
+        assert code == 404
+
+    def test_invalid_json(self, server):
+        base, _ = server
+        req = urllib.request.Request(base + "/search", data=b"{not json",
+                                     method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                code = r.status
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 400
+
+    def test_concurrent_searches_batch(self, server):
+        base, _ = server
+        results = [None] * 12
+
+        def hit(i):
+            results[i] = _req(base, "POST", "/search",
+                              {"query": "bread flour", "top_k": 1})
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(30)
+        assert all(r and r[0] == 200 for r in results)
+
+
+class TestCLI:
+    def test_ingest_search_stats(self, tmp_path, capsys):
+        from tpurag.api.cli import main
+        doc = tmp_path / "notes.md"
+        doc.write_text("TPU kernels run matmuls on the MXU systolic array.")
+        kbdir = str(tmp_path / "kb")
+        main(["ingest", str(doc), "--kb", kbdir])
+        out = json.loads(capsys.readouterr().out)
+        assert out["total_chunks"] >= 1
+        main(["search", "MXU systolic", "--kb", kbdir, "--mode", "keyword"])
+        assert "notes.md" in capsys.readouterr().out
+        main(["stats", "--kb", kbdir])
+        assert json.loads(capsys.readouterr().out)["chunks"] >= 1

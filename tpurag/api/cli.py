@@ -1,0 +1,209 @@
+"""Command-line interface.
+
+The reference's surface is a web UI + 24 REST routes (SURVEY.md §2.9-2.10);
+the framework's equivalent surface is this CLI plus the HTTP shim.
+
+  python -m tpurag ingest  DIR_OR_FILES --kb PATH
+  python -m tpurag search  "query" --kb PATH [--mode hybrid|vector|keyword|graph]
+  python -m tpurag chat    --kb PATH            (agent REPL, offline mode)
+  python -m tpurag eval    --kb PATH [-n N]
+  python -m tpurag bench   [--config NAME]
+  python -m tpurag serve   --kb PATH [--port 8080]
+  python -m tpurag graph   --kb PATH            (build entity graph)
+  python -m tpurag stats   --kb PATH
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+
+def _load_kb(path: str, create: bool = False):
+    from tpurag import KnowledgeBase
+
+    p = pathlib.Path(path)
+    if (p / "kb.json").exists():
+        return KnowledgeBase.load(p)
+    if create:
+        return KnowledgeBase(p.name or "kb")
+    sys.exit(f"no knowledge base at {path} (run `ingest` first)")
+
+
+def _load_graph(kb, path: str):
+    from tpurag.graph.index import GraphIndex
+
+    g = GraphIndex(kb.embedder)
+    for cid, c in enumerate(kb.chunks):
+        if not c.metadata.get("deleted"):
+            g.ingest_chunk(cid, c.text)
+    return g
+
+
+def cmd_ingest(args):
+    from tpurag.ingest.pipeline import ingest_documents
+
+    kb = _load_kb(args.kb, create=True)
+    docs = []
+    for src in args.paths:
+        p = pathlib.Path(src)
+        if p.is_dir():
+            for f in sorted(p.rglob("*")):
+                if f.suffix.lower() in (".txt", ".md", ".rst") and f.is_file():
+                    docs.append((f.name, f.read_text(errors="ignore")))
+        elif p.is_file():
+            docs.append((p.name, p.read_text(errors="ignore")))
+    if args.code:
+        from tpurag.code import create_code_chunks, walk_code_files
+
+        for src in args.paths:
+            kb.add_chunks(create_code_chunks(walk_code_files(src)))
+        stats = {"docs": 0, "chunks": len(kb), "seconds": 0}
+    else:
+        stats = ingest_documents(kb, docs)
+    kb.save(args.kb)
+    print(json.dumps({"ingested": stats, "total_chunks": len(kb)}))
+
+
+def cmd_search(args):
+    kb = _load_kb(args.kb)
+    if args.mode == "graph":
+        g = _load_graph(kb, args.kb)
+        hits = g.search_chunks(args.query, k=args.top_k)
+        for cid, score in hits:
+            c = kb.chunks[cid]
+            print(f"[{c.doc_name}#{c.chunk_index}] score={score:.3f}")
+            print(c.text[:300])
+    else:
+        resp = kb.search(args.query, top_k=args.top_k, mode=args.mode)
+        print(resp.format(args.top_k))
+        print(f"\n-- {resp.stats}")
+
+
+def cmd_chat(args):
+    from tpurag.agent.react import Agent
+    from tpurag.memory.service import MemoryService
+
+    kb = _load_kb(args.kb)
+    mem = MemoryService(kb)
+    agent = Agent(kb, memory=mem)
+    history: list[dict] = []
+    print("tpurag chat (offline deterministic mode; ctrl-d to exit)")
+    while True:
+        try:
+            q = input("you> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            break
+        if not q:
+            continue
+        res = agent.query(q, history=history)
+        print(f"rag> {res.answer}\n")
+        history += [{"role": "user", "content": q},
+                    {"role": "assistant", "content": res.answer}]
+
+
+def cmd_eval(args):
+    from tpurag.agent.react import Agent
+    from tpurag.eval.service import EvalService
+
+    kb = _load_kb(args.kb)
+    agent = Agent(kb)
+    run = EvalService(agent).run(
+        n=args.n, on_progress=lambda r: print(
+            f"  {r.progress}/{r.total}", file=sys.stderr))
+    print(json.dumps({"status": run.status, "averages": run.averages,
+                      "questions": [r.question.question for r in run.results]},
+                     ensure_ascii=False, indent=2))
+
+
+def cmd_bench(args):
+    from tpurag.eval.bench import CONFIGS, run_all
+
+    names = [args.config] if args.config else None
+    for out in run_all(names):
+        print(json.dumps(out))
+
+
+def cmd_serve(args):
+    from tpurag.agent.react import Agent
+    from tpurag.api.server import RagServer
+
+    kb = _load_kb(args.kb)
+    agent = Agent(kb)
+    server = RagServer(kb, agent=agent)
+    print(f"serving on http://{args.host}:{args.port}", file=sys.stderr)
+    server.serve(args.host, args.port)
+
+
+def cmd_graph(args):
+    kb = _load_kb(args.kb)
+    g = _load_graph(kb, args.kb)
+    print(json.dumps(g.export_graph(limit=args.limit), ensure_ascii=False))
+
+
+def cmd_stats(args):
+    kb = _load_kb(args.kb)
+    print(json.dumps({
+        "chunks": len(kb),
+        "docs": len(kb._doc_chunks),
+        "dim": kb.dim,
+        "capacity": kb.dense.capacity,
+        "vocab": len(kb.inverted.vocab),
+    }))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tpurag")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("ingest", help="index documents into a KB")
+    p.add_argument("paths", nargs="+")
+    p.add_argument("--kb", required=True)
+    p.add_argument("--code", action="store_true",
+                   help="treat paths as code repositories")
+    p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser("search")
+    p.add_argument("query")
+    p.add_argument("--kb", required=True)
+    p.add_argument("--mode", default="hybrid",
+                   choices=["hybrid", "vector", "keyword", "graph"])
+    p.add_argument("--top-k", type=int, default=5)
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("chat")
+    p.add_argument("--kb", required=True)
+    p.set_defaults(fn=cmd_chat)
+
+    p = sub.add_parser("eval")
+    p.add_argument("--kb", required=True)
+    p.add_argument("-n", type=int, default=5)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("bench")
+    p.add_argument("--config", default=None)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("serve")
+    p.add_argument("--kb", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("graph")
+    p.add_argument("--kb", required=True)
+    p.add_argument("--limit", type=int, default=100)
+    p.set_defaults(fn=cmd_graph)
+
+    p = sub.add_parser("stats")
+    p.add_argument("--kb", required=True)
+    p.set_defaults(fn=cmd_stats)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""HTTP serving shim.
+
+REST parity with the reference's API surface (SURVEY.md §2.9) on the
+stdlib http.server — no framework dependency. Queries funnel through the
+BatchingExecutor so concurrent requests share device batches.
+
+Routes:
+  GET  /health                      (main.py:245 parity)
+  POST /search   {query, top_k?, mode?}
+  POST /chat     {question, history?}
+  POST /documents {name, text}
+  DELETE is POST /documents/delete {doc_id}
+  GET  /graph                       (graph viz export, main.py:466 parity)
+  POST /eval     {n?}
+  GET  /stats
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from tpurag.engine.batching import BatchingExecutor
+
+
+class RagServer:
+    def __init__(self, kb, agent=None, graph=None,
+                 max_batch: int = 64, max_wait_ms: float = 2.0):
+        self.kb = kb
+        self.agent = agent
+        self.graph = graph
+        self._lock = threading.Lock()
+        self.executor = BatchingExecutor(self._run_batch, max_batch,
+                                         max_wait_ms)
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    def _run_batch(self, requests: list[dict]) -> list:
+        queries = [r["query"] for r in requests]
+        top_k = max(int(r.get("top_k", 8)) for r in requests)
+        mode = requests[0].get("mode", "hybrid")
+        resps = self.kb.search_batch(queries, top_k=top_k, mode=mode)
+        return resps
+
+    # -- handlers --------------------------------------------------------
+
+    def handle(self, method: str, path: str, body: dict) -> tuple[int, dict]:
+        if method == "GET" and path == "/health":
+            return 200, {"status": "ok", "chunks": len(self.kb)}
+        if method == "GET" and path == "/stats":
+            return 200, {
+                "chunks": len(self.kb),
+                "docs": len(self.kb._doc_chunks),
+                "keyword_docs": len(self.kb.inverted),
+                "entities": len(self.graph) if self.graph else 0,
+            }
+        if method == "POST" and path == "/search":
+            if not body.get("query"):
+                return 400, {"error": "missing 'query'"}
+            resp = self.executor.query(body)
+            return 200, {
+                "query": resp.query,
+                "results": [dataclasses.asdict(r) for r in resp.results],
+                "stats": resp.stats,
+            }
+        if method == "POST" and path == "/chat":
+            if self.agent is None:
+                return 503, {"error": "no agent configured"}
+            if not body.get("question"):
+                return 400, {"error": "missing 'question'"}
+            with self._lock:  # agent mutates memory; serialize
+                res = self.agent.query(body["question"],
+                                       history=body.get("history"))
+            return 200, {
+                "answer": res.answer,
+                "tool_calls": res.tool_calls,
+                "sources": [dataclasses.asdict(s) for s in res.sources or []],
+            }
+        if method == "POST" and path == "/documents":
+            if not body.get("name") or not body.get("text"):
+                return 400, {"error": "missing 'name' or 'text'"}
+            with self._lock:
+                ids = self.kb.add_document(body["name"], body["text"])
+            return 200, {"chunk_ids": ids}
+        if method == "POST" and path == "/documents/delete":
+            with self._lock:
+                n = self.kb.delete_document(body.get("doc_id", ""))
+            return 200, {"deleted_chunks": n}
+        if method == "GET" and path == "/graph":
+            if self.graph is None:
+                return 404, {"error": "no graph index"}
+            return 200, self.graph.export_graph()
+        return 404, {"error": f"no route {method} {path}"}
+
+    # -- lifecycle -------------------------------------------------------
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8080,
+              background: bool = False):
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _respond(self, method):
+                length = int(self.headers.get("Content-Length") or 0)
+                try:
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                except json.JSONDecodeError:
+                    body, code, out = {}, 400, {"error": "invalid JSON body"}
+                    self._write(code, out)
+                    return
+                try:
+                    code, out = outer.handle(method, self.path, body)
+                except Exception as e:  # degrade, never crash (SURVEY §5.3)
+                    code, out = 500, {"error": str(e)}
+                self._write(code, out)
+
+            def _write(self, code, out):
+                data = json.dumps(out, ensure_ascii=False).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                self._respond("GET")
+
+            def do_POST(self):
+                self._respond("POST")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        if background:
+            t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+            t.start()
+            return self._httpd
+        self._httpd.serve_forever()
+
+    def shutdown(self):
+        if self._httpd:
+            self._httpd.shutdown()
+        self.executor.shutdown()

@@ -1,0 +1,69 @@
+"""Continuous query batching.
+
+The reference serves one query per HTTP request (SURVEY.md §3.1). On TPU,
+throughput comes from batching: this queue coalesces concurrent queries
+into device batches (up to max_batch, waiting at most max_wait_ms for
+stragglers) — the host-side analogue of continuous batching in LLM
+serving. Shapes bucket to powers of two so jit recompiles stay bounded."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Callable, Optional
+
+
+class BatchingExecutor:
+    def __init__(self, run_batch: Callable[[list], list],
+                 max_batch: int = 64, max_wait_ms: float = 2.0):
+        """run_batch: list of requests -> list of responses (same order)."""
+        self.run_batch = run_batch
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, request) -> Future:
+        fut: Future = Future()
+        self._q.put((request, fut))
+        return fut
+
+    def query(self, request, timeout: Optional[float] = 30.0):
+        return self.submit(request).result(timeout=timeout)
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = self.max_wait
+            import time
+
+            t0 = time.monotonic()
+            while len(batch) < self.max_batch:
+                remaining = deadline - (time.monotonic() - t0)
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            requests = [r for r, _ in batch]
+            futures = [f for _, f in batch]
+            try:
+                results = self.run_batch(requests)
+                for f, r in zip(futures, results):
+                    f.set_result(r)
+            except Exception as e:  # propagate to every waiter
+                for f in futures:
+                    if not f.done():
+                        f.set_exception(e)
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2.0)

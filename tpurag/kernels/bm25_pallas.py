@@ -33,69 +33,83 @@ _BIG = 2**30
 
 
 def _merge_segsum_kernel(doc_ref, con_ref, out_v_ref, out_i_ref,
-                         *, k: int, p: int, w: int):
+                         *, k: int, p: int, w: int, t: int):
     doc = doc_ref[:]
     con = con_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, doc.shape, 1)
 
-    # Bitonic merge network starting at block size 2P. Direction mask:
-    # lane's kk-block sorts ascending iff (lane & kk) == 0; the lane takes
-    # the pair-min iff ascending XOR it is the upper lane of its pair.
-    kk = 2 * p
-    while kk <= w:
-        s = kk // 2
-        while s >= 1:
-            upper = (lane & s) != 0
-            # pltpu.roll requires non-negative shifts: -s == w - s (circular).
-            nbr_doc = jnp.where(upper, pltpu.roll(doc, s, axis=1),
-                                pltpu.roll(doc, w - s, axis=1))
-            nbr_con = jnp.where(upper, pltpu.roll(con, s, axis=1),
-                                pltpu.roll(con, w - s, axis=1))
-            want_min = ((lane & kk) == 0) ^ upper
-            # Logical form (select over i1 vectors is unsupported in Mosaic).
-            take = (want_min & (nbr_doc < doc)) | (~want_min & (nbr_doc > doc))
-            doc = jnp.where(take, nbr_doc, doc)
-            con = jnp.where(take, nbr_con, con)
-            s //= 2
-        kk *= 2
+    # Bitonic merge network starting at block size 2P, expressed as
+    # in-kernel loops with dynamic roll shifts (an unrolled network at
+    # W=16k is ~110 stages and blew Mosaic compile times past 10 minutes;
+    # the loop form compiles in seconds and runs the same stages).
+    # Direction mask: lane's kk-block sorts ascending iff (lane & kk) == 0;
+    # the lane takes the pair-min iff ascending XOR it is the pair's upper
+    # lane.
+    n_levels = (w // (2 * p)).bit_length()  # log2(w/(2p)) + 1 levels
+    log_2p = (2 * p).bit_length() - 1
 
-    # Prefix sum of contributions (Hillis-Steele, log2 W shift-adds).
-    csum = con
-    d = 1
-    while d < w:
-        sh = pltpu.roll(csum, d, axis=1)
-        csum = csum + jnp.where(lane >= d, sh, 0.0)
-        d *= 2
+    def stage(c, kk, s):
+        doc, con = c
+        upper = (lane & s) != 0
+        # pltpu.roll needs non-negative shifts: -s == w - s (circular).
+        nbr_doc = jnp.where(upper, pltpu.roll(doc, s, axis=1),
+                            pltpu.roll(doc, w - s, axis=1))
+        nbr_con = jnp.where(upper, pltpu.roll(con, s, axis=1),
+                            pltpu.roll(con, w - s, axis=1))
+        want_min = ((lane & kk) == 0) ^ upper
+        # Logical form (select over i1 vectors is unsupported in Mosaic).
+        take = (want_min & (nbr_doc < doc)) | (~want_min & (nbr_doc > doc))
+        return (jnp.where(take, nbr_doc, doc), jnp.where(take, nbr_con, con))
 
-    # Segment ends and the previous end's csum (running max works because
-    # contributions >= 0 make csum monotone).
+    def level(lv, c):
+        kk = jnp.int32(2 * p) << lv
+
+        def inner(j, c2):
+            s = kk >> (j + 1)
+            return stage(c2, kk, s)
+
+        return jax.lax.fori_loop(0, log_2p + lv, inner, c)
+
+    if 2 * p <= w:
+        doc, con = jax.lax.fori_loop(0, n_levels, level, (doc, con))
+
+    # Segment sums: a doc appears at most once per term, so after the merge
+    # all duplicates of a doc sit within a window of T lanes — T-1
+    # roll-compare-adds replace a full prefix-sum + running-max scan
+    # (2*log2(W) passes -> T-1 passes; T is the query-term slot count).
     nxt = pltpu.roll(doc, w - 1, axis=1)
     is_end = (doc != nxt) | (lane == w - 1)
-    end_vals = jnp.where(is_end, csum, 0.0)
-    prev = jnp.where(lane >= 1, pltpu.roll(end_vals, 1, axis=1), 0.0)
-    d = 1
-    while d < w:
-        prev = jnp.maximum(
-            prev, jnp.where(lane >= d, pltpu.roll(prev, d, axis=1), 0.0))
-        d *= 2
 
-    seg = jnp.where(is_end & (doc < _BIG), csum - prev, NEG_INF)
+    def win_step(j, total):
+        dj = pltpu.roll(doc, j, axis=1)
+        cj = pltpu.roll(con, j, axis=1)
+        return total + jnp.where((dj == doc) & (lane >= j), cj, 0.0)
+
+    total = jax.lax.fori_loop(1, t, win_step, con) if t > 1 else con
+
+    seg = jnp.where(is_end & (doc < _BIG), total, NEG_INF)
     vals, ids = select_topk(seg, doc, k)
     out_v_ref[:] = vals
     out_i_ref[:] = ids
 
 
-@functools.partial(jax.jit, static_argnames=("k", "p", "tile_b", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "p", "t", "tile_b", "interpret"))
 def merge_segsum_topk(doc: jax.Array, con: jax.Array, k: int, p: int,
-                      tile_b: int = 8, interpret: bool = False):
-    """doc/con: (B, W) per the module contract. Returns (B, k) (vals, ids),
-    empties as (-inf, -1)."""
+                      t: int = 1, tile_b: int = 0, interpret: bool = False):
+    """doc/con: (B, W) per the module contract; t = query-term slot count
+    (bounds duplicate multiplicity). Returns (B, k) (vals, ids), empties
+    as (-inf, -1)."""
     b, w = doc.shape
+    if tile_b <= 0:
+        # Adaptive row tile: fill ~2MB of VMEM with the two candidate
+        # arrays; fewer grid steps amortize the in-kernel loop overhead.
+        tile_b = max(8, min(128, (2 * 1024 * 1024) // (w * 8)))
     bp = round_up(b, tile_b)
     if bp != b:
         doc = jnp.pad(doc, ((0, bp - b), (0, 0)), constant_values=_BIG)
         con = jnp.pad(con, ((0, bp - b), (0, 0)))
-    kernel = functools.partial(_merge_segsum_kernel, k=k, p=p, w=w)
+    kernel = functools.partial(_merge_segsum_kernel, k=k, p=p, w=w, t=t)
     vals, ids = pl.pallas_call(
         kernel,
         grid=(bp // tile_b,),
@@ -141,5 +155,5 @@ def bm25_topk_fused(starts, lens, idf, post_doc, post_impact, n_valid,
         contrib = contrib.at[:, 1::2].set(jnp.flip(contrib[:, 1::2], axis=2))
     return merge_segsum_topk(doc.reshape(b, t * p_max),
                              contrib.reshape(b, t * p_max),
-                             k=k, p=p_max if t > 1 else t * p_max,
+                             k=k, p=p_max if t > 1 else t * p_max, t=t,
                              interpret=interpret_mode())

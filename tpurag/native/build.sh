@@ -1,0 +1,6 @@
+#!/bin/sh
+# Build the native runtime library (libtpurag.so).
+set -e
+cd "$(dirname "$0")"
+g++ -O3 -fPIC -shared -std=c++17 -o libtpurag.so tokenizer.cc
+echo "built $(pwd)/libtpurag.so"

@@ -1,0 +1,171 @@
+// Native tokenizer + term counter for inverted-index builds.
+//
+// The reference delegates keyword tokenization to the Meilisearch (Rust)
+// server; this library is the in-process equivalent for the TPU framework's
+// host-side ingest path. Behavior must match tpurag/ingest/tokenizer.py
+// exactly (it is the spec; tests cross-check both):
+//   - ASCII [a-z0-9_]+ runs, lowercased, are word tokens;
+//   - CJK runs (U+3040-30FF, U+3400-4DBF, U+4E00-9FFF, U+AC00-D7AF) emit
+//     character bigrams (single char -> unigram);
+//   - everything else separates tokens.
+//
+// Exposed C ABI (consumed via ctypes in tpurag/native/loader.py):
+//   char*  tr_term_counts_json(const char* utf8, size_t len);  // JSON obj
+//   size_t tr_tokenize_count(const char* utf8, size_t len);
+//   void   tr_free(void* p);
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+inline bool is_word_byte(unsigned char c) {
+  return (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_';
+}
+
+inline bool is_cjk(uint32_t cp) {
+  return (cp >= 0x3040 && cp <= 0x30FF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+         (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0xAC00 && cp <= 0xD7AF);
+}
+
+// Decode one UTF-8 codepoint; returns bytes consumed (0 on invalid).
+inline size_t decode_utf8(const unsigned char* s, size_t len, uint32_t* cp) {
+  if (len == 0) return 0;
+  unsigned char c = s[0];
+  if (c < 0x80) { *cp = c; return 1; }
+  if ((c >> 5) == 0x6 && len >= 2 && (s[1] & 0xC0) == 0x80) {
+    *cp = ((c & 0x1F) << 6) | (s[1] & 0x3F);
+    return 2;
+  }
+  if ((c >> 4) == 0xE && len >= 3 && (s[1] & 0xC0) == 0x80 &&
+      (s[2] & 0xC0) == 0x80) {
+    *cp = ((c & 0x0F) << 12) | ((s[1] & 0x3F) << 6) | (s[2] & 0x3F);
+    return 3;
+  }
+  if ((c >> 3) == 0x1E && len >= 4 && (s[1] & 0xC0) == 0x80 &&
+      (s[2] & 0xC0) == 0x80 && (s[3] & 0xC0) == 0x80) {
+    *cp = ((c & 0x07) << 18) | ((s[1] & 0x3F) << 12) | ((s[2] & 0x3F) << 6) |
+          (s[3] & 0x3F);
+    return 4;
+  }
+  *cp = 0xFFFD;
+  return 1;
+}
+
+inline void encode_utf8(uint32_t cp, std::string* out) {
+  if (cp < 0x80) {
+    out->push_back(static_cast<char>(cp));
+  } else if (cp < 0x800) {
+    out->push_back(static_cast<char>(0xC0 | (cp >> 6)));
+    out->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else if (cp < 0x10000) {
+    out->push_back(static_cast<char>(0xE0 | (cp >> 12)));
+    out->push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else {
+    out->push_back(static_cast<char>(0xF0 | (cp >> 18)));
+    out->push_back(static_cast<char>(0x80 | ((cp >> 12) & 0x3F)));
+    out->push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  }
+}
+
+template <typename Emit>
+void tokenize(const char* data, size_t len, Emit emit) {
+  const unsigned char* s = reinterpret_cast<const unsigned char*>(data);
+  size_t i = 0;
+  std::string word;
+  std::vector<uint32_t> cjk_run;
+
+  auto flush_word = [&]() {
+    if (!word.empty()) {
+      emit(word);
+      word.clear();
+    }
+  };
+  auto flush_cjk = [&]() {
+    if (cjk_run.size() == 1) {
+      std::string t;
+      encode_utf8(cjk_run[0], &t);
+      emit(t);
+    } else if (cjk_run.size() > 1) {
+      for (size_t j = 0; j + 1 < cjk_run.size(); ++j) {
+        std::string t;
+        encode_utf8(cjk_run[j], &t);
+        encode_utf8(cjk_run[j + 1], &t);
+        emit(t);
+      }
+    }
+    cjk_run.clear();
+  };
+
+  while (i < len) {
+    unsigned char c = s[i];
+    if (c < 0x80) {
+      unsigned char lc =
+          (c >= 'A' && c <= 'Z') ? static_cast<unsigned char>(c + 32) : c;
+      if (is_word_byte(lc)) {
+        flush_cjk();
+        word.push_back(static_cast<char>(lc));
+      } else {
+        flush_word();
+        flush_cjk();
+      }
+      ++i;
+      continue;
+    }
+    uint32_t cp = 0;
+    size_t used = decode_utf8(s + i, len - i, &cp);
+    i += used ? used : 1;
+    if (is_cjk(cp)) {
+      flush_word();
+      cjk_run.push_back(cp);
+    } else {
+      flush_word();
+      flush_cjk();
+    }
+  }
+  flush_word();
+  flush_cjk();
+}
+
+}  // namespace
+
+extern "C" {
+
+char* tr_term_counts_json(const char* data, size_t len) {
+  std::unordered_map<std::string, uint32_t> counts;
+  tokenize(data, len, [&](const std::string& t) { ++counts[t]; });
+  std::string out = "{";
+  bool first = true;
+  for (const auto& kv : counts) {
+    if (!first) out += ",";
+    first = false;
+    out += "\"";
+    // Terms are [a-z0-9_] or CJK — no JSON metachars — but escape
+    // defensively for \ and " anyway.
+    for (char ch : kv.first) {
+      if (ch == '"' || ch == '\\') out += '\\';
+      out += ch;
+    }
+    out += "\":" + std::to_string(kv.second);
+  }
+  out += "}";
+  char* buf = static_cast<char*>(std::malloc(out.size() + 1));
+  std::memcpy(buf, out.c_str(), out.size() + 1);
+  return buf;
+}
+
+size_t tr_tokenize_count(const char* data, size_t len) {
+  size_t n = 0;
+  tokenize(data, len, [&](const std::string&) { ++n; });
+  return n;
+}
+
+void tr_free(void* p) { std::free(p); }
+
+}  // extern "C"
