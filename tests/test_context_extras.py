@@ -1,0 +1,161 @@
+import time
+
+import pytest
+
+from tpurag.context.adaptive import (
+    AdaptiveContextManager,
+    TaskTracker,
+    extract_entities,
+    wrap_tools,
+)
+from tpurag.context.rewriter import (
+    decompose,
+    expand_synonyms,
+    resolve_pronouns,
+    rewrite_query,
+)
+
+
+class TestRewriter:
+    def test_pronoun_resolution(self):
+        hist = [{"role": "user", "content": "Tell me about the Meilisearch index"}]
+        out = resolve_pronouns("how fast is it?", hist)
+        assert "Meilisearch" in out
+
+    def test_no_history_passthrough(self):
+        assert resolve_pronouns("how fast is it?") == "how fast is it?"
+
+    def test_synonyms(self):
+        out = expand_synonyms("delete the config")
+        assert "remove" in out and "configuration" in out
+
+    def test_decompose(self):
+        parts = decompose("explain RRF and also describe BM25 scoring")
+        assert len(parts) == 2
+
+    def test_llm_rewrite_guarded(self):
+        # an LLM returning garbage 10x the length is rejected
+        out = rewrite_query("short", llm=lambda p: "x" * 1000, synonyms=False)
+        assert out == ["short"]
+
+    def test_full_pipeline(self):
+        hist = [{"role": "assistant", "content": "We discussed the DenseIndex"}]
+        out = rewrite_query("is it fast and also is it exact?", hist)
+        assert any("DenseIndex" in p for p in out)
+
+
+class TestTaskTracker:
+    def test_detects_task(self):
+        t = TaskTracker()
+        st = t.observe("s1", "please implement a parser for logs", now=100.0)
+        assert st and "implement" in st.description
+
+    def test_non_task_ignored(self):
+        t = TaskTracker()
+        assert t.observe("s1", "hello there", now=100.0) is None
+
+    def test_expiry(self):
+        t = TaskTracker()
+        t.observe("s1", "implement the thing", now=100.0)
+        assert t.get("s1", now=200.0) is not None
+        assert t.get("s1", now=100.0 + 3601) is None
+
+
+class TestAdaptive:
+    def test_refresh_after_calls(self):
+        m = AdaptiveContextManager()
+        for i in range(3):
+            m.record("search_knowledge", {"query": "x"}, "short output")
+        assert m.should_refresh()
+
+    def test_refresh_on_new_entities(self):
+        m = AdaptiveContextManager()
+        m.record("t", {}, "Alice met Bob at Charlie Corp")
+        assert m.should_refresh()
+
+    def test_refresh_on_token_volume(self):
+        m = AdaptiveContextManager()
+        m.record("t", {}, "word " * 3000)
+        assert m.should_refresh()
+
+    def test_follow_up_regex(self):
+        m = AdaptiveContextManager()
+        assert m.should_refresh("and what about the second one?")
+
+    def test_refresh_resets(self):
+        m = AdaptiveContextManager()
+        m.record("t", {}, "Alice Bob Charlie Delta")
+        m.refresh("q")
+        assert not m.should_refresh()
+
+    def test_entity_extraction_cjk(self):
+        ents = extract_entities("clash of 清华大学 and Stanford")
+        assert "Stanford" in ents and any("清华" in e for e in ents)
+
+    def test_wrap_tools_records(self):
+        from tpurag.agent.tools import Tool
+        m = AdaptiveContextManager()
+        tools = {"echo": Tool("echo", "d", lambda **kw: "observed Entity")}
+        wrapped = wrap_tools(tools, m)
+        out = wrapped["echo"].fn(query="x")
+        assert out == "observed Entity"
+        assert m.calls and m.calls[0]["tool"] == "echo"
+
+
+class TestSessions:
+    def test_session_lifecycle(self, tmp_path):
+        from tpurag.api.sessions import SessionStore
+        store = SessionStore(str(tmp_path))
+        s = store.create()
+        s.append("user", "first question about things")
+        s.append("assistant", "answer")
+        assert s.title.startswith("first question")
+        store.save()
+        store2 = SessionStore(str(tmp_path))
+        assert store2.get(s.session_id).messages[0]["content"].startswith("first")
+
+    def test_recent_rounds(self):
+        from tpurag.api.sessions import ChatSession
+        s = ChatSession("x")
+        for i in range(30):
+            s.append("user", f"q{i}")
+            s.append("assistant", f"a{i}")
+        assert len(s.recent(10)) == 20
+
+    def test_token_auth(self):
+        from tpurag.api.sessions import TokenAuth
+        auth = TokenAuth()
+        tok = auth.issue("alice")
+        assert auth.verify(tok) == "alice"
+        assert auth.verify("wrong") is None
+        assert auth.revoke(tok)
+        assert auth.verify(tok) is None
+
+
+class TestServerSessions:
+    def test_chat_with_session_and_auth(self):
+        from tpurag import KnowledgeBase
+        from tpurag.agent.react import Agent
+        from tpurag.api.server import RagServer
+        from tpurag.api.sessions import TokenAuth
+
+        kb = KnowledgeBase("s-kb")
+        kb.add_document("d", "Bake bread with flour and yeast.")
+        auth = TokenAuth()
+        tok = auth.issue("svc")
+        srv = RagServer(kb, agent=Agent(kb), auth=auth)
+        # no token -> 401
+        code, out = srv.handle("POST", "/search", {"query": "bread"})
+        assert code == 401
+        # with token
+        code, out = srv.handle("POST", "/sessions", {}, token=tok)
+        sid = out["session_id"]
+        code, out = srv.handle("POST", "/chat",
+                               {"question": "bake bread yeast?",
+                                "session_id": sid}, token=tok)
+        assert code == 200 and out["session_id"] == sid
+        code, out = srv.handle("GET", f"/sessions/{sid}", {}, token=tok)
+        assert len(out["messages"]) == 2
+        code, out = srv.handle("POST", f"/sessions/{sid}/delete", {}, token=tok)
+        assert out["deleted"]
+        srv.executor.shutdown()

@@ -113,6 +113,12 @@ class TestServer:
             code = e.code
         assert code == 400
 
+    def test_eval_route(self, server):
+        base, _ = server
+        code, out = _req(base, "POST", "/eval", {"n": 1})
+        assert code == 200 and out["status"] in ("completed", "failed")
+        assert "averages" in out and out["results"]
+
     def test_concurrent_searches_batch(self, server):
         base, _ = server
         results = [None] * 12

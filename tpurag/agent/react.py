@@ -126,9 +126,15 @@ class Agent:
         return out
 
     def _react(self, question: str, ctx, tools, tool_ctx) -> str:
-        """ReAct loop over the pluggable LLM (agent.ts:517)."""
+        """ReAct loop over the pluggable LLM (agent.ts:517), with adaptive
+        mid-loop context refresh (context-aware-tools.ts / adaptive-context
+        behavior: rebuild the context block after enough tool activity)."""
+        from tpurag.context.adaptive import AdaptiveContextManager
+
+        adaptive = AdaptiveContextManager(self.engine)
+        context_text = ctx.text
         prompt = SYSTEM_PROMPT.format(tools=", ".join(tools)) + (
-            f"\n# Context\n{ctx.text}\n\n# Question\n{question}\n")
+            f"\n# Context\n{context_text}\n\n# Question\n{question}\n")
         transcript = prompt
         for _ in range(_MAX_REACT_STEPS):
             out = self.llm(transcript)
@@ -151,7 +157,13 @@ class Agent:
                 except TypeError:
                     obs = tools[name]()
                 tool_ctx.record(name, {key: arg}, obs)
+                adaptive.record(name, {key: arg}, obs)
             transcript += f"\n{out}\nObservation: {obs}\n"
+            if adaptive.should_refresh():
+                refreshed = adaptive.refresh(question)
+                if refreshed is not None and refreshed.text:
+                    transcript += (f"\n# Updated context\n"
+                                   f"{refreshed.text[:2000]}\n")
         return "I could not complete the reasoning loop for this question."
 
     def _quality_loop(self, question, answer, ctx, tools, tool_ctx) -> str:

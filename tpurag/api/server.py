@@ -27,11 +27,15 @@ from tpurag.engine.batching import BatchingExecutor
 
 
 class RagServer:
-    def __init__(self, kb, agent=None, graph=None,
+    def __init__(self, kb, agent=None, graph=None, auth=None, sessions=None,
                  max_batch: int = 64, max_wait_ms: float = 2.0):
+        from tpurag.api.sessions import SessionStore
+
         self.kb = kb
         self.agent = agent
         self.graph = graph
+        self.auth = auth              # TokenAuth or None (open)
+        self.sessions = sessions or SessionStore()
         self._lock = threading.Lock()
         self.executor = BatchingExecutor(self._run_batch, max_batch,
                                          max_wait_ms)
@@ -46,7 +50,29 @@ class RagServer:
 
     # -- handlers --------------------------------------------------------
 
-    def handle(self, method: str, path: str, body: dict) -> tuple[int, dict]:
+    def handle(self, method: str, path: str, body: dict,
+               token: Optional[str] = None) -> tuple[int, dict]:
+        if self.auth is not None and path != "/health":
+            if self.auth.verify(token) is None:
+                return 401, {"error": "unauthorized"}
+        if method == "GET" and path == "/sessions":
+            return 200, {"sessions": self.sessions.list()}
+        if method == "POST" and path == "/sessions":
+            s = self.sessions.create(body.get("session_id"))
+            return 200, {"session_id": s.session_id}
+        if path.startswith("/sessions/"):
+            parts = path.split("/")
+            sid = parts[2]
+            if method == "POST" and len(parts) == 4 and parts[3] == "delete":
+                ok = self.sessions.delete(sid)
+                return (200, {"deleted": True}) if ok else (
+                    404, {"error": f"no session {sid}"})
+            s = self.sessions.get(sid)
+            if s is None:
+                return 404, {"error": f"no session {sid}"}
+            if method == "GET":
+                return 200, {"session_id": sid, "title": s.title,
+                             "messages": s.messages}
         if method == "GET" and path == "/health":
             return 200, {"status": "ok", "chunks": len(self.kb)}
         if method == "GET" and path == "/stats":
@@ -70,11 +96,20 @@ class RagServer:
                 return 503, {"error": "no agent configured"}
             if not body.get("question"):
                 return 400, {"error": "missing 'question'"}
+            session = None
+            history = body.get("history")
+            if body.get("session_id"):
+                session = self.sessions.get_or_create(body["session_id"])
+                history = history or session.recent(10)  # last-10 rounds,
+                #                                          query/route.ts:17-75
             with self._lock:  # agent mutates memory; serialize
-                res = self.agent.query(body["question"],
-                                       history=body.get("history"))
+                res = self.agent.query(body["question"], history=history)
+            if session is not None:
+                session.append("user", body["question"])
+                session.append("assistant", res.answer)
             return 200, {
                 "answer": res.answer,
+                "session_id": session.session_id if session else None,
                 "tool_calls": res.tool_calls,
                 "sources": [dataclasses.asdict(s) for s in res.sources or []],
             }
@@ -92,6 +127,23 @@ class RagServer:
             if self.graph is None:
                 return 404, {"error": "no graph index"}
             return 200, self.graph.export_graph()
+        if method == "POST" and path == "/eval":
+            if self.agent is None:
+                return 503, {"error": "no agent configured"}
+            from tpurag.eval.service import EvalService
+
+            with self._lock:
+                run = EvalService(self.agent).run(n=int(body.get("n", 3)))
+            return 200, {
+                "status": run.status,
+                "averages": run.averages,
+                "results": [
+                    {"question": r.question.question, "answer": r.answer[:500],
+                     "scores": dataclasses.asdict(r.scores) if r.scores else None,
+                     "seconds": r.seconds, "error": bool(r.error)}
+                    for r in run.results
+                ],
+            }
         return 404, {"error": f"no route {method} {path}"}
 
     # -- lifecycle -------------------------------------------------------
@@ -112,8 +164,11 @@ class RagServer:
                     body, code, out = {}, 400, {"error": "invalid JSON body"}
                     self._write(code, out)
                     return
+                auth_header = self.headers.get("Authorization", "")
+                token = auth_header.removeprefix("Bearer ").strip() or None
                 try:
-                    code, out = outer.handle(method, self.path, body)
+                    code, out = outer.handle(method, self.path, body,
+                                             token=token)
                 except Exception as e:  # degrade, never crash (SURVEY §5.3)
                     code, out = 500, {"error": str(e)}
                 self._write(code, out)

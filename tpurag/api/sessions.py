@@ -1,0 +1,104 @@
+"""Chat sessions and auth.
+
+Reference: Prisma ChatSession/ChatHistory rows + next-auth credentials
+(SURVEY.md §2.8, prisma/schema.prisma). Equivalent host-side store:
+sessions with history persistence to JSON, and token-based auth for the
+HTTP shim (bcrypt-JWT replaced by salted-hash API tokens — the framework
+is a service core, not a user-facing web app)."""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import pathlib
+import secrets
+import time
+from typing import Optional
+
+
+@dataclasses.dataclass
+class ChatSession:
+    session_id: str
+    title: str = ""
+    created_at: float = dataclasses.field(default_factory=time.time)
+    messages: list[dict] = dataclasses.field(default_factory=list)
+
+    def append(self, role: str, content: str) -> None:
+        self.messages.append({"role": role, "content": content,
+                              "ts": time.time()})
+        if not self.title and role == "user":
+            self.title = content[:50]  # reference: first question as title
+
+    def recent(self, rounds: int = 10) -> list[dict]:
+        """Last-N rounds for prompt context (query/route.ts:17-75 uses 10)."""
+        return self.messages[-rounds * 2:]
+
+
+class SessionStore:
+    def __init__(self, directory: Optional[str] = None):
+        self.dir = pathlib.Path(directory) if directory else None
+        self._sessions: dict[str, ChatSession] = {}
+        if self.dir and (self.dir / "sessions.json").exists():
+            data = json.loads((self.dir / "sessions.json").read_text())
+            for s in data:
+                cs = ChatSession(s["session_id"], s.get("title", ""),
+                                 s.get("created_at", 0.0),
+                                 s.get("messages", []))
+                self._sessions[cs.session_id] = cs
+
+    def create(self, session_id: Optional[str] = None) -> ChatSession:
+        sid = session_id or secrets.token_hex(8)
+        s = ChatSession(sid)
+        self._sessions[sid] = s
+        return s
+
+    def get(self, session_id: str) -> Optional[ChatSession]:
+        return self._sessions.get(session_id)
+
+    def get_or_create(self, session_id: Optional[str]) -> ChatSession:
+        if session_id and session_id in self._sessions:
+            return self._sessions[session_id]
+        return self.create(session_id)
+
+    def delete(self, session_id: str) -> bool:
+        return self._sessions.pop(session_id, None) is not None
+
+    def list(self) -> list[dict]:
+        return [{"session_id": s.session_id, "title": s.title,
+                 "messages": len(s.messages)}
+                for s in self._sessions.values()]
+
+    def save(self) -> None:
+        if not self.dir:
+            return
+        self.dir.mkdir(parents=True, exist_ok=True)
+        (self.dir / "sessions.json").write_text(json.dumps(
+            [dataclasses.asdict(s) for s in self._sessions.values()],
+            ensure_ascii=False))
+
+
+class TokenAuth:
+    """Salted-hash API-token auth (replaces next-auth credentials+bcrypt,
+    src/lib/auth.ts:6-65, for a service deployment)."""
+
+    def __init__(self):
+        self._tokens: dict[str, str] = {}  # hash -> principal
+
+    @staticmethod
+    def _hash(token: str) -> str:
+        return hashlib.blake2b(token.encode(), digest_size=16,
+                               person=b"tpuragTK").hexdigest()
+
+    def issue(self, principal: str) -> str:
+        token = secrets.token_urlsafe(24)
+        self._tokens[self._hash(token)] = principal
+        return token
+
+    def verify(self, token: Optional[str]) -> Optional[str]:
+        if not token:
+            return None
+        return self._tokens.get(self._hash(token))
+
+    def revoke(self, token: str) -> bool:
+        return self._tokens.pop(self._hash(token), None) is not None

@@ -1,0 +1,134 @@
+"""Task state + adaptive mid-loop context refresh.
+
+Reference:
+- task-state.ts — in-memory per-session task/subtask tracking with
+  keyword detection (:149-170) and 1h expiry (:175);
+- adaptive-context.ts — record tool calls during the agent loop and
+  trigger a context rebuild after 3 calls / >=3 new entities / follow-up
+  regex / >2500 estimated tokens (:120-160); regex entity extraction
+  (:243-280); merged contexts keep top-10 RAG chunks (:331-361);
+- context-aware-tools.ts — wraps tool calls to record I/O (:67-117).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import time
+from typing import Optional
+
+from tpurag.ingest.chunker import estimate_tokens
+
+_TASK_HINT = re.compile(
+    r"\b(implement|write|create|build|fix|refactor|analyze|summarize"
+    r"|翻译|总结|实现|修复)\b", re.IGNORECASE)
+_FOLLOW_UP = re.compile(r"^(and|also|what about|then|继续|还有)", re.IGNORECASE)
+_ENTITY = re.compile(r"\b[A-Z][a-zA-Z0-9_]{2,}\b|[㐀-䶿一-鿿]{2,6}")
+
+TASK_EXPIRY_S = 3600.0            # task-state.ts:175
+REFRESH_AFTER_CALLS = 3           # adaptive-context.ts:13-29
+REFRESH_AFTER_ENTITIES = 3
+REFRESH_AFTER_TOKENS = 2500
+
+
+@dataclasses.dataclass
+class TaskState:
+    description: str = ""
+    subtasks: list[str] = dataclasses.field(default_factory=list)
+    updated_at: float = 0.0
+
+    def expired(self, now: float) -> bool:
+        return now - self.updated_at > TASK_EXPIRY_S
+
+
+class TaskTracker:
+    """Per-session task detection (task-state.ts:149-170)."""
+
+    def __init__(self):
+        self._tasks: dict[str, TaskState] = {}
+
+    def observe(self, session_id: str, message: str,
+                now: Optional[float] = None) -> Optional[TaskState]:
+        now = now or time.time()
+        self._tasks = {k: v for k, v in self._tasks.items()
+                       if not v.expired(now)}
+        if _TASK_HINT.search(message):
+            st = self._tasks.get(session_id) or TaskState()
+            st.description = message[:200]
+            st.updated_at = now
+            self._tasks[session_id] = st
+        return self._tasks.get(session_id)
+
+    def get(self, session_id: str, now: Optional[float] = None
+            ) -> Optional[TaskState]:
+        st = self._tasks.get(session_id)
+        if st and st.expired(now or time.time()):
+            del self._tasks[session_id]
+            return None
+        return st
+
+
+def extract_entities(text: str) -> set[str]:
+    """Regex entity extraction (adaptive-context.ts:243-280)."""
+    return {m.group(0) for m in _ENTITY.finditer(text)}
+
+
+class AdaptiveContextManager:
+    """Records tool I/O during the agent loop and decides when the
+    context should be rebuilt (adaptive-context.ts:63,120-160)."""
+
+    def __init__(self, engine=None):
+        self.engine = engine
+        self.calls: list[dict] = []
+        self.known_entities: set[str] = set()
+        self.new_entities: set[str] = set()
+        self.observed_tokens = 0
+
+    def record(self, tool: str, args: dict, output: str) -> None:
+        self.calls.append({"tool": tool, "args": args})
+        ents = extract_entities(output)
+        self.new_entities |= ents - self.known_entities
+        self.observed_tokens += estimate_tokens(output)
+
+    def should_refresh(self, next_query: str = "") -> bool:
+        return (
+            len(self.calls) >= REFRESH_AFTER_CALLS
+            or len(self.new_entities) >= REFRESH_AFTER_ENTITIES
+            or bool(_FOLLOW_UP.match(next_query))
+            or self.observed_tokens > REFRESH_AFTER_TOKENS
+        )
+
+    def refresh(self, query: str, history=None):
+        """Rebuild context enriched with newly seen entities; resets the
+        trigger counters (adaptive-context.ts:331-361 keeps the top RAG
+        chunks — our merge re-retrieves with the enriched query)."""
+        self.known_entities |= self.new_entities
+        enriched = query
+        if self.new_entities:
+            enriched = query + " " + " ".join(sorted(self.new_entities)[:8])
+        self.new_entities = set()
+        self.calls = []
+        self.observed_tokens = 0
+        if self.engine is None:
+            return None
+        return self.engine.build_context(enriched, history)
+
+
+def wrap_tools(tools: dict, manager: AdaptiveContextManager) -> dict:
+    """Wrap every tool to record I/O into the adaptive manager
+    (context-aware-tools.ts:67-117, wrapAllTools :122)."""
+    import functools
+
+    wrapped = {}
+    for name, tool in tools.items():
+        def make(name, tool):
+            @functools.wraps(tool.fn)
+            def fn(**kw):
+                out = tool.fn(**kw)
+                manager.record(name, kw, str(out))
+                return out
+            t = dataclasses.replace(tool, fn=fn) if dataclasses.is_dataclass(tool) \
+                else tool
+            return t
+        wrapped[name] = make(name, tool)
+    return wrapped

@@ -1,0 +1,74 @@
+"""Query rewriting (off by default, as in the reference).
+
+Reference: src/lib/context/rag/query-rewriter.ts — pronoun resolution
+from history (:52), synonym expansion (:27), conjunction decomposition
+(:173), optional LLM rewrite (:112); disabled by default
+(engine.ts:59)."""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Optional
+
+_PRONOUN = re.compile(
+    r"\b(it|its|this|that|these|those|they|them|he|she|him|her)\b"
+    r"|它|这个|那个|他们|她|他", re.IGNORECASE)
+_CONJ_SPLIT = re.compile(r"\s+(?:and also|as well as|and then|并且|然后|以及)\s+",
+                         re.IGNORECASE)
+_ENTITY = re.compile(r"\b([A-Z][a-zA-Z0-9_]+(?:\s+[A-Z][a-zA-Z0-9_]+)*)\b")
+
+SYNONYMS: dict[str, list[str]] = {
+    "error": ["bug", "failure", "exception"],
+    "fast": ["quick", "performant"],
+    "delete": ["remove", "drop"],
+    "config": ["configuration", "settings"],
+    "doc": ["document", "documentation"],
+}
+
+
+def resolve_pronouns(query: str, history: Optional[list[dict]] = None) -> str:
+    """Replace a leading pronoun with the most recent entity mentioned in
+    history (query-rewriter.ts:52)."""
+    if not history or not _PRONOUN.search(query):
+        return query
+    for msg in reversed(history):
+        ents = _ENTITY.findall(msg.get("content", ""))
+        ents = [e for e in ents if len(e) > 2 and e.lower() not in
+                ("the", "this", "that", "what", "how")]
+        if ents:
+            return _PRONOUN.sub(ents[-1], query, count=1)
+    return query
+
+
+def expand_synonyms(query: str) -> str:
+    """Append known synonyms for recall (query-rewriter.ts:27)."""
+    extra: list[str] = []
+    for tok in re.findall(r"[a-z]+", query.lower()):
+        extra.extend(SYNONYMS.get(tok, []))
+    if extra:
+        return query + " " + " ".join(dict.fromkeys(extra))
+    return query
+
+
+def decompose(query: str) -> list[str]:
+    """Split multi-part questions on conjunctions (query-rewriter.ts:173)."""
+    parts = [p.strip() for p in _CONJ_SPLIT.split(query) if p.strip()]
+    return parts if len(parts) > 1 else [query]
+
+
+def rewrite_query(query: str, history: Optional[list[dict]] = None,
+                  llm: Optional[Callable[[str], str]] = None,
+                  synonyms: bool = True) -> list[str]:
+    """Full rewrite pipeline -> one or more sub-queries."""
+    q = resolve_pronouns(query, history)
+    if llm is not None:
+        try:
+            out = llm("Rewrite this search query to be self-contained and "
+                      f"specific. Output only the query.\n{q}").strip()
+            if out and len(out) < 4 * len(q) + 40:
+                q = out
+        except Exception:
+            pass
+    if synonyms:
+        q = expand_synonyms(q)
+    return decompose(q)

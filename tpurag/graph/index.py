@@ -202,3 +202,36 @@ class GraphIndex:
 
     def __len__(self) -> int:
         return len(self.entities)
+
+    # -- persistence (SURVEY.md §5.4: LightRAG persists GraphML + vector
+    # stores per working_dir; here one directory with JSON + npz shards) --
+
+    def save(self, directory) -> None:
+        import dataclasses
+        import json
+        import pathlib
+
+        d = pathlib.Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        self.ent_index.save(d / "entities")
+        self.rel_index.save(d / "relations")
+        (d / "graph.json").write_text(json.dumps({
+            "entities": [dataclasses.asdict(e) for e in self.entities],
+            "relations": [dataclasses.asdict(r) for r in self.relations],
+        }, ensure_ascii=False))
+
+    @classmethod
+    def load(cls, directory, embedder, config=None) -> "GraphIndex":
+        import json
+        import pathlib
+
+        d = pathlib.Path(directory)
+        data = json.loads((d / "graph.json").read_text())
+        g = cls(embedder, config=config)
+        g.entities = [Entity(**e) for e in data["entities"]]
+        g.relations = [Relation(**r) for r in data["relations"]]
+        g._by_name = {e.name.lower(): e.entity_id for e in g.entities}
+        g.ent_index = DenseIndex.load(d / "entities")
+        g.rel_index = DenseIndex.load(d / "relations")
+        g._dirty = True
+        return g

@@ -45,7 +45,6 @@ def _merge_segsum_kernel(doc_ref, con_ref, out_v_ref, out_i_ref,
     # Direction mask: lane's kk-block sorts ascending iff (lane & kk) == 0;
     # the lane takes the pair-min iff ascending XOR it is the pair's upper
     # lane.
-    n_levels = (w // (2 * p)).bit_length()  # log2(w/(2p)) + 1 levels
     log_2p = (2 * p).bit_length() - 1
 
     def stage(c, kk, s):
@@ -61,17 +60,25 @@ def _merge_segsum_kernel(doc_ref, con_ref, out_v_ref, out_i_ref,
         take = (want_min & (nbr_doc < doc)) | (~want_min & (nbr_doc > doc))
         return (jnp.where(take, nbr_doc, doc), jnp.where(take, nbr_con, con))
 
-    def level(lv, c):
-        kk = jnp.int32(2 * p) << lv
+    # Levels unroll in Python (static, <= ~4); the per-level stage loop is a
+    # fori_loop with a STATIC trip count and partial unroll — sequential
+    # scalar-core loop iterations carry real overhead on TPU, and full
+    # unrolling of every stage blew compile times past 10 minutes.
+    kk_py = 2 * p
+    while kk_py <= w:
+        n_stages = kk_py.bit_length() - 1
+        kk = jnp.int32(kk_py)
 
-        def inner(j, c2):
+        def inner(j, c2, kk=kk):
             s = kk >> (j + 1)
             return stage(c2, kk, s)
 
-        return jax.lax.fori_loop(0, log_2p + lv, inner, c)
-
-    if 2 * p <= w:
-        doc, con = jax.lax.fori_loop(0, n_levels, level, (doc, con))
+        # Mosaic supports only unroll=1 or full unroll; full unroll of one
+        # level (9-14 stages) trades a little compile time for removing
+        # sequential scalar-core loop iterations.
+        doc, con = jax.lax.fori_loop(0, n_stages, inner, (doc, con),
+                                     unroll=n_stages)
+        kk_py *= 2
 
     # Segment sums: a doc appears at most once per term, so after the merge
     # all duplicates of a doc sit within a window of T lanes — T-1
@@ -80,12 +87,11 @@ def _merge_segsum_kernel(doc_ref, con_ref, out_v_ref, out_i_ref,
     nxt = pltpu.roll(doc, w - 1, axis=1)
     is_end = (doc != nxt) | (lane == w - 1)
 
-    def win_step(j, total):
+    total = con
+    for j in range(1, t):  # static, small — fully unrolled
         dj = pltpu.roll(doc, j, axis=1)
         cj = pltpu.roll(con, j, axis=1)
-        return total + jnp.where((dj == doc) & (lane >= j), cj, 0.0)
-
-    total = jax.lax.fori_loop(1, t, win_step, con) if t > 1 else con
+        total = total + jnp.where((dj == doc) & (lane >= j), cj, 0.0)
 
     seg = jnp.where(is_end & (doc < _BIG), total, NEG_INF)
     vals, ids = select_topk(seg, doc, k)
@@ -102,9 +108,11 @@ def merge_segsum_topk(doc: jax.Array, con: jax.Array, k: int, p: int,
     as (-inf, -1)."""
     b, w = doc.shape
     if tile_b <= 0:
-        # Adaptive row tile: fill ~2MB of VMEM with the two candidate
-        # arrays; fewer grid steps amortize the in-kernel loop overhead.
-        tile_b = max(8, min(128, (2 * 1024 * 1024) // (w * 8)))
+        # Adaptive row tile: fill ~1MB of VMEM with the two candidate
+        # arrays (fewer grid steps amortize loop overhead; the unrolled
+        # merge level roughly doubles live temporaries, so staying at
+        # ~1MB keeps the scoped-VMEM stack under the 16MB limit).
+        tile_b = max(8, min(128, (1024 * 1024) // (w * 8)))
     bp = round_up(b, tile_b)
     if bp != b:
         doc = jnp.pad(doc, ((0, bp - b), (0, 0)), constant_values=_BIG)

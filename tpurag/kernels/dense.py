@@ -82,7 +82,15 @@ def _dense_topk_kernel(nvalid_ref, q_ref, e_ref, out_v_ref, out_i_ref,
     )
     base = j * tile_n
     col = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < nvalid_ref[0], s, NEG_INF)
+    # Only the boundary tile needs validity masking (fully-valid tiles —
+    # the overwhelming majority — skip the iota-compare-select pass).
+    n_valid = nvalid_ref[0]
+    s = jax.lax.cond(
+        base + tile_n <= n_valid,
+        lambda s: s,
+        lambda s: jnp.where(col < n_valid, s, NEG_INF),
+        s,
+    )
 
     # Skip the k-pass extraction when this tile cannot improve the running
     # top-k (common once the running set is warm).

@@ -78,13 +78,13 @@ def rrf_fuse(
     valid = (cand >= 0) & ~earlier
     fused = jnp.where(valid, fused, NEG_INF)
 
-    # Stable top-k on fused score; tie-break via position index, then map
-    # positions back to ids / bitmasks.
-    posid = jax.lax.broadcasted_iota(jnp.int32, (b, kt), 1)
-    top_scores, top_pos = select_topk(fused, posid, final_k)
-    take = jax.vmap(lambda row, idx: row[idx])
-    top_ids = take(cand, top_pos)
-    top_bits = take(src_bits, top_pos)
+    # Top-k directly on (score, candidate-id); duplicates are already
+    # masked to -inf, and every surviving id is unique per row, so the
+    # id-based tie-break is deterministic. Bitmasks recovered by masked
+    # max (all occurrences of an id carry identical bits).
+    top_scores, top_ids = select_topk(fused, cand, final_k)
+    match = cand[:, None, :] == top_ids[:, :, None]          # (B, k, Kt)
+    top_bits = jnp.max(jnp.where(match, src_bits[:, None, :], 0), axis=2)
     empty = top_scores <= NEG_INF / 2
     return (
         jnp.where(empty, NEG_INF, top_scores),
