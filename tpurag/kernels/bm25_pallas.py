@@ -158,9 +158,15 @@ def bm25_topk_fused(starts, lens, idf, post_doc, post_impact, n_valid,
     contrib = contrib.reshape(b, t, p_max)
     if t > 1:
         # Flip odd terms so each 2P block is bitonic for the merge network.
-        flip = jnp.flip(doc[:, 1::2], axis=2)
-        doc = doc.at[:, 1::2].set(flip)
-        contrib = contrib.at[:, 1::2].set(jnp.flip(contrib[:, 1::2], axis=2))
+        # (reshape/flip/stack, not .at[].set — scatter is slow on TPU.)
+        def interleave(x):
+            x4 = x.reshape(b, t // 2, 2, p_max)
+            return jnp.stack(
+                [x4[:, :, 0], jnp.flip(x4[:, :, 1], axis=-1)], axis=2
+            ).reshape(b, t, p_max)
+
+        doc = interleave(doc)
+        contrib = interleave(contrib)
     return merge_segsum_topk(doc.reshape(b, t * p_max),
                              contrib.reshape(b, t * p_max),
                              k=k, p=p_max if t > 1 else t * p_max, t=t,
