@@ -63,6 +63,36 @@ def test_sharded_pallas_interpret(rng):
     np.testing.assert_array_equal(np.asarray(si), np.asarray(xi))
 
 
+def test_sharded_dense_index(rng):
+    """DenseIndex with a mesh: adds re-place shards; search merges."""
+    import jax.numpy as jnp_
+
+    from tpurag.index.dense import DenseIndex
+
+    mesh = make_mesh([("data", 8)])
+    idx = DenseIndex(dim=32, dtype=jnp_.float32, capacity=1024, mesh=mesh)
+    vecs = rng.standard_normal((300, 32)).astype(np.float32)
+    idx.add(vecs)
+    s, i = idx.search(vecs[17:18], k=3)
+    assert int(np.asarray(i)[0, 0]) == 17
+    # growth across the sharded layout
+    idx.add(rng.standard_normal((1200, 32)).astype(np.float32))
+    assert idx.capacity % (128 * 8) == 0
+    s, i = idx.search(vecs[17:18], k=1)
+    assert int(np.asarray(i)[0, 0]) == 17
+
+
+def test_sharded_kb_end_to_end(rng):
+    from tpurag import KnowledgeBase
+
+    mesh = make_mesh([("data", 8)])
+    kb = KnowledgeBase("sharded", mesh=mesh)
+    kb.add_document("a", "the quick brown fox jumps over the lazy dog")
+    kb.add_document("b", "bake bread with flour water salt and yeast")
+    r = kb.search("quick brown fox jumps", top_k=2)
+    assert r.results and r.results[0].doc_name == "a"
+
+
 def test_indivisible_corpus_raises(rng):
     q, emb = make_data(rng, n=500, d=32, b=2)
     mesh = make_mesh([("data", 8)])

@@ -34,7 +34,10 @@ class KnowledgeBase:
         embedder: Optional[Embedder] = None,
         config: Optional[EngineConfig] = None,
         dim: Optional[int] = None,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — the dense
+        corpus shards across it (per-shard top-k + ICI all-gather merge)."""
         self.name = name
         self.config = config or EngineConfig()
         self.embedder = embedder or HashEmbedder(dim or 256)
@@ -43,6 +46,7 @@ class KnowledgeBase:
             self.dim,
             dtype=self.config.device.dtype,
             capacity=self.config.device.min_capacity,
+            mesh=mesh,
         )
         self.inverted = InvertedIndex(self.config.bm25)
         self.chunks: list[Chunk] = []

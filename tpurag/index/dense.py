@@ -47,13 +47,29 @@ def _zero_rows(buf, ids: tuple[int, ...]):
 
 
 class DenseIndex:
-    def __init__(self, dim: int, dtype=jnp.bfloat16, capacity: int = 4096):
+    def __init__(self, dim: int, dtype=jnp.bfloat16, capacity: int = 4096,
+                 mesh=None, data_axis: str = "data"):
+        """mesh: optional jax.sharding.Mesh — rows shard over `data_axis`
+        and searches run per-shard top-k + ICI all-gather merge
+        (tpurag.shard.search). Single-device layout otherwise."""
         self.dim = dim
         self.dtype = jnp.dtype(dtype)
-        self.capacity = round_up(max(capacity, 128), 128)
-        self._emb = jnp.zeros((self.capacity, dim), self.dtype)
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self._row_multiple = 128
+        if mesh is not None:
+            self._row_multiple = 128 * mesh.shape[data_axis]
+        self.capacity = round_up(max(capacity, 128), self._row_multiple)
+        self._emb = self._place(jnp.zeros((self.capacity, dim), self.dtype))
         self.n_active = 0
         self._deleted: set[int] = set()
+
+    def _place(self, arr):
+        if self.mesh is None:
+            return arr
+        from tpurag.shard.search import shard_corpus
+
+        return shard_corpus(arr, self.mesh, self.data_axis)
 
     # -- mutation ----------------------------------------------------------
 
@@ -63,7 +79,7 @@ class DenseIndex:
             new_cap *= 2
         if new_cap != self.capacity:
             pad = jnp.zeros((new_cap - self.capacity, self.dim), self.dtype)
-            self._emb = jnp.concatenate([self._emb, pad], axis=0)
+            self._emb = self._place(jnp.concatenate([self._emb, pad], axis=0))
             self.capacity = new_cap
 
     def add(self, vectors) -> np.ndarray:
@@ -103,7 +119,16 @@ class DenseIndex:
         # Overfetch to absorb tombstones, then host-filter.
         extra = min(len(self._deleted), max(self.n_active - k, 0))
         kk = min(k + extra, self.n_active)
-        scores, ids = dense_topk(q, self._emb, jnp.int32(self.n_active), kk)
+        if self.mesh is not None:
+            from tpurag.kernels.runtime import interpret_mode
+            from tpurag.shard.search import sharded_dense_topk
+
+            scores, ids = sharded_dense_topk(
+                q.astype(self.dtype), self._emb, jnp.int32(self.n_active),
+                kk, mesh=self.mesh, data_axis=self.data_axis,
+                use_pallas=not interpret_mode())
+        else:
+            scores, ids = dense_topk(q, self._emb, jnp.int32(self.n_active), kk)
         if self._deleted:
             s = np.asarray(scores)
             i = np.asarray(ids)
