@@ -102,8 +102,8 @@ def test_segsum_no_hits():
 
 def test_inverted_index_segsum_default():
     docs = ["quick fox", "lazy dog", "fox and dog and fox"]
-    a = InvertedIndex(BM25Config(use_segsum=True))
-    b = InvertedIndex(BM25Config(use_segsum=False))
+    a = InvertedIndex(BM25Config(width_classes=True))
+    b = InvertedIndex(BM25Config(width_classes=False))
     for i, d in enumerate(docs):
         a.add(i, d)
         b.add(i, d)

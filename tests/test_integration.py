@@ -1,0 +1,112 @@
+"""Cross-subsystem integration: the full reference workflow in one place —
+ingest docs + code, build graph, remember facts, chat with sessions over
+HTTP, eval the agent, save and reload everything."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tpurag import KnowledgeBase
+from tpurag.agent.react import Agent
+from tpurag.api.server import RagServer
+from tpurag.api.sessions import SessionStore
+from tpurag.eval.service import EvalService
+from tpurag.graph.index import GraphIndex
+from tpurag.memory.service import MemoryService
+
+DOCS = {
+    "curie": "Marie Curie discovered Polonium and Radium in Paris. "
+             "Pierre Curie collaborated with Marie Curie on radioactivity.",
+    "einstein": "Albert Einstein developed Relativity in Bern. "
+                "Niels Bohr met Albert Einstein at the Solvay Conference.",
+    "bread": "Bake bread with flour, water, salt and yeast. "
+             "Let the dough rise for two hours before baking.",
+}
+
+
+@pytest.fixture(scope="module")
+def stack(tmp_path_factory):
+    kb = KnowledgeBase("integration")
+    for name, text in DOCS.items():
+        kb.add_document(name, text)
+    graph = GraphIndex(kb.embedder)
+    for cid, c in enumerate(kb.chunks):
+        graph.ingest_chunk(cid, c.text)
+    mem = MemoryService(kb)
+    agent = Agent(kb, graph=graph, memory=mem)
+    return kb, graph, mem, agent
+
+
+def test_full_chat_flow_with_memory(stack):
+    kb, graph, mem, agent = stack
+    r1 = agent.query("Please remember: I always want answers in bullet points.")
+    assert len(mem) >= 1
+    r2 = agent.query("who discovered polonium, Marie Curie?")
+    assert "Curie" in r2.answer or "curie" in r2.answer.lower()
+    assert r2.tool_calls
+
+
+def test_graph_informs_agent(stack):
+    kb, graph, mem, agent = stack
+    res = agent.query("what is the relationship between Bohr and Einstein?")
+    # graph routing: decision engine sends 'relationship' queries to graph
+    assert any(t["tool"] == "graph_search" for t in res.tool_calls)
+    assert "Einstein" in res.answer
+
+
+def test_eval_over_full_stack(stack):
+    kb, graph, mem, agent = stack
+    run = EvalService(agent).run(n=2)
+    assert run.status == "completed"
+    assert run.averages["average"] > 0
+
+
+def test_server_with_sessions_and_graph(stack, tmp_path):
+    kb, graph, mem, agent = stack
+    srv = RagServer(kb, agent=agent, graph=graph,
+                    sessions=SessionStore(str(tmp_path)))
+    httpd = srv.serve(port=0, background=True)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    def req(method, path, body=None):
+        r = urllib.request.Request(
+            base + path,
+            data=json.dumps(body).encode() if body is not None else None,
+            method=method, headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(r, timeout=30) as resp:
+            return json.loads(resp.read())
+
+    sid = req("POST", "/sessions", {})["session_id"]
+    out1 = req("POST", "/chat", {"question": "how do I bake bread?",
+                                 "session_id": sid})
+    assert "bread" in out1["answer"].lower() or "yeast" in out1["answer"].lower()
+    out2 = req("POST", "/chat", {"question": "and how long should it rise?",
+                                 "session_id": sid})
+    assert out2["answer"]
+    sess = req("GET", f"/sessions/{sid}")
+    assert len(sess["messages"]) == 4
+    g = req("GET", "/graph")
+    assert g["stats"]["entities"] > 0
+    stats = req("GET", "/stats")
+    assert stats["entities"] == g["stats"]["entities"]
+    srv.sessions.save()
+    srv.shutdown()
+    # session store survives reload
+    store2 = SessionStore(str(tmp_path))
+    assert store2.get(sid) is not None
+
+
+def test_save_reload_everything(stack, tmp_path):
+    kb, graph, mem, agent = stack
+    kb.save(tmp_path / "kb")
+    graph.save(tmp_path / "graph")
+    kb2 = KnowledgeBase.load(tmp_path / "kb", embedder=kb.embedder)
+    graph2 = GraphIndex.load(tmp_path / "graph", kb.embedder)
+    r1 = kb.search("polonium radium curie", top_k=2)
+    r2 = kb2.search("polonium radium curie", top_k=2)
+    assert [x.chunk_id for x in r1.results] == [x.chunk_id for x in r2.results]
+    h1 = graph.search_chunks("Marie Curie", mode="local", k=3)
+    h2 = graph2.search_chunks("Marie Curie", mode="local", k=3)
+    assert h1 == h2

@@ -67,8 +67,10 @@ class BM25Config:
     k1: float = 1.2
     b: float = 0.75
     rank_compat_scores: bool = False  # emit 1/(rank+1) instead of BM25 score
-    use_segsum: bool = True   # sort+segment-sum scoring (faster on TPU than
-                              # XLA scatter-add; identical results)
+    use_segsum: bool = True   # retained for config compatibility; the index
+                              # always uses the segment-sum tail now (the
+                              # scatter path survives only as a reference
+                              # kernel in kernels/bm25.py)
     max_df_ratio: float = 1.0  # skip query terms matching more than this
                                # fraction of docs (stopword elision; 1.0 = off)
     head_m: int = 0     # impact-ordered head size: terms with df > head_m
