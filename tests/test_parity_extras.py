@@ -1,0 +1,92 @@
+import os
+
+import pytest
+
+from tpurag.agent.output_parser import TOOL_EMOJI, parse_agent_output
+from tpurag.code.fetcher import walk_code_files
+from tpurag.code.symbols import SymbolTable
+from tpurag.core.config import EngineConfig, config_from_env
+
+
+class TestOutputParser:
+    RAW = """Thought: I should search the knowledge base first
+Action: search_knowledge
+Action Input: RRF fusion constants
+Observation: [1] (score=0.13) RRF uses k=60 for documents.
+Thought: I have what I need
+Answer: RRF uses k=60 for documents and k=40 for code.
+"""
+
+    def test_steps_extracted(self):
+        out = parse_agent_output(self.RAW)
+        kinds = [s.kind for s in out.steps]
+        assert kinds == ["thought", "action", "action_input", "observation",
+                         "thought", "answer"]
+        assert out.answer.startswith("RRF uses k=60")
+
+    def test_tool_and_emoji(self):
+        out = parse_agent_output(self.RAW)
+        assert out.tools_used == ["search_knowledge"]
+        act = [s for s in out.steps if s.kind == "action"][0]
+        assert act.emoji == TOOL_EMOJI["search_knowledge"]
+
+    def test_no_protocol_is_answer(self):
+        out = parse_agent_output("Just a direct answer.")
+        assert out.answer == "Just a direct answer."
+        assert out.steps[0].kind == "answer"
+
+    def test_mermaid_detection(self):
+        raw = ("Answer: Here is the flow:\n```mermaid\nflowchart TD\n"
+               "A[start] --> B[end]\n```")
+        out = parse_agent_output(raw)
+        assert out.diagrams and out.diagrams[0].startswith("flowchart")
+
+
+class TestSymbols:
+    @pytest.fixture
+    def table(self, tmp_path):
+        (tmp_path / "m.py").write_text(
+            "class Engine:\n    def run(self):\n        return 1\n\n"
+            "def helper_function(x):\n    return x\n")
+        (tmp_path / "view.ts").write_text(
+            "export class ViewController {\n  show() {}\n}\n")
+        t = SymbolTable()
+        t.extract_files(walk_code_files(tmp_path))
+        return t
+
+    def test_extraction(self, table):
+        assert len(table) >= 3
+        kinds = {s.kind for s in table.symbols}
+        assert "class" in kinds and "function" in kinds
+
+    def test_exact_lookup(self, table):
+        hits = table.lookup("Engine")
+        assert hits and hits[0].file == "m.py" and hits[0].start_line == 1
+
+    def test_keyword_search(self, table):
+        hits = table.search("view controller class")
+        assert hits and hits[0].name == "ViewController"
+
+    def test_empty(self):
+        assert SymbolTable().search("anything") == []
+
+
+class TestEnvConfig:
+    def test_overrides(self, monkeypatch):
+        monkeypatch.setenv("TPURAG_CHUNK_SIZE", "256")
+        monkeypatch.setenv("TPURAG_BM25_K1", "1.6")
+        monkeypatch.setenv("TPURAG_PRESET", "code")
+        cfg = config_from_env()
+        assert cfg.chunking.chunk_size == 256
+        assert cfg.bm25.k1 == pytest.approx(1.6)
+        assert cfg.preset == "code"
+
+    def test_invalid_preset_ignored(self, monkeypatch):
+        monkeypatch.setenv("TPURAG_PRESET", "bogus")
+        assert config_from_env().preset == EngineConfig().preset
+
+    def test_defaults_without_env(self):
+        for k in list(os.environ):
+            assert not k.startswith("TPURAG_") or True
+        cfg = config_from_env()
+        assert cfg.chunking.chunk_size == 512

@@ -1,0 +1,84 @@
+"""ReAct output parsing into structured steps.
+
+Reference: src/lib/llm/output-parser.ts — extracts Thought/Action/
+Observation/Answer steps from raw agent text via regex (:48-179), detects
+and auto-wraps Mermaid blocks (:56-81), and maps tool names to display
+emojis (:29-41). The structured steps feed the UI and the eval judges."""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+
+from tpurag.agent.mermaid import clean_mermaid, detect_chart_type
+
+TOOL_EMOJI = {
+    "search_knowledge": "🔍",
+    "deep_search": "🔬",
+    "keyword_search": "🔑",
+    "graph_search": "🕸️",
+    "summarize_topic": "📄",
+    "web_search": "🌐",
+    "fetch_webpage": "📥",
+    "get_current_datetime": "🕐",
+    "generate_diagram": "📊",
+}
+
+_STEP = re.compile(
+    r"^(Thought|Action|Action Input|Observation|Answer):\s*(.*?)"
+    r"(?=^\s*(?:Thought|Action|Action Input|Observation|Answer):|\Z)",
+    re.MULTILINE | re.DOTALL)
+_LOOSE_MERMAID = re.compile(r"```mermaid\s*(.*?)```",
+                            re.DOTALL | re.IGNORECASE)
+
+
+@dataclasses.dataclass
+class AgentStep:
+    kind: str            # thought | action | action_input | observation | answer
+    content: str
+    tool: str = ""
+    emoji: str = ""
+
+
+@dataclasses.dataclass
+class ParsedOutput:
+    steps: list[AgentStep]
+    answer: str
+    diagrams: list[str]
+
+    @property
+    def tools_used(self) -> list[str]:
+        return [s.tool for s in self.steps if s.kind == "action" and s.tool]
+
+
+def parse_agent_output(raw: str) -> ParsedOutput:
+    """Raw ReAct transcript -> structured steps + final answer + diagrams."""
+    steps: list[AgentStep] = []
+    answer = ""
+    for m in _STEP.finditer(raw):
+        kind = m.group(1).lower().replace(" ", "_")
+        content = m.group(2).strip()
+        step = AgentStep(kind=kind, content=content)
+        if kind == "action":
+            tool = content.split("\n")[0].strip().strip('"')
+            step.tool = tool
+            step.emoji = TOOL_EMOJI.get(tool, "🛠️")
+        if kind == "answer":
+            answer = content
+        steps.append(step)
+    if not steps:  # no protocol markers: the whole text is the answer
+        answer = raw.strip()
+        steps = [AgentStep(kind="answer", content=answer)]
+
+    # Mermaid detection/auto-wrap (output-parser.ts:56-81).
+    diagrams = []
+    for dm in _LOOSE_MERMAID.finditer(answer):
+        cleaned = clean_mermaid(dm.group(1))
+        if detect_chart_type(cleaned):
+            diagrams.append(cleaned)
+    for dm in re.finditer(r"\[MERMAID_DIAGRAM\](.*?)\[/MERMAID_DIAGRAM\]",
+                          answer, re.DOTALL):
+        cleaned = clean_mermaid(dm.group(1))
+        if detect_chart_type(cleaned):
+            diagrams.append(cleaned)
+    return ParsedOutput(steps=steps, answer=answer, diagrams=diagrams)

@@ -51,6 +51,7 @@ class AgentResult:
     trace: QueryTrace
     tool_calls: list
     sources: list
+    diagrams: list = dataclasses.field(default_factory=list)
 
 
 class Agent:
@@ -95,9 +96,13 @@ class Agent:
         if self.memory is not None and not ctx.intent.skip_agent:
             # Reference runs this async post-answer (agent.ts:678).
             self.memory.process_conversation_end(question, answer, now=now)
+        from tpurag.agent.output_parser import parse_agent_output
+
+        parsed = parse_agent_output(answer)
         return AgentResult(answer=answer, trace=trace,
                            tool_calls=tool_ctx.tool_calls,
-                           sources=tool_ctx.search_results or ctx.trace.retrieved)
+                           sources=tool_ctx.search_results or ctx.trace.retrieved,
+                           diagrams=parsed.diagrams)
 
     # -- modes ----------------------------------------------------------------
 

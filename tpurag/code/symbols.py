@@ -1,0 +1,67 @@
+"""Code symbol extraction and lookup.
+
+Reference: src/lib/github/call-graph-builder.ts — the reference STUBBED
+this out (tree-sitter removed; extractSymbols returns empty,
+call-graph-builder.ts:36-46) and fell back to Meilisearch keyword search.
+Here the regex parser actually yields symbols, so the symbol table works:
+extraction per file, name lookup, and a keyword symbol search over the
+same inverted-index machinery the chunks use."""
+
+from __future__ import annotations
+
+import dataclasses
+
+from tpurag.code.parser import parse_code_file
+from tpurag.index.inverted import InvertedIndex
+
+
+@dataclasses.dataclass
+class Symbol:
+    name: str
+    kind: str            # function | class | interface | type | struct...
+    file: str
+    start_line: int
+    end_line: int
+    language: str
+    symbol_id: int = -1
+
+
+class SymbolTable:
+    def __init__(self):
+        self.symbols: list[Symbol] = []
+        self._by_name: dict[str, list[int]] = {}
+        self._index = InvertedIndex()
+
+    def extract_file(self, rel: str, text: str, language: str) -> int:
+        """Parse one file's symbols into the table; returns count added."""
+        added = 0
+        for b in parse_code_file(text, language):
+            sym = Symbol(name=b.name, kind=b.block_type, file=rel,
+                         start_line=b.start_line, end_line=b.end_line,
+                         language=language, symbol_id=len(self.symbols))
+            self.symbols.append(sym)
+            self._by_name.setdefault(b.name.lower(), []).append(sym.symbol_id)
+            # Index name + snake/camel fragments + file for keyword lookup.
+            self._index.add(sym.symbol_id,
+                            f"{b.name} {rel} {b.block_type} {language}")
+            added += 1
+        return added
+
+    def extract_files(self, files: list[dict]) -> int:
+        return sum(self.extract_file(f["rel"], f["text"], f["language"])
+                   for f in files)
+
+    def lookup(self, name: str) -> list[Symbol]:
+        """Exact (case-insensitive) name lookup."""
+        return [self.symbols[i] for i in self._by_name.get(name.lower(), [])]
+
+    def search(self, query: str, k: int = 10) -> list[Symbol]:
+        """Keyword search over symbol names/files (the reference's
+        Meilisearch-fallback behavior, actually wired up)."""
+        if not self.symbols:
+            return []
+        scores, ids = self._index.search([query], k=min(k, len(self.symbols)))
+        return [self.symbols[int(i)] for i in ids[0] if i >= 0]
+
+    def __len__(self) -> int:
+        return len(self.symbols)

@@ -203,3 +203,38 @@ def get_config(overrides: Optional[dict] = None) -> EngineConfig:
     if not overrides:
         return DEFAULT_CONFIG
     return dataclasses.replace(DEFAULT_CONFIG, **overrides)
+
+
+def config_from_env(base: Optional[EngineConfig] = None) -> EngineConfig:
+    """Environment-variable overrides (the reference reads env at call
+    time, SURVEY.md §5.6: CHUNK_SIZE, CHUNK_OVERLAP etc.). Supported:
+    TPURAG_CHUNK_SIZE, TPURAG_CHUNK_OVERLAP, TPURAG_PRESET,
+    TPURAG_EMBED_DIM, TPURAG_BM25_K1, TPURAG_BM25_B, TPURAG_IVF_NPROBE."""
+    import os
+
+    cfg = base or EngineConfig()
+    env = os.environ
+
+    def _i(name, default):
+        return int(env.get(name, default))
+
+    def _f(name, default):
+        return float(env.get(name, default))
+
+    chunking = dataclasses.replace(
+        cfg.chunking,
+        chunk_size=_i("TPURAG_CHUNK_SIZE", cfg.chunking.chunk_size),
+        chunk_overlap=_i("TPURAG_CHUNK_OVERLAP", cfg.chunking.chunk_overlap))
+    bm25 = dataclasses.replace(
+        cfg.bm25,
+        k1=_f("TPURAG_BM25_K1", cfg.bm25.k1),
+        b=_f("TPURAG_BM25_B", cfg.bm25.b))
+    device = dataclasses.replace(
+        cfg.device, dim=_i("TPURAG_EMBED_DIM", cfg.device.dim))
+    ivf = dataclasses.replace(
+        cfg.ivf, n_probe=_i("TPURAG_IVF_NPROBE", cfg.ivf.n_probe))
+    preset = env.get("TPURAG_PRESET", cfg.preset)
+    if preset not in PRESETS:
+        preset = cfg.preset
+    return dataclasses.replace(cfg, chunking=chunking, bm25=bm25,
+                               device=device, ivf=ivf, preset=preset)
