@@ -85,6 +85,28 @@ def test_save_load(corpus, ivf, tmp_path):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
+def test_kb_ivf_mode_with_tail_segment(rng):
+    """KB IVF mode: snapshot + exact tail scan for post-build adds."""
+    from tpurag import KnowledgeBase
+    from tpurag.core.config import EngineConfig, IVFConfig
+
+    cfg = EngineConfig(ivf=IVFConfig(n_lists=16, n_probe=16, kmeans_iters=3))
+    kb = KnowledgeBase("ivf-kb", config=cfg)
+    for i in range(40):
+        kb.add_document(f"doc{i}", f"document number {i} about topic "
+                                   f"{['ships', 'birds', 'rocks'][i % 3]} "
+                                   * 4)
+    kb.build_ivf()
+    r = kb.search("document about birds topic", mode="ivf", top_k=5)
+    assert r.results and all("birds" in x.text or "document" in x.text
+                             for x in r.results)
+    # Tail segment: new doc added AFTER the IVF build must be findable.
+    kb.add_document("fresh", "a brand new unique document about zeppelins "
+                             "and airships flying high " * 3)
+    r2 = kb.search("zeppelins airships unique document", mode="ivf", top_k=3)
+    assert r2.results and r2.results[0].doc_name == "fresh"
+
+
 def test_small_corpus():
     rng = np.random.default_rng(5)
     data = rng.standard_normal((40, 16)).astype(np.float32)

@@ -77,6 +77,8 @@ def cmd_search(args):
             print(f"[{c.doc_name}#{c.chunk_index}] score={score:.3f}")
             print(c.text[:300])
     else:
+        if args.mode == "ivf":
+            kb.build_ivf()
         resp = kb.search(args.query, top_k=args.top_k, mode=args.mode)
         print(resp.format(args.top_k))
         print(f"\n-- {resp.stats}")
@@ -169,7 +171,7 @@ def main(argv=None):
     p.add_argument("query")
     p.add_argument("--kb", required=True)
     p.add_argument("--mode", default="hybrid",
-                   choices=["hybrid", "vector", "keyword", "graph"])
+                   choices=["hybrid", "vector", "keyword", "graph", "ivf"])
     p.add_argument("--top-k", type=int, default=5)
     p.set_defaults(fn=cmd_search)
 

@@ -51,6 +51,8 @@ class KnowledgeBase:
         self.inverted = InvertedIndex(self.config.bm25)
         self.chunks: list[Chunk] = []
         self._doc_chunks: dict[str, list[int]] = {}
+        self._ivf = None
+        self._ivf_built_at = 0  # n_active snapshot the IVF was built from
 
     # -- ingest --------------------------------------------------------------
 
@@ -130,6 +132,41 @@ class KnowledgeBase:
         elif mode == "keyword":
             scores, ids = self.inverted.search(queries, p.final_top_k)
             bits = np.where(ids >= 0, 2, 0)
+        elif mode == "ivf":
+            if self._ivf is None:
+                raise ValueError("no IVF index: call kb.build_ivf() first")
+            s, i = self._ivf.search(qv, k=p.final_top_k)
+            scores, ids = np.asarray(s), np.asarray(i)
+            # Rows added after the IVF snapshot are covered by an exact
+            # scan of just the tail segment (growable-segment design:
+            # IVF partition + active segment, compacted by build_ivf()).
+            tail = self.dense.n_active - self._ivf_built_at
+            if tail > 0:
+                import jax.numpy as jnp_
+
+                from tpurag.index.dense import l2_normalize
+                from tpurag.kernels.dense import dense_topk_xla
+                from tpurag.kernels.topk import merge_topk
+
+                tail_emb = self.dense.embeddings[self._ivf_built_at:]
+                kk = min(p.final_top_k, tail)
+                t_s, t_i = dense_topk_xla(
+                    l2_normalize(qv).astype(tail_emb.dtype), tail_emb,
+                    jnp_.int32(tail), kk)
+                t_i = jnp_.where(t_i >= 0, t_i + self._ivf_built_at, -1)
+                if kk < p.final_top_k:
+                    padw = p.final_top_k - kk
+                    t_s = jnp_.pad(t_s, ((0, 0), (0, padw)),
+                                   constant_values=NEG_INF)
+                    t_i = jnp_.pad(t_i, ((0, 0), (0, padw)),
+                                   constant_values=-1)
+                ms, mi = merge_topk(jnp_.asarray(scores), jnp_.asarray(ids),
+                                    t_s, t_i, p.final_top_k)
+                scores, ids = np.asarray(ms), np.asarray(mi)
+            keep = scores >= p.min_vector_score
+            scores = np.where(keep, scores, np.float32(NEG_INF))
+            ids = np.where(keep, ids, -1)
+            bits = np.where(ids >= 0, 1, 0)
         else:
             raise ValueError(f"unknown mode {mode!r}")
         return [
@@ -159,6 +196,19 @@ class KnowledgeBase:
             for src in (r.found_in or (r.source,)):
                 stats["by_source"][src] = stats["by_source"].get(src, 0) + 1
         return SearchResponse(results=results, query=query, stats=stats)
+
+    def build_ivf(self, seed: int = 0):
+        """Snapshot the dense corpus into an IVF partition for the
+        low-latency small-batch mode (mode='ivf'); rows added afterwards
+        stay searchable via an exact tail-segment scan until the next
+        rebuild (SURVEY.md §7.3 growable-segment design)."""
+        from tpurag.index.ivf import IVFIndex
+
+        n = self.dense.n_active
+        vecs = np.asarray(self.dense.embeddings[:n], np.float32)
+        self._ivf = IVFIndex(self.config.ivf).build(vecs, seed=seed)
+        self._ivf_built_at = n
+        return self._ivf
 
     # -- persistence -----------------------------------------------------------
 
