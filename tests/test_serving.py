@@ -113,6 +113,27 @@ class TestServer:
             code = e.code
         assert code == 400
 
+    def test_save_route(self, server, tmp_path):
+        base, _ = server
+        code, out = _req(base, "POST", "/save", {"path": str(tmp_path / "snap")})
+        assert code == 200 and out["chunks"] >= 2
+        from tpurag import KnowledgeBase
+        kb2 = KnowledgeBase.load(tmp_path / "snap")
+        assert len(kb2) == out["chunks"]
+
+    def test_tracing_utils(self):
+        from tpurag.core.types import QueryTrace
+        from tpurag.utils.tracing import block_and_time, device_trace, phase_timer
+        tr = QueryTrace(question="q")
+        with phase_timer(tr, "work"):
+            pass
+        assert "work" in tr.phases
+        with device_trace(None):  # no-op path
+            pass
+        import jax.numpy as jnp_
+        sec = block_and_time(lambda: jnp_.ones((8, 8)).sum(), reps=2)
+        assert sec >= 0
+
     def test_eval_route(self, server):
         base, _ = server
         code, out = _req(base, "POST", "/eval", {"n": 1})

@@ -138,6 +138,16 @@ class RagServer:
             if self.graph is None:
                 return 404, {"error": "no graph index"}
             return 200, self.graph.export_graph()
+        if method == "POST" and path == "/save":
+            target = body.get("path")
+            if not target:
+                return 400, {"error": "missing 'path'"}
+            with self._lock:
+                self.kb.save(target)
+                if self.graph is not None:
+                    self.graph.save(str(target) + "/graph")
+                self.sessions.save()
+            return 200, {"saved": target, "chunks": len(self.kb)}
         if method == "POST" and path == "/eval":
             if self.agent is None:
                 return 503, {"error": "no agent configured"}
