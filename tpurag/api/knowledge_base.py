@@ -148,7 +148,16 @@ class KnowledgeBase:
                 from tpurag.kernels.dense import dense_topk_xla
                 from tpurag.kernels.topk import merge_topk
 
-                tail_emb = self.dense.embeddings[self._ivf_built_at:]
+                if self.dense.mesh is not None:
+                    # Mesh layout: gather the (small) tail to the default
+                    # device — slicing a row-sharded matrix mid-shard
+                    # would force an implicit reshard every query.
+                    tail_emb = jnp_.asarray(np.asarray(
+                        self.dense.embeddings[self._ivf_built_at:
+                                              self.dense.n_active],
+                        np.float32), self.dense.dtype)
+                else:
+                    tail_emb = self.dense.embeddings[self._ivf_built_at:]
                 kk = min(p.final_top_k, tail)
                 t_s, t_i = dense_topk_xla(
                     l2_normalize(qv).astype(tail_emb.dtype), tail_emb,
@@ -201,12 +210,24 @@ class KnowledgeBase:
         """Snapshot the dense corpus into an IVF partition for the
         low-latency small-batch mode (mode='ivf'); rows added afterwards
         stay searchable via an exact tail-segment scan until the next
-        rebuild (SURVEY.md §7.3 growable-segment design)."""
-        from tpurag.index.ivf import IVFIndex
+        rebuild (SURVEY.md §7.3 growable-segment design).
 
+        With a mesh, builds the cluster-partitioned ShardedIVFIndex
+        (BASELINE config 5: 10M chunks IVF-sharded over v5e-8)."""
         n = self.dense.n_active
         vecs = np.asarray(self.dense.embeddings[:n], np.float32)
-        self._ivf = IVFIndex(self.config.ivf).build(vecs, seed=seed)
+        if self.dense.mesh is not None:
+            from tpurag.shard.ivf import ShardedIVFIndex
+
+            self._ivf = ShardedIVFIndex(
+                self.config.ivf, mesh=self.dense.mesh,
+                data_axis=self.dense.data_axis,
+            ).build(vecs, dtype=self.dense.dtype, seed=seed)
+        else:
+            from tpurag.index.ivf import IVFIndex
+
+            self._ivf = IVFIndex(self.config.ivf).build(
+                vecs, dtype=self.dense.dtype, seed=seed)
         self._ivf_built_at = n
         return self._ivf
 
@@ -217,9 +238,21 @@ class KnowledgeBase:
         d.mkdir(parents=True, exist_ok=True)
         self.dense.save(d / "dense")
         self.inverted.save(d / "inverted")
+        ivf_kind = None
+        if self._ivf is not None:
+            from tpurag.shard.ivf import ShardedIVFIndex
+
+            if isinstance(self._ivf, ShardedIVFIndex):
+                ivf_kind = "sharded"
+                self._ivf.save(d / "ivf_sharded")
+            else:
+                ivf_kind = "single"
+                self._ivf.save(d / "ivf")
         meta = {
             "name": self.name,
             "dim": self.dim,
+            "ivf": ivf_kind,
+            "ivf_built_at": self._ivf_built_at,
             "chunks": [
                 {
                     "text": c.text, "doc_id": c.doc_id, "doc_name": c.doc_name,
@@ -234,14 +267,32 @@ class KnowledgeBase:
 
     @classmethod
     def load(cls, directory, embedder: Optional[Embedder] = None,
-             config: Optional[EngineConfig] = None) -> "KnowledgeBase":
+             config: Optional[EngineConfig] = None,
+             mesh=None) -> "KnowledgeBase":
+        """mesh: optional — reload the dense corpus row-sharded over its
+        'data' axis (and the IVF partition, if it was saved sharded)."""
         d = pathlib.Path(directory)
         meta = json.loads((d / "kb.json").read_text())
-        kb = cls(meta["name"], embedder=embedder, config=config, dim=meta["dim"])
-        kb.dense = DenseIndex.load(d / "dense")
+        kb = cls(meta["name"], embedder=embedder, config=config,
+                 dim=meta["dim"], mesh=mesh)
+        kb.dense = DenseIndex.load(d / "dense", mesh=mesh)
         kb.inverted = InvertedIndex.load(d / "inverted", kb.config.bm25)
         kb.chunks = [Chunk(**c) for c in meta["chunks"]]
         kb._doc_chunks = {k: [int(x) for x in v] for k, v in meta["doc_chunks"].items()}
+        ivf_kind = meta.get("ivf")
+        if ivf_kind == "sharded" and mesh is not None:
+            from tpurag.shard.ivf import ShardedIVFIndex
+
+            kb._ivf = ShardedIVFIndex.load(d / "ivf_sharded", mesh=mesh,
+                                           config=kb.config.ivf)
+            kb._ivf_built_at = int(meta.get("ivf_built_at", 0))
+        elif ivf_kind == "single":
+            from tpurag.index.ivf import IVFIndex
+
+            kb._ivf = IVFIndex.load(d / "ivf", config=kb.config.ivf,
+                                    dtype=kb.dense.dtype)
+            kb._ivf_built_at = int(meta.get("ivf_built_at", 0))
+        # else: mode='ivf' needs build_ivf() after load (documented).
         return kb
 
     def __len__(self) -> int:

@@ -192,11 +192,18 @@ def config4_graph(seed: int = 0) -> dict:
 
 
 def config5_sharded(seed: int = 0) -> dict:
-    """Corpus sharded over the mesh: per-shard top-k + all-gather merge.
-    10M chunks on v5e-8; virtual 8-dev CPU mesh otherwise (tiny shapes)."""
+    """BASELINE config 5: IVF-sharded corpus over the mesh, recall@10
+    gated >= 0.95 against the exact sharded oracle by the nprobe
+    autotuner, then QPS at the tuned budget.
+
+    10M chunks on v5e-8; virtual 8-dev CPU mesh otherwise (smaller
+    shapes; the 1M x 1024 virtual-mesh gate lives in
+    tests/test_shard_ivf.py::test_sharded_ivf_recall_gate_1m)."""
     import jax
     import jax.numpy as jnp
 
+    from tpurag.core.config import IVFConfig
+    from tpurag.shard.ivf import ShardedIVFIndex
     from tpurag.shard.mesh import make_mesh
     from tpurag.shard.search import shard_corpus, sharded_dense_topk
 
@@ -212,20 +219,47 @@ def config5_sharded(seed: int = 0) -> dict:
     else:
         devices = jax.devices()
     if n_dev < 2:
-        return {"metric": "sharded_qps", "value": 0.0, "unit": "QPS",
+        return {"metric": "sharded_ivf_qps", "value": 0.0, "unit": "QPS",
                 "skipped": "needs >= 2 devices"}
-    n = 10_000_000 if (on_tpu and n_dev >= 8) else 8192 * n_dev
+    big = on_tpu and n_dev >= 8
+    n = 10_000_000 if big else 16_384 * n_dev
     d = 1024 if on_tpu else 128
-    b, k = 256, 10
+    b, k = 64, 10
+    n_centers = 1024 if big else 64
     mesh = make_mesh([("data", n_dev)], devices=devices)
-    emb = _random_corpus(rng, n, d)
-    emb_sharded = shard_corpus(
-        jnp.asarray(emb, jnp.bfloat16 if on_tpu else jnp.float32), mesh)
-    q = jnp.asarray(_random_corpus(rng, b, d))
+
+    # Clustered corpus (IVF's operating regime; uniform-random vectors
+    # have no cluster structure for ANY ANN method to exploit).
+    centers = _random_corpus(rng, n_centers, d)
+    which = rng.integers(0, n_centers, n)
+    emb = centers[which] + 0.25 * rng.standard_normal((n, d)).astype(
+        np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = emb[rng.choice(n, b, replace=False)] + 0.05 * rng.standard_normal(
+        (b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    cfg = IVFConfig(n_lists=4096 if big else 256,
+                    kmeans_iters=6, sample_size=262_144 if big else 32_768)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    idx = ShardedIVFIndex(cfg, mesh=mesh).build(emb, dtype=dtype, seed=seed)
+
+    # Exact sharded oracle for the recall gate.
+    emb_sharded = shard_corpus(jnp.asarray(emb, dtype), mesh)
+    _, exact_ids = sharded_dense_topk(
+        jnp.asarray(q, dtype), emb_sharded, jnp.int32(n), k, mesh=mesh)
+    nprobe = idx.tune_nprobe(q, np.asarray(exact_ids), k=k,
+                             target_recall=0.95)
+    _, ids = idx.search(q, k=k, nprobe=nprobe)
+    got = np.asarray(ids)
+    exact = np.asarray(exact_ids)
+    recall = float(np.mean([
+        len(set(got[i]) & set(exact[i])) / k for i in range(b)]))
+
+    q_dev = jnp.asarray(q)
 
     def run_once():
-        s, ids = sharded_dense_topk(q, emb_sharded, jnp.int32(n), k,
-                                    mesh=mesh)
+        s, _ = idx.search(q_dev, k=k, nprobe=nprobe)
         return float(np.asarray(s).sum())
 
     run_once()
@@ -235,8 +269,10 @@ def config5_sharded(seed: int = 0) -> dict:
         run_once()
         ts.append(time.perf_counter() - t0)
     sec = min(ts)
-    return {"metric": "sharded_qps", "value": b / sec, "unit": "QPS",
-            "n": n, "devices": n_dev, "p50_ms": sec * 1e3}
+    return {"metric": "sharded_ivf_qps", "value": b / sec, "unit": "QPS",
+            "n": n, "devices": n_dev, "p50_ms": sec * 1e3,
+            "recall_at_10": recall, "nprobe": nprobe,
+            "n_lists": idx.n_lists}
 
 
 CONFIGS = {

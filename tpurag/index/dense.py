@@ -168,11 +168,12 @@ class DenseIndex:
         )
 
     @classmethod
-    def load(cls, path) -> "DenseIndex":
+    def load(cls, path, mesh=None, data_axis: str = "data") -> "DenseIndex":
         data = np.load(pathlib.Path(path).with_suffix(".npz"), allow_pickle=False)
         meta = json.loads(str(data["meta"]))
         idx = cls(meta["dim"], dtype=meta["dtype"],
-                  capacity=max(meta["n_active"], 128))
+                  capacity=max(meta["n_active"], 128),
+                  mesh=mesh, data_axis=data_axis)
         if meta["n_active"]:
             # Rows were normalized before save; write them back verbatim.
             idx._grow_to(meta["n_active"])

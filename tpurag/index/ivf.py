@@ -59,10 +59,13 @@ def _kmeans(data, centroids, n_iters: int):
         jnp.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "c_max"))
-def _ivf_search(q, centroids, emb_ivf, row_table, row_ids, n_lists,
-                k: int, nprobe: int, c_max: int):
-    """q: (B, D) normalized. Returns (B, k) scores + ORIGINAL row ids."""
+def ivf_scan(q, centroids, emb_ivf, row_table, row_ids,
+             k: int, nprobe: int, c_max: int):
+    """Traceable IVF probe-scan body (shared by the single-device jit and
+    the shard_map per-device path in tpurag.shard.ivf).
+
+    q: (B, D) normalized. Returns (B, k) scores + ORIGINAL row ids
+    (row_ids[-1]-padded clusters and empty slots come back as -1)."""
     b = q.shape[0]
     cscores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
     _, probe = jax.lax.top_k(cscores, nprobe)          # (B, nprobe)
@@ -92,6 +95,33 @@ def _ivf_search(q, centroids, emb_ivf, row_table, row_ids, n_lists,
     return jnp.where(empty, NEG_INF, vals), jnp.where(empty, -1, orig)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "c_max"))
+def _ivf_search(q, centroids, emb_ivf, row_table, row_ids,
+                k: int, nprobe: int, c_max: int):
+    return ivf_scan(q, centroids, emb_ivf, row_table, row_ids,
+                    k=k, nprobe=nprobe, c_max=c_max)
+
+
+def kmeans_assign(data: np.ndarray, cfg: IVFConfig, seed: int = 0):
+    """Spherical k-means over host-resident normalized `data` (N, D) f32.
+
+    Returns (centroids (C, D) np.float32, assign (N,) np.int32, n_lists).
+    Shared by the single-device IVFIndex and tpurag.shard.ivf."""
+    n, _ = data.shape
+    n_lists = min(cfg.n_lists, max(n // 8, 1))
+    rng = np.random.default_rng(seed)
+    sample = data[rng.choice(n, min(n, cfg.sample_size), replace=False)]
+    init = data[rng.choice(n, n_lists, replace=False)]
+    cents = _kmeans(jnp.asarray(sample), jnp.asarray(init), cfg.kmeans_iters)
+    assign = np.empty(n, np.int32)
+    step = 262_144
+    for s in range(0, n, step):
+        sc = jnp.dot(jnp.asarray(data[s:s + step]), cents.T,
+                     preferred_element_type=jnp.float32)
+        assign[s:s + step] = np.asarray(jnp.argmax(sc, axis=1))
+    return np.asarray(cents, np.float32), assign, n_lists
+
+
 class IVFIndex:
     """Built once from a snapshot of vectors (rebuild to refresh — the
     active/incremental segment stays on the exact path)."""
@@ -110,19 +140,7 @@ class IVFIndex:
         cfg = self.config
         data = np.asarray(l2_normalize(np.asarray(vectors, np.float32)))
         n, d = data.shape
-        n_lists = min(cfg.n_lists, max(n // 8, 1))
-        rng = np.random.default_rng(seed)
-        sample = data[rng.choice(n, min(n, cfg.sample_size), replace=False)]
-        init = data[rng.choice(n, n_lists, replace=False)]
-        cents = _kmeans(jnp.asarray(sample), jnp.asarray(init),
-                        cfg.kmeans_iters)
-        # Assign all rows (chunked to bound memory).
-        assign = np.empty(n, np.int32)
-        step = 262_144
-        for s in range(0, n, step):
-            sc = jnp.dot(jnp.asarray(data[s:s + step]), cents.T,
-                         preferred_element_type=jnp.float32)
-            assign[s:s + step] = np.asarray(jnp.argmax(sc, axis=1))
+        cents, assign, n_lists = kmeans_assign(data, cfg, seed=seed)
         order = np.argsort(assign, kind="stable")
         counts = np.bincount(assign, minlength=n_lists)
         self.c_max = int(round_up(max(int(counts.max()), 1), 8))
@@ -132,7 +150,7 @@ class IVFIndex:
         for c in range(n_lists):
             rows = np.arange(starts[c], starts[c + 1], dtype=np.int32)
             row_table[c, : len(rows)] = rows
-        self.centroids = cents
+        self.centroids = jnp.asarray(cents)
         self.emb_ivf = jnp.asarray(data[order], dtype)
         self.row_ids = jnp.asarray(order.astype(np.int32))
         self.row_table = jnp.asarray(row_table)
@@ -146,7 +164,7 @@ class IVFIndex:
         if q.ndim == 1:
             q = q[None]
         return _ivf_search(q, self.centroids, self.emb_ivf, self.row_table,
-                           self.row_ids, self.n_lists, k=k, nprobe=nprobe,
+                           self.row_ids, k=k, nprobe=nprobe,
                            c_max=self.c_max)
 
     def tune_nprobe(self, queries, exact_ids, k: int = 10,

@@ -1,0 +1,258 @@
+"""IVF-sharded corpus search over a device mesh — BASELINE config 5.
+
+The reference is exact-only brute force (src/lib/hybrid-search.ts:217-247,
+no ANN anywhere); the BASELINE.json target is 10M chunks IVF-sharded on
+v5e-8 with recall@10 >= 0.95 vs the exact oracle.
+
+Design (cluster-partitioned IVF, the ICI-friendly layout):
+- One GLOBAL spherical k-means (index/ivf.kmeans_assign) over the corpus.
+- Clusters are partitioned across the mesh's 'data' axis by greedy
+  size-balancing (largest cluster -> lightest shard), so every shard
+  holds ~N/S rows and the probe-scan work stays balanced.
+- Each shard owns its clusters end-to-end: local centroids, local
+  cluster-major row matrix, local (C_l, Cmax) row table, and the rows'
+  ORIGINAL global ids. A query probes each shard's top-nprobe_local
+  LOCAL centroids (distributed IVF semantics: S * nprobe_local total
+  probes) and scans only those clusters — per-shard HBM traffic is
+  nprobe_local * Cmax rows instead of N/S.
+- Per-shard top-k candidates (k (score, id) pairs, a few KB) are
+  all-gathered over ICI and merged on every device — the same wire
+  pattern as shard.search.sharded_dense_topk: bytes on the interconnect
+  are O(B * k * S), independent of corpus size.
+
+The recall gate always runs against the exact sharded oracle
+(tune_nprobe), mirroring SURVEY.md §7.3's recall accounting.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import pathlib
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpurag.core.config import IVFConfig
+from tpurag.index.dense import l2_normalize
+from tpurag.index.ivf import ivf_scan, kmeans_assign
+from tpurag.kernels.runtime import NEG_INF, round_up
+from tpurag.kernels.topk import select_topk
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe_l", "c_max", "mesh", "data_axis",
+                     "batch_axis"),
+)
+def _sharded_ivf_search(q, cents_g, emb_g, table_g, ids_g,
+                        k: int, nprobe_l: int, c_max: int, mesh: Mesh,
+                        data_axis: str = "data",
+                        batch_axis: Optional[str] = None):
+    """q: (B, D) normalized. Global arrays are stacked per-shard blocks
+    sharded over `data_axis`. Returns (B, k) scores + original ids,
+    replicated over 'data' (sharded over `batch_axis` if given)."""
+
+    def local(q_l, cents_l, emb_l, table_l, ids_l):
+        vals, orig = ivf_scan(q_l, cents_l, emb_l, table_l, ids_l,
+                              k=k, nprobe=nprobe_l, c_max=c_max)
+        all_vals = jax.lax.all_gather(vals, data_axis, axis=1, tiled=True)
+        all_ids = jax.lax.all_gather(orig, data_axis, axis=1, tiled=True)
+        # -1 empties share an id; remap to distinct sentinels so the
+        # select stays deterministic, then map back.
+        pos = jax.lax.broadcasted_iota(jnp.int32, all_ids.shape, 1)
+        tb = jnp.where(all_ids >= 0, all_ids, 2**30 + pos)
+        v, t = select_topk(all_vals, tb, k)
+        return v, jnp.where(t >= 2**30, -1, t)
+
+    qspec = P(batch_axis, None)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(qspec, P(data_axis, None), P(data_axis, None),
+                  P(data_axis, None), P(data_axis)),
+        out_specs=(qspec, qspec),
+        check_vma=False,
+    )
+    return fn(q, cents_g, emb_g, table_g, ids_g)
+
+
+def partition_clusters(counts: np.ndarray, n_shards: int) -> list[list[int]]:
+    """Greedy size-balanced partition: largest cluster to lightest shard.
+    Returns per-shard cluster-id lists."""
+    order = np.argsort(-counts, kind="stable")
+    loads = np.zeros(n_shards, np.int64)
+    bins: list[list[int]] = [[] for _ in range(n_shards)]
+    for c in order:
+        s = int(np.argmin(loads))
+        bins[s].append(int(c))
+        loads[s] += int(counts[c])
+    return bins
+
+
+class ShardedIVFIndex:
+    """Cluster-partitioned IVF over the mesh's data axis.
+
+    nprobe semantics: `nprobe` is the TOTAL probe budget; each shard
+    probes nprobe_local = max(1, ceil(nprobe / n_shards)) of its own
+    centroids (distributed-IVF candidate generation — at equal budget
+    this probes a slightly different, usually better-recall, cluster set
+    than global top-nprobe)."""
+
+    def __init__(self, config: Optional[IVFConfig] = None,
+                 mesh: Optional[Mesh] = None, data_axis: str = "data"):
+        self.config = config or IVFConfig()
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.cents_g = None    # (S*Cl, D) f32, zero-padded, data-sharded
+        self.emb_g = None      # (S*Nl, D) storage dtype, data-sharded
+        self.table_g = None    # (S*Cl, Cmax) int32 LOCAL row ids, -1 pad
+        self.ids_g = None      # (S*Nl,) int32 original global ids, -1 pad
+        self.n = 0
+        self.c_max = 0
+        self.c_local = 0       # clusters per shard (padded)
+        self.n_lists = 0
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.shape[self.data_axis]
+
+    def build(self, vectors, mesh: Optional[Mesh] = None,
+              dtype=jnp.bfloat16, seed: int = 0) -> "ShardedIVFIndex":
+        if mesh is not None:
+            self.mesh = mesh
+        assert self.mesh is not None, "ShardedIVFIndex needs a mesh"
+        s_count = self.n_shards
+        cfg = self.config
+        data = np.asarray(l2_normalize(np.asarray(vectors, np.float32)))
+        n, d = data.shape
+        cents, assign, n_lists = kmeans_assign(data, cfg, seed=seed)
+        counts = np.bincount(assign, minlength=n_lists)
+        self.c_max = int(round_up(max(int(counts.max()), 1), 8))
+        bins = partition_clusters(counts, s_count)
+
+        self.c_local = max(
+            int(round_up(max((len(b) for b in bins), default=1), 8)), 8)
+        n_local = max(int(round_up(
+            max(int(counts[b].sum()) for b in bins) if n else 1, 8)), 8)
+
+        # Rows grouped cluster-major once; then sliced per shard.
+        order = np.argsort(assign, kind="stable")
+        starts = np.zeros(n_lists + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+
+        cents_g = np.zeros((s_count * self.c_local, d), np.float32)
+        emb_g = np.zeros((s_count * n_local, d), np.float32)
+        table_g = np.full((s_count * self.c_local, self.c_max), -1, np.int32)
+        ids_g = np.full((s_count * n_local,), -1, np.int32)
+        for s, clusters in enumerate(bins):
+            pos = 0
+            for li, c in enumerate(clusters):
+                rows = order[starts[c]:starts[c + 1]]
+                m = len(rows)
+                emb_g[s * n_local + pos: s * n_local + pos + m] = data[rows]
+                ids_g[s * n_local + pos: s * n_local + pos + m] = rows
+                table_g[s * self.c_local + li, :m] = np.arange(
+                    pos, pos + m, dtype=np.int32)
+                cents_g[s * self.c_local + li] = cents[c]
+                pos += m
+
+        sh2 = NamedSharding(self.mesh, P(self.data_axis, None))
+        sh1 = NamedSharding(self.mesh, P(self.data_axis))
+        self.cents_g = jax.device_put(jnp.asarray(cents_g), sh2)
+        self.emb_g = jax.device_put(jnp.asarray(emb_g, dtype), sh2)
+        self.table_g = jax.device_put(jnp.asarray(table_g), sh2)
+        self.ids_g = jax.device_put(jnp.asarray(ids_g), sh1)
+        self.n = n
+        self.n_lists = n_lists
+        return self
+
+    def _nprobe_local(self, nprobe: int) -> int:
+        per = -(-min(nprobe, self.n_lists) // self.n_shards)
+        return max(min(per, self.c_local), 1)
+
+    def search(self, queries, k: int, nprobe: Optional[int] = None,
+               batch_axis: Optional[str] = None):
+        nprobe = nprobe or self.config.n_probe
+        q = l2_normalize(queries)
+        if q.ndim == 1:
+            q = q[None]
+        return _sharded_ivf_search(
+            q, self.cents_g, self.emb_g, self.table_g, self.ids_g,
+            k=k, nprobe_l=self._nprobe_local(nprobe), c_max=self.c_max,
+            mesh=self.mesh, data_axis=self.data_axis, batch_axis=batch_axis)
+
+    def tune_nprobe(self, queries, exact_ids, k: int = 10,
+                    target_recall: float = 0.95) -> int:
+        """Smallest total-probe budget meeting the recall gate vs the
+        exact oracle (the BASELINE gate), doubling from n_shards."""
+        exact = np.asarray(exact_ids)
+        nprobe = self.n_shards
+        while nprobe <= self.n_lists * 2:
+            _, ids = self.search(queries, k=k, nprobe=nprobe)
+            got = np.asarray(ids)
+            recall = np.mean([
+                len(set(got[i]) & set(exact[i])) / max(len(set(exact[i])), 1)
+                for i in range(exact.shape[0])
+            ])
+            if recall >= target_recall:
+                return nprobe
+            nprobe *= 2
+        return self.n_lists
+
+    # -- persistence: one artifact per shard (SURVEY.md §5.4) --------------
+
+    def save(self, directory) -> None:
+        d = pathlib.Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        s_count = self.n_shards
+        cl, nl = self.c_local, self.emb_g.shape[0] // s_count
+        for s in range(s_count):
+            np.savez(
+                d / f"ivf_shard_{s:03d}",
+                cents=np.asarray(self.cents_g[s * cl:(s + 1) * cl],
+                                 np.float32),
+                emb=np.asarray(self.emb_g[s * nl:(s + 1) * nl],
+                               np.float32).astype(np.float32),
+                table=np.asarray(self.table_g[s * cl:(s + 1) * cl]),
+                ids=np.asarray(self.ids_g[s * nl:(s + 1) * nl]),
+            )
+        (d / "ivf_meta.json").write_text(json.dumps({
+            "n": self.n, "c_max": self.c_max, "c_local": self.c_local,
+            "n_lists": self.n_lists, "n_shards": s_count,
+            "dtype": str(self.emb_g.dtype),
+        }))
+
+    @classmethod
+    def load(cls, directory, mesh: Mesh,
+             config: Optional[IVFConfig] = None,
+             data_axis: str = "data") -> "ShardedIVFIndex":
+        d = pathlib.Path(directory)
+        meta = json.loads((d / "ivf_meta.json").read_text())
+        idx = cls(config, mesh=mesh, data_axis=data_axis)
+        if idx.n_shards != meta["n_shards"]:
+            raise ValueError(
+                f"mesh has {idx.n_shards} shards; artifacts were saved "
+                f"with {meta['n_shards']} — rebuild or match the mesh")
+        parts = [np.load(d / f"ivf_shard_{s:03d}.npz")
+                 for s in range(meta["n_shards"])]
+        sh2 = NamedSharding(mesh, P(data_axis, None))
+        sh1 = NamedSharding(mesh, P(data_axis))
+        idx.cents_g = jax.device_put(
+            jnp.asarray(np.concatenate([p["cents"] for p in parts])), sh2)
+        idx.emb_g = jax.device_put(
+            jnp.asarray(np.concatenate([p["emb"] for p in parts]),
+                        jnp.dtype(meta["dtype"])), sh2)
+        idx.table_g = jax.device_put(
+            jnp.asarray(np.concatenate([p["table"] for p in parts])), sh2)
+        idx.ids_g = jax.device_put(
+            jnp.asarray(np.concatenate([p["ids"] for p in parts])), sh1)
+        idx.n = meta["n"]
+        idx.c_max = meta["c_max"]
+        idx.c_local = meta["c_local"]
+        idx.n_lists = meta["n_lists"]
+        return idx
