@@ -1,20 +1,27 @@
 """Headline benchmark: hybrid QPS per chip (top-8 RRF over a 100k corpus).
 
-BASELINE.json target: >50,000 hybrid QPS/chip at p50 < 5 ms on TPU v5e.
+BASELINE.json targets: >50,000 hybrid QPS/chip AND p50 < 5 ms on TPU v5e.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (driver
 contract), plus human-readable detail lines on stderr.
+
+Operating point: sweeps the batch axis (512 then 256) and reports the
+highest-QPS point whose p50 batch latency also meets the <5 ms gate —
+both gates in one record (round-1 verdict item 3). All swept points are
+logged to stderr.
 
 The measured step is the full fused hybrid query path on-device:
   one Pallas tiled cosine top-k over the whole batch (bf16 corpus in HBM
   — corpus-read-bound, so it runs ONCE and is shared by all classes)
   + BM25 per width class: bucket-matrix row gathers + the fused Pallas
-    merge/segment-sum/top-k kernel at each class's natural width
+    merge/segment-sum/top-k kernel at each class's ladder width
   + RRF rank-merge fusion to top-8.
 
 Storage and query layout mirror index/inverted.py exactly (per-width
 bucket matrices, row 0 = pad, precomputed impacts, width-classed
-batching). Query terms are Zipf-sampled (frequent terms likelier in
-queries, like real query logs).
+batching with query classes rounded up to BM25Config.width_ladder —
+capping compiled Pallas variants at len(ladder) instead of one per pow2
+width, the round-1 301s-first-compile fix). Query terms are Zipf-sampled
+(frequent terms likelier in queries, like real query logs).
 """
 
 from __future__ import annotations
@@ -26,6 +33,8 @@ import time
 import numpy as np
 
 BASELINE_QPS = 50_000.0
+P50_GATE_MS = 5.0
+WIDTH_LADDER = (64, 256, 1024, 2048)  # BM25Config.width_ladder default
 
 
 def log(*a):
@@ -34,6 +43,13 @@ def log(*a):
 
 def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 1).bit_length() if x > 2 else max(int(x), 1)
+
+
+def _ladder_width(p: int) -> int:
+    for w in WIDTH_LADDER:
+        if w >= p:
+            return w
+    return p
 
 
 def main():
@@ -54,11 +70,17 @@ def main():
     log(f"backend={backend} devices={jax.devices()}")
 
     # Config 2 shape: 100k chunks, dim 1024, top-8 hybrid.
+    # Batch points ordered by descending expected QPS; the sweep stops at
+    # the first point meeting the p50 gate (measured v5e scaling: b=512
+    # -> 5.35ms misses, b=256 -> 3.80ms clears; b=384 sits ~4.6ms), so
+    # the cold run usually compiles exactly one point.
     if on_tpu:
-        n, d, b, vocab = 100_000, 1024, 512, 50_000
+        n, d, vocab = 100_000, 1024, 50_000
+        batches = (384, 256)
         iters = 20
     else:  # CPU smoke mode
-        n, d, b, vocab = 20_000, 256, 64, 5_000
+        n, d, vocab = 20_000, 256, 5_000
+        batches = (64,)
         iters = 3
 
     k, t_query, df_max = 8, 8, 2048
@@ -105,85 +127,107 @@ def main():
     n_valid = jnp.int32(n)
     log(f"inverted index nnz={nnz} widths={widths}")
 
-    # Zipf-weighted query terms; width-class by per-query max bucket.
+    use_pallas = on_tpu
     wprob = (1 + np.arange(vocab)) ** -0.7
     wprob /= wprob.sum()
-    tid = rng.choice(vocab, size=(b, t_query), p=wprob)
-    q_pmax = term_bucket[tid].max(axis=1)
-    classes = [(int(p), np.where(q_pmax == p)[0])
-               for p in sorted(set(q_pmax.tolist()))]
-    log("width classes: " + ", ".join(f"p={p}: {len(s)}" for p, s in classes))
 
-    q = rng.standard_normal((b, d)).astype(np.float32)
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
-    q_dev = jnp.asarray(q)
-    idf_all = rng.uniform(0.5, 3.0, (b, t_query)).astype(np.float32)
+    def build_point(b: int):
+        """One operating point at batch size b: returns a chained-step fn."""
+        # Zipf-weighted query terms; width-classed at LADDER widths.
+        tid = rng.choice(vocab, size=(b, t_query), p=wprob)
+        q_pmax = np.array([_ladder_width(p)
+                           for p in term_bucket[tid].max(axis=1)])
+        classes = [(int(p), np.where(q_pmax == p)[0])
+                   for p in sorted(set(q_pmax.tolist()))]
+        log(f"b={b} width classes: "
+            + ", ".join(f"p={p}: {len(s)}" for p, s in classes))
 
-    class_const = []
-    for p_max, sel in classes:
-        gb = max(8, -(-len(sel) // 8) * 8)  # pad rows to a multiple of 8
-        gsel = np.resize(sel, gb)
-        class_const.append((
-            int(p_max),
-            jnp.asarray(sel.astype(np.int32)),
-            len(sel),
-            jnp.asarray(term_bucket[tid[gsel]]),
-            jnp.asarray((term_row[tid[gsel]] + 1).astype(np.int32)),
-            jnp.asarray(idf_all[gsel]),
-        ))
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        q_dev = jnp.asarray(q)
+        idf_all = rng.uniform(0.5, 3.0, (b, t_query)).astype(np.float32)
 
-    use_pallas = on_tpu
+        class_const = []
+        for p_max, sel in classes:
+            gb = max(8, -(-len(sel) // 8) * 8)  # pad rows to a multiple of 8
+            gsel = np.resize(sel, gb)
+            class_const.append((
+                int(p_max),
+                jnp.asarray(sel.astype(np.int32)),
+                len(sel),
+                jnp.asarray(term_bucket[tid[gsel]]),
+                jnp.asarray((term_row[tid[gsel]] + 1).astype(np.int32)),
+                jnp.asarray(idf_all[gsel]),
+            ))
 
-    def step(i):
-        qq = q_dev * (1.0 + i.astype(jnp.float32) * 1e-7)
-        if use_pallas:
-            v_s, v_i = dense_topk_pallas(qq, emb_dev, n_valid, k)
-        else:
-            v_s, v_i = dense_topk_xla(qq, emb_dev, n_valid, k)
-        # Per-class BM25 at its own width; scatter class results back into
-        # one (B, k) candidate table for fusion.
-        k_i_full = jnp.full((b, k), -1, jnp.int32)
-        for p_max, sel, n_real, bw_g, row_g, idf_g in class_const:
-            k_s, k_i = _bucket_score(
-                jnp.roll(bw_g, i, axis=0), jnp.roll(row_g, i, axis=0),
-                jnp.roll(idf_g, i, axis=0), mats,
-                k=k, p_max=p_max, t=t_query, widths=widths,
-                use_pallas=use_pallas)
-            k_i_full = k_i_full.at[sel].set(k_i[:n_real])
-        s, ids, bits = rrf_fuse((v_i, k_i_full), weights=(1.0, 1.0),
-                                final_k=k)
-        return s.sum()
+        def step(i):
+            qq = q_dev * (1.0 + i.astype(jnp.float32) * 1e-7)
+            if use_pallas:
+                v_s, v_i = dense_topk_pallas(qq, emb_dev, n_valid, k)
+            else:
+                v_s, v_i = dense_topk_xla(qq, emb_dev, n_valid, k)
+            # Per-class BM25 at its ladder width; scatter class results
+            # back into one (B, k) candidate table for fusion.
+            k_i_full = jnp.full((b, k), -1, jnp.int32)
+            for p_max, sel, n_real, bw_g, row_g, idf_g in class_const:
+                k_s, k_i = _bucket_score(
+                    jnp.roll(bw_g, i, axis=0), jnp.roll(row_g, i, axis=0),
+                    jnp.roll(idf_g, i, axis=0), mats,
+                    k=k, p_max=p_max, t=t_query, widths=widths,
+                    use_pallas=use_pallas)
+                k_i_full = k_i_full.at[sel].set(k_i[:n_real])
+            s, ids, bits = rrf_fuse((v_i, k_i_full), weights=(1.0, 1.0),
+                                    final_k=k)
+            return s.sum()
 
-    # Amortized timing: ITERS query batches chained inside one jit (the
-    # remote-dispatch tunnel adds ~30ms per blocking round-trip that a
-    # production streaming server never pays; chaining measures true
-    # device throughput). Inputs rotate per iteration so nothing hoists.
-    @jax.jit
-    def chained(x0):
-        return jax.lax.fori_loop(0, iters, lambda i, acc: acc + step(i), x0)
+        # Amortized timing: ITERS query batches chained inside one jit (the
+        # remote-dispatch tunnel adds ~30ms per blocking round-trip that a
+        # production streaming server never pays; chaining measures true
+        # device throughput). Inputs rotate per iteration so nothing hoists.
+        @jax.jit
+        def chained(x0):
+            return jax.lax.fori_loop(0, iters,
+                                     lambda i, acc: acc + step(i), x0)
 
-    log("compiling ...")
-    t0 = time.perf_counter()
-    float(chained(jnp.float32(0.0)))  # host read forces completion through
-    #                                   the remote-relay backend
-    log(f"first call (compile+run): {time.perf_counter() - t0:.1f}s")
+        return chained
 
-    ts = []
-    for _ in range(4):
+    points = []
+    for b in batches:
+        chained = build_point(b)
+        log(f"b={b}: compiling ...")
         t0 = time.perf_counter()
-        float(chained(jnp.float32(0.0)))
-        ts.append((time.perf_counter() - t0) / iters)
-    p50 = float(np.percentile(ts, 50))
-    qps = b / p50
-    log(f"batch={b} p50_batch_latency={p50 * 1e3:.3f}ms "
-        f"min={min(ts) * 1e3:.3f}ms qps={qps:,.0f}")
+        float(chained(jnp.float32(0.0)))  # host read forces completion
+        #                                   through the remote-relay backend
+        compile_s = time.perf_counter() - t0
+        log(f"b={b}: first call (compile+run): {compile_s:.1f}s")
+
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(chained(jnp.float32(0.0)))
+            ts.append((time.perf_counter() - t0) / iters)
+        p50 = float(np.percentile(ts, 50))
+        qps = b / p50
+        log(f"b={b} p50_batch_latency={p50 * 1e3:.3f}ms "
+            f"min={min(ts) * 1e3:.3f}ms qps={qps:,.0f}")
+        points.append({"b": b, "p50_ms": p50 * 1e3, "qps": qps,
+                       "compile_s": compile_s})
+        if p50 * 1e3 < P50_GATE_MS:
+            break  # points are QPS-descending; first compliant one wins
+
+    compliant = [p for p in points if p["p50_ms"] < P50_GATE_MS]
+    best = (max(compliant, key=lambda p: p["qps"]) if compliant
+            else min(points, key=lambda p: p["p50_ms"]))
+    log("chosen point: " + json.dumps(best))
 
     print(json.dumps({
         "metric": "hybrid_qps_per_chip",
-        "value": round(qps, 1),
+        "value": round(best["qps"], 1),
         "unit": f"QPS (top-{k} RRF, {n // 1000}k chunks, dim {d}, "
-                f"p50 batch latency {p50 * 1e3:.2f}ms, backend {backend})",
-        "vs_baseline": round(qps / BASELINE_QPS, 3),
+                f"batch {best['b']}, p50 batch latency "
+                f"{best['p50_ms']:.2f}ms < {P50_GATE_MS:.0f}ms gate"
+                f"{'' if compliant else ' MISSED'}, backend {backend})",
+        "vs_baseline": round(best["qps"] / BASELINE_QPS, 3),
     }))
 
 

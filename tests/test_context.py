@@ -22,28 +22,61 @@ class TestIntent:
     def test_cjk_greeting(self):
         assert detect_intent_fast("你好").intent == "greeting"
 
-    def test_analytical(self):
-        it = analyze_intent("why does XLA fuse elementwise ops?")
-        assert it.intent == "analytical_query"
+    def test_comparison(self):
+        it = analyze_intent("what is the difference between TP and DP?")
+        assert it.intent == "comparison"
 
-    def test_task(self):
-        assert analyze_intent("write a summary of chapter 2").intent == "task_request"
+    def test_document_summary_routes_tool(self):
+        it = analyze_intent("summarize chapter 2")
+        assert it.intent == "document_summary"
+        assert it.suggested_tool == "summarize_topic"
+        assert it.needs_knowledge_base
+
+    def test_draw_diagram_routes_tool(self):
+        it = analyze_intent("draw a flowchart of the login process")
+        assert it.intent == "draw_diagram"
+        assert it.suggested_tool == "generate_diagram"
+
+    def test_datetime_routes_tool(self):
+        it = analyze_intent("现在几点")
+        assert it.intent == "datetime"
+        assert it.suggested_tool == "get_current_datetime"
+        assert not it.needs_knowledge_base
+
+    def test_web_search_routes_tool(self):
+        it = analyze_intent("what's the latest news on TPUs?")
+        assert it.intent == "web_search"
+        assert it.suggested_tool == "web_search"
 
     def test_instruction(self):
-        assert analyze_intent("always answer in bullet points").intent == "instruction"
+        it = analyze_intent("always answer in bullet points")
+        assert it.intent == "instruction"
+        assert it.needs_memory
 
-    def test_default_factual(self):
+    def test_default_knowledge_query(self):
         it = analyze_intent("capital of France")
-        assert it.intent == "factual_query"
+        assert it.intent == "knowledge_query"
+        assert it.needs_knowledge_base
         assert not it.skip_agent
 
+    def test_needs_memory_detection(self):
+        assert analyze_intent("what did I say earlier?").needs_memory
+
     def test_llm_path(self):
-        llm = lambda p: '{"intent": "follow_up", "confidence": 0.9, "keywords": ["it"]}'
-        assert analyze_intent("and what about it?", llm=llm).intent == "follow_up"
+        llm = lambda p: ('{"intent": "comparison", "confidence": 0.9, '
+                         '"keywords": ["A", "B"], "needsKnowledgeBase": true, '
+                         '"suggestedTool": null}')
+        it = analyze_intent("and what about A or B?", llm=llm)
+        assert it.intent == "comparison" and it.keywords == ["A", "B"]
 
     def test_llm_garbage_falls_back(self):
         it = analyze_intent("what is a mesh", llm=lambda p: "garbage")
-        assert it.intent in ("factual_query", "analytical_query")
+        assert it.intent == "knowledge_query"
+
+    def test_weights_table_has_tool_axis(self):
+        it = analyze_intent("现在几点")
+        assert it.weights == {"memory": 0.0, "rag": 0.0, "history": 0.0,
+                              "tool": 1.0}
 
 
 class TestDecision:

@@ -20,12 +20,18 @@ from tpurag.shard.mesh import make_mesh
 from tpurag.shard.search import shard_corpus, sharded_dense_topk
 
 
-def clustered_corpus(rng, n, d, n_centers=64, noise=0.15):
+def clustered_corpus(rng, n, d, n_centers=64, noise=0.3):
+    """Cluster centers + RELATIVE noise (unit-normalized, scaled by
+    `noise`): keeps cos(point, center) ~ 1/sqrt(1+noise^2) regardless of
+    d — raw gaussian noise would grow as sqrt(d) and drown the cluster
+    structure at d=1024 (making the corpus uniform on the sphere, which
+    no ANN structure can index)."""
     centers = rng.standard_normal((n_centers, d)).astype(np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     which = rng.integers(0, n_centers, n)
-    data = centers[which] + noise * rng.standard_normal((n, d)).astype(
-        np.float32)
+    nv = rng.standard_normal((n, d)).astype(np.float32)
+    nv /= np.linalg.norm(nv, axis=1, keepdims=True)
+    data = centers[which] + noise * nv
     data /= np.linalg.norm(data, axis=1, keepdims=True)
     return data
 
@@ -148,7 +154,15 @@ def test_sharded_ivf_recall_gate_1m(rng, mesh):
     cfg = IVFConfig(n_lists=1024, n_probe=64, kmeans_iters=4,
                     sample_size=131_072)
     idx = ShardedIVFIndex(cfg, mesh=mesh).build(data, dtype=jnp.bfloat16)
-    q = clustered_corpus(rng, b, d, n_centers=512, noise=0.25)
-    exact = exact_oracle(q, data, k)
+    # Queries resemble documents (the RAG regime); the oracle runs over
+    # the SAME bf16-quantized corpus the index stores ("recall vs exact
+    # at equal memory", BASELINE.json).
+    q = data[rng.choice(n, b, replace=False)]
+    qn = rng.standard_normal((b, d)).astype(np.float32)
+    qn /= np.linalg.norm(qn, axis=1, keepdims=True)
+    q = q + 0.1 * qn
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    data_b16 = np.asarray(jnp.asarray(data, jnp.bfloat16), np.float32)
+    exact = exact_oracle(q, data_b16, k)
     nprobe = idx.tune_nprobe(q, exact, k=k, target_recall=0.95)
     assert nprobe < idx.n_lists

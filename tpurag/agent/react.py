@@ -113,14 +113,28 @@ class Agent:
         return "Hello! Ask me anything about this knowledge base."
 
     def _deterministic(self, question: str, ctx, tools, tool_ctx) -> str:
-        """No-LLM mode: route by intent/decision, run the right tool, and
-        assemble an extractive answer with sources."""
+        """No-LLM mode: route by the intent's suggestedTool
+        (analyzer.ts:296-315 routing — datetime -> get_current_datetime,
+        draw_diagram -> generate_diagram, document_summary ->
+        summarize_topic, web_search -> web_search), then by the retrieval
+        decision; assemble an extractive answer with sources."""
         from tpurag.context.decision import make_retrieval_decision
-        decision = make_retrieval_decision(question)
-        if re.search(r"\b(time|date|datetime|今天|几点)\b", question.lower()):
+
+        suggested = ctx.intent.suggested_tool
+        if suggested == "get_current_datetime":
             out = tools["get_current_datetime"]()
             tool_ctx.record("get_current_datetime", {}, out)
             return out
+        if suggested in tools:
+            key = {"generate_diagram": "description",
+                   "summarize_topic": "topic"}.get(suggested, "query")
+            arg = question if key != "topic" else (
+                " ".join(ctx.intent.keywords) or question)
+            out = tools[suggested](**{key: arg})
+            tool_ctx.record(suggested, {key: arg}, out)
+            if out and "No results" not in out:
+                return out
+        decision = make_retrieval_decision(question)
         tool = {"graph": "graph_search", "keyword": "keyword_search",
                 "semantic": "deep_search"}.get(decision.query_type,
                                                "search_knowledge")

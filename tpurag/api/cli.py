@@ -43,6 +43,7 @@ def _load_graph(kb, path: str):
 
 
 def cmd_ingest(args):
+    from tpurag.ingest.documents import DOC_SUFFIXES, load_document
     from tpurag.ingest.pipeline import ingest_documents
 
     kb = _load_kb(args.kb, create=True)
@@ -51,10 +52,10 @@ def cmd_ingest(args):
         p = pathlib.Path(src)
         if p.is_dir():
             for f in sorted(p.rglob("*")):
-                if f.suffix.lower() in (".txt", ".md", ".rst") and f.is_file():
-                    docs.append((f.name, f.read_text(errors="ignore")))
+                if f.suffix.lower() in DOC_SUFFIXES and f.is_file():
+                    docs.append(load_document(f))
         elif p.is_file():
-            docs.append((p.name, p.read_text(errors="ignore")))
+            docs.append(load_document(p))
     if args.code:
         from tpurag.code import create_code_chunks, walk_code_files
 

@@ -36,11 +36,16 @@ from tpurag.context.merger import (
 from tpurag.core.config import EngineConfig, PRESETS
 from tpurag.core.types import QueryTrace
 
+# Intent guidance (intent-aligner.ts:40-48; greeting/small_talk/datetime
+# intentionally have none).
 _INTENT_INSTRUCTIONS = {
-    "analytical_query": "Analyze step by step and justify conclusions.",
-    "task_request": "Complete the task directly; show the result first.",
-    "follow_up": "Interpret the question in the context of the conversation.",
-    "instruction": "Acknowledge and follow the user's standing instruction.",
+    "document_summary": "Summarize and synthesize the information above.",
+    "knowledge_query": "Answer the question from the information above.",
+    "comparison": "Compare and contrast using the information above.",
+    "draw_diagram": "Generate the diagram from the information above.",
+    "web_search": "Answer based on the search results.",
+    "instruction": "Carry out the user's instruction using the "
+                   "information above.",
 }
 
 
@@ -59,16 +64,21 @@ class ContextEngine:
     def __init__(self, kb, memory_service=None,
                  config: Optional[EngineConfig] = None,
                  llm: Optional[Callable[[str], str]] = None):
+        from tpurag.context.adaptive import TaskTracker
+
         self.kb = kb
         self.memory = memory_service
         self.config = config or EngineConfig()
         self.llm = llm
         self.history_summarizer = HistorySummarizer(self.config.context, llm)
+        self.tasks = TaskTracker()  # engine.ts:108-123 runs getTaskState
+        #                             in the parallel retrieval stage
 
     def build_context(self, query: str,
                       history: Optional[list[dict]] = None,
                       max_tokens: Optional[int] = None,
-                      now: Optional[float] = None) -> BuiltContext:
+                      now: Optional[float] = None,
+                      session_id: str = "default") -> BuiltContext:
         cfg = self.config.context
         budget = max_tokens or cfg.agent_token_budget
         now = now or time.time()
@@ -110,11 +120,15 @@ class ContextEngine:
             for e, s in self.memory.recall(query, k=5, now=now):
                 memories.append((e.content, s))
 
-        # 4. history block
+        # 4. history block + task state (engine.ts:108-123 gathers both
+        #    alongside retrieval).
         summary, recent = ("", history or [])
         if history:
             summary, recent = self.history_summarizer.summarize(history)
         history_items = ([(summary, 0.8)] if summary else [])
+        task = self.tasks.observe(session_id, query, now=now)
+        if task and task.description:
+            history_items.append((f"Current task: {task.description}", 0.7))
 
         # 5. merge under budget with source weights
         chunks: list[ContextChunk] = []
@@ -129,6 +143,9 @@ class ContextEngine:
             c.priority *= iw.get(c.source, 1.0)
         kept, stats = merge_sources(chunks, budget, cfg)
         text = assemble(kept)
+        if intent.keywords and text:
+            # intent-aligner.ts:52-56 keyword hint.
+            text += f"\n\nFocus keywords: {', '.join(intent.keywords)}"
         instruction = _INTENT_INSTRUCTIONS.get(intent.intent)
         if instruction:
             text = f"{text}\n\n## Guidance\n{instruction}" if text else instruction

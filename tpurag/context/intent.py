@@ -1,10 +1,19 @@
-"""Intent analysis.
+"""Intent analysis — the reference's 9-type taxonomy.
 
-Reference: src/lib/context/intent/analyzer.ts — LLM JSON classification
-over 9 intent types with a regex fast path (`detectIntentFast`,
-analyzer.ts:128) and a per-intent context-weights table (:296-315).
-The LLM is optional here; the fast path covers the deterministic cases
-and `shouldSkipAgent` (:289) mirrors the greeting/small-talk bypass.
+Reference: src/lib/context/intent/analyzer.ts —
+- intent types greeting/small_talk/document_summary/knowledge_query/
+  comparison/draw_diagram/web_search/datetime/instruction (:10-20);
+- IntentResult carries needsKnowledgeBase / needsMemory / keywords /
+  suggestedTool / confidence (:27-33);
+- regex fast path `detectIntentFast` (:128-212) with per-rule
+  confidences and suggested tools (datetime -> get_current_datetime,
+  draw_diagram -> generate_diagram, document_summary -> summarize_topic);
+- keyword extraction: stopword-filtered split, top 5 (:216-224);
+- `shouldSkipAgent` greeting/small-talk bypass (:289);
+- per-intent context weights incl. a `tool` weight (:296-315).
+
+The reference's fast-path regexes are Chinese; English equivalents are
+added alongside so the bilingual surface routes identically.
 """
 
 from __future__ import annotations
@@ -15,53 +24,81 @@ import re
 from typing import Callable, Optional
 
 INTENT_TYPES = (
-    "greeting", "small_talk", "factual_query", "analytical_query",
-    "task_request", "follow_up", "clarification", "feedback", "instruction",
+    "greeting", "small_talk", "document_summary", "knowledge_query",
+    "comparison", "draw_diagram", "web_search", "datetime", "instruction",
 )
 
-# Per-intent context weights (analyzer.ts:296-315 shape: how much each
-# source matters for this intent).
+# Per-intent context weights — exact table from analyzer.ts:296-315.
 INTENT_WEIGHTS: dict[str, dict[str, float]] = {
-    "greeting":         {"memory": 0.5, "rag": 0.1, "history": 0.3},
-    "small_talk":       {"memory": 0.6, "rag": 0.1, "history": 0.5},
-    "factual_query":    {"memory": 0.6, "rag": 1.2, "history": 0.4},
-    "analytical_query": {"memory": 0.7, "rag": 1.3, "history": 0.6},
-    "task_request":     {"memory": 1.0, "rag": 1.0, "history": 0.8},
-    "follow_up":        {"memory": 0.8, "rag": 0.9, "history": 1.3},
-    "clarification":    {"memory": 0.6, "rag": 0.8, "history": 1.4},
-    "feedback":         {"memory": 1.0, "rag": 0.3, "history": 1.0},
-    "instruction":      {"memory": 1.2, "rag": 0.4, "history": 0.7},
+    "greeting":         {"memory": 0.5, "rag": 0.0, "history": 0.8, "tool": 0.0},
+    "small_talk":       {"memory": 0.5, "rag": 0.0, "history": 1.0, "tool": 0.0},
+    "document_summary": {"memory": 0.3, "rag": 1.5, "history": 0.2, "tool": 0.5},
+    "knowledge_query":  {"memory": 0.8, "rag": 1.2, "history": 0.5, "tool": 0.6},
+    "comparison":       {"memory": 0.6, "rag": 1.3, "history": 0.4, "tool": 0.5},
+    "draw_diagram":     {"memory": 0.4, "rag": 1.0, "history": 0.3, "tool": 1.2},
+    "web_search":       {"memory": 0.3, "rag": 0.3, "history": 0.2, "tool": 1.5},
+    "datetime":         {"memory": 0.0, "rag": 0.0, "history": 0.0, "tool": 1.0},
+    "instruction":      {"memory": 1.0, "rag": 0.8, "history": 0.6, "tool": 1.0},
 }
 
+# Fast-path rules (analyzer.ts:131-211; English added).
 _GREETING = re.compile(
-    r"^\s*(hi|hello|hey|yo|good (morning|afternoon|evening)|你好|您好|嗨|早上好|晚上好)\s*[!.。！]*\s*$",
+    r"^(你好|您好|hi|hello|hey|嗨|早上好|晚上好|下午好|good (morning|afternoon|evening))",
     re.IGNORECASE)
 _SMALL_TALK = re.compile(
-    r"^(how are you|what'?s up|nice to meet|thanks?|thank you|bye|goodbye"
-    r"|谢谢|再见|辛苦了)", re.IGNORECASE)
-_FOLLOW_UP = re.compile(
-    r"^(and |what about|how about|also|then|那|还有|另外|继续)|(it|that|this|它|这个|那个)\?$",
+    r"^(谢谢|感谢|好的|明白|知道了|再见|拜拜|好|是|否|对|不对"
+    r"|thanks?|thank you|bye|goodbye|ok(ay)?|got it|understood)[!.。！~]*$",
+    re.IGNORECASE)
+_DATETIME = re.compile(
+    r"现在几点|什么时间|今天日期|今天几号"
+    r"|what time|current time|today'?s date|what (is the )?date|what day",
+    re.IGNORECASE)
+_DIAGRAM = re.compile(
+    r"画|流程图|架构图|图表|mermaid|diagram|flow ?chart|draw",
+    re.IGNORECASE)
+_SUMMARY = re.compile(
+    r"总结|概述|讲了什么|主要内容|介绍"
+    r"|summar(y|ize|ise)|overview|main (content|points)|what .* about",
+    re.IGNORECASE)
+_COMPARISON = re.compile(
+    r"对比|区别|不同|相同|比较|vs|compar|difference|versus",
+    re.IGNORECASE)
+_WEB = re.compile(
+    r"天气|新闻|最新消息|搜索网页|上网查"
+    r"|weather|latest news|search the web|look up online",
     re.IGNORECASE)
 _INSTRUCTION = re.compile(
-    r"^(always|never|please (always|never)|remember|from now on|以后|请记住)",
+    r"^(帮我写|帮我生成|帮我创建|请记住|以后"
+    r"|remember (that|this)|from now on|always |never )",
     re.IGNORECASE)
-_ANALYTICAL = re.compile(
-    r"(why|how does|compare|difference|analyz|explain|evaluate|为什么|怎么|对比|分析|解释)",
-    re.IGNORECASE)
-_TASK = re.compile(
-    r"^(write|create|generate|make|build|draw|summarize|translate|list"
-    r"|写|创建|生成|画|总结|翻译|列出)", re.IGNORECASE)
+_NEEDS_MEMORY = re.compile(r"之前|记得|earlier|remember|last time|before",
+                           re.IGNORECASE)
+
+_STOP_WORDS = {"的", "是", "在", "了", "和", "与", "或", "这", "那", "个",
+               "什么", "如何", "怎么", "the", "is", "are", "a", "an", "of",
+               "to", "in", "and", "or", "what", "how", "please"}
+
+
+def extract_keywords(query: str) -> list[str]:
+    """Stopword-filtered split, length >= 2, top 5 (analyzer.ts:216-224)."""
+    words = re.split(r"[\s,，。！？、?!.:;：]+", query)
+    return [w for w in words
+            if len(w) >= 2 and w.lower() not in _STOP_WORDS][:5]
 
 
 @dataclasses.dataclass
 class Intent:
-    intent: str = "factual_query"
+    intent: str = "knowledge_query"
     confidence: float = 0.6
     keywords: list[str] = dataclasses.field(default_factory=list)
+    needs_knowledge_base: bool = True
+    needs_memory: bool = False
+    suggested_tool: Optional[str] = None
 
     @property
     def weights(self) -> dict[str, float]:
-        return INTENT_WEIGHTS.get(self.intent, INTENT_WEIGHTS["factual_query"])
+        return INTENT_WEIGHTS.get(self.intent,
+                                  INTENT_WEIGHTS["knowledge_query"])
 
     @property
     def skip_agent(self) -> bool:
@@ -69,46 +106,71 @@ class Intent:
         return self.intent in ("greeting", "small_talk")
 
 
-def detect_intent_fast(query: str) -> Optional[Intent]:
-    """Regex fast path (analyzer.ts:128)."""
+def detect_intent_fast(query: str) -> Intent:
+    """Regex fast path (analyzer.ts:128-212). Always returns an Intent;
+    the default is knowledge_query at confidence 0.6."""
     q = query.strip()
     if _GREETING.match(q):
-        return Intent("greeting", 0.95)
+        return Intent("greeting", 0.9, [], needs_knowledge_base=False)
     if _SMALL_TALK.match(q):
-        return Intent("small_talk", 0.9)
+        return Intent("small_talk", 0.9, [], needs_knowledge_base=False)
+    if _DATETIME.search(q):
+        return Intent("datetime", 0.95, [], needs_knowledge_base=False,
+                      suggested_tool="get_current_datetime")
+    if _DIAGRAM.search(q):
+        return Intent("draw_diagram", 0.85, extract_keywords(q),
+                      suggested_tool="generate_diagram")
+    if _SUMMARY.search(q):
+        return Intent("document_summary", 0.85, extract_keywords(q),
+                      suggested_tool="summarize_topic")
+    if _COMPARISON.search(q):
+        return Intent("comparison", 0.8, extract_keywords(q))
+    if _WEB.search(q):
+        return Intent("web_search", 0.8, extract_keywords(q),
+                      needs_knowledge_base=False,
+                      suggested_tool="web_search")
     if _INSTRUCTION.match(q):
-        return Intent("instruction", 0.85)
-    if _FOLLOW_UP.match(q):
-        return Intent("follow_up", 0.7)
-    if _TASK.match(q):
-        return Intent("task_request", 0.75)
-    if _ANALYTICAL.search(q):
-        return Intent("analytical_query", 0.7)
-    return None
+        return Intent("instruction", 0.8, extract_keywords(q),
+                      needs_memory=True)
+    return Intent("knowledge_query", 0.6, extract_keywords(q),
+                  needs_memory=bool(_NEEDS_MEMORY.search(q)))
 
 
 def analyze_intent(query: str, history: Optional[list] = None,
                    llm: Optional[Callable[[str], str]] = None) -> Intent:
-    """Fast path first; LLM classification when provided; factual default."""
+    """Fast path first; LLM JSON classification when provided and the
+    fast path is low-confidence; knowledge_query default
+    (analyzer.ts:39-121: LLM parse failure -> knowledge_query, needsKB
+    true, confidence 0.5)."""
     fast = detect_intent_fast(query)
-    if fast is not None and fast.confidence >= 0.85:
+    if fast.confidence >= 0.85 or llm is None:
         return fast
-    if llm is not None:
-        hist = "\n".join(
-            f"{m.get('role', '?')}: {m.get('content', '')[:200]}"
-            for m in (history or [])[-4:])
-        raw = llm(
-            "Classify the user query intent as one of "
-            f"{list(INTENT_TYPES)}. Respond JSON "
-            '{"intent": str, "confidence": 0..1, "keywords": [str]}.\n'
-            f"History:\n{hist}\nQuery: {query}\nJSON:")
-        try:
-            m = re.search(r"\{.*\}", raw, re.DOTALL)
-            data = json.loads(m.group(0) if m else raw)
-            if data.get("intent") in INTENT_TYPES:
-                return Intent(data["intent"],
-                              float(data.get("confidence", 0.7)),
-                              [str(x) for x in data.get("keywords", [])])
-        except (json.JSONDecodeError, AttributeError, TypeError, ValueError):
-            pass
-    return fast or Intent("factual_query", 0.6)
+    hist = "\n".join(
+        f"{m.get('role', '?')}: {m.get('content', '')[:100]}"
+        for m in (history or [])[-6:])
+    raw = llm(
+        "Classify the user query intent as one of "
+        f"{list(INTENT_TYPES)}. Rules: follow-ups keep the previous "
+        "intent; only pure pleasantries are small_talk; "
+        "needsKnowledgeBase is false only for greeting/small_talk/"
+        "datetime; needsMemory for multi-turn or personalized asks. "
+        'Respond JSON {"intent": str, "needsKnowledgeBase": bool, '
+        '"needsMemory": bool, "keywords": [str], '
+        '"suggestedTool": str|null, "confidence": 0..1}.\n'
+        f"History:\n{hist}\nQuery: {query}\nJSON:")
+    try:
+        m = re.search(r"\{.*\}", raw, re.DOTALL)
+        data = json.loads(m.group(0) if m else raw)
+        if data.get("intent") in INTENT_TYPES:
+            return Intent(
+                data["intent"],
+                float(data.get("confidence", 0.8)),
+                [str(x) for x in data.get("keywords", [])],
+                needs_knowledge_base=data.get("needsKnowledgeBase") is not False,
+                needs_memory=data.get("needsMemory") is True,
+                suggested_tool=data.get("suggestedTool") or None,
+            )
+    except (json.JSONDecodeError, AttributeError, TypeError, ValueError):
+        pass
+    return fast if fast.confidence > 0.5 else Intent(
+        "knowledge_query", 0.5)

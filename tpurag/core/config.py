@@ -67,10 +67,6 @@ class BM25Config:
     k1: float = 1.2
     b: float = 0.75
     rank_compat_scores: bool = False  # emit 1/(rank+1) instead of BM25 score
-    use_segsum: bool = True   # retained for config compatibility; the index
-                              # always uses the segment-sum tail now (the
-                              # scatter path survives only as a reference
-                              # kernel in kernels/bm25.py)
     max_df_ratio: float = 1.0  # skip query terms matching more than this
                                # fraction of docs (stopword elision; 1.0 = off)
     head_m: int = 0     # impact-ordered head size: terms with df > head_m
@@ -83,6 +79,12 @@ class BM25Config:
                                  # bucket and run each class at its natural
                                  # width (exact; avoids padding every query
                                  # to the batch-max df)
+    width_ladder: tuple = (64, 256, 1024, 2048)
+    # Query width classes round UP to this ladder (exact — storage buckets
+    # keep their natural pow2 width; only the kernel's scan width pads).
+    # Bounds the number of compiled Pallas variants on a long-lived server
+    # to len(ladder) per (k, t) instead of one per pow2 width; the padding
+    # cost is < 2x lanes in the worst case while compile count drops ~2x.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -229,14 +229,15 @@ def config5_sharded(seed: int = 0) -> dict:
     mesh = make_mesh([("data", n_dev)], devices=devices)
 
     # Clustered corpus (IVF's operating regime; uniform-random vectors
-    # have no cluster structure for ANY ANN method to exploit).
+    # have no cluster structure for ANY ANN method to exploit). Noise is
+    # RELATIVE (unit-normalized then scaled) so cluster tightness is
+    # dimension-independent.
     centers = _random_corpus(rng, n_centers, d)
     which = rng.integers(0, n_centers, n)
-    emb = centers[which] + 0.25 * rng.standard_normal((n, d)).astype(
-        np.float32)
+    emb = centers[which] + 0.3 * _random_corpus(rng, n, d)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-    q = emb[rng.choice(n, b, replace=False)] + 0.05 * rng.standard_normal(
-        (b, d)).astype(np.float32)
+    q = (emb[rng.choice(n, b, replace=False)]
+         + 0.1 * _random_corpus(rng, b, d))
     q /= np.linalg.norm(q, axis=1, keepdims=True)
 
     cfg = IVFConfig(n_lists=4096 if big else 256,

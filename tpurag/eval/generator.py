@@ -19,7 +19,7 @@ LLMFn = Callable[[str], str]
 @dataclasses.dataclass
 class EvalQuestion:
     question: str
-    expected_intent: str = "factual_query"
+    expected_intent: str = "knowledge_query"
     expected_tools: list[str] = dataclasses.field(default_factory=list)
     keywords: list[str] = dataclasses.field(default_factory=list)
     category: str = "kb"
@@ -28,7 +28,7 @@ class EvalQuestion:
 FIXED_QUESTIONS = [
     EvalQuestion(
         question="Summarize the main topics covered in this knowledge base.",
-        expected_intent="task_request",
+        expected_intent="document_summary",
         expected_tools=["summarize_topic", "deep_search"],
         category="summary",
     ),
@@ -37,13 +37,13 @@ FIXED_QUESTIONS = [
 TOOL_QUESTIONS = [
     EvalQuestion(
         question="What is the current date and time?",
-        expected_intent="factual_query",
+        expected_intent="datetime",
         expected_tools=["get_current_datetime"],
         category="tool",
     ),
     EvalQuestion(
         question="What is the weather like today?",
-        expected_intent="factual_query",
+        expected_intent="web_search",
         expected_tools=["web_search"],
         category="tool",
     ),
@@ -74,7 +74,7 @@ def generate_questions(kb, n: int = 5, llm: Optional[LLMFn] = None,
                 out.append(EvalQuestion(
                     question=str(item.get("question", "")),
                     expected_intent=str(item.get("expectedIntent",
-                                                 "factual_query")),
+                                                 "knowledge_query")),
                     expected_tools=[str(t) for t in item.get("expectedTools", [])],
                     keywords=[str(k) for k in item.get("keywords", [])],
                 ))
@@ -84,7 +84,7 @@ def generate_questions(kb, n: int = 5, llm: Optional[LLMFn] = None,
     for name in doc_names[: max(n - (len(out) - 2), 0)]:
         out.append(EvalQuestion(
             question=f"What does the document '{name}' say? Summarize it.",
-            expected_intent="task_request",
+            expected_intent="document_summary",
             expected_tools=["summarize_topic", "search_knowledge"],
             keywords=[name],
         ))

@@ -219,8 +219,15 @@ class InvertedIndex:
                 tids = [t for t in tids if self._term_df[t] <= df_cap]
             rows.append(tids)
 
+        ladder = tuple(sorted(self.config.width_ladder or ()))
+
         def row_pmax(tids):
-            return max((int(self._term_bucket[t]) for t in tids), default=16)
+            p = max((int(self._term_bucket[t]) for t in tids), default=16)
+            # Round up to the ladder (bounds compiled kernel variants).
+            for w in ladder:
+                if w >= p:
+                    return w
+            return p
 
         # Width classes: each query runs at its own max bucket width.
         if self.config.width_classes and bsz > 1:

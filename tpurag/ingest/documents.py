@@ -1,0 +1,215 @@
+"""Raw-text extraction for uploaded documents (PDF / DOCX / TXT / MD).
+
+The reference extracts PDF via pdf-parse and DOCX via mammoth and stores
+the raw text for retrieval + summarize lookups
+(src/lib/llm/index-manager.ts:110-176). This is a dependency-free
+equivalent (the environment bakes no PDF/DOCX library):
+
+- DOCX: unzip word/document.xml and walk the WordprocessingML paragraph
+  runs (w:p / w:r / w:t, tabs and breaks preserved).
+- PDF: locate stream objects, inflate FlateDecode streams, and tokenize
+  the content streams for the text-showing operators (Tj ' " TJ) with
+  full literal-string escape handling (octal, nesting) plus hex strings.
+  Layout ops (BT/ET, Td/TD/T*) become line breaks. Limitation (stated):
+  fonts with non-trivial ToUnicode CMaps (2-byte CID encodings) extract
+  as raw codes; standard Latin-1/WinAnsi text extracts cleanly.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import xml.etree.ElementTree as ET
+import zipfile
+import zlib
+
+TEXT_SUFFIXES = (".txt", ".md", ".rst", ".markdown", ".text")
+DOC_SUFFIXES = TEXT_SUFFIXES + (".pdf", ".docx")
+
+
+def extract_text(data: bytes, filename: str) -> str:
+    """Dispatch on filename suffix; returns extracted plain text."""
+    name = filename.lower()
+    if name.endswith(".pdf"):
+        return extract_pdf_text(data)
+    if name.endswith(".docx"):
+        return extract_docx_text(data)
+    return data.decode("utf-8", errors="ignore")
+
+
+# -- DOCX --------------------------------------------------------------------
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def extract_docx_text(data: bytes) -> str:
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        xml = zf.read("word/document.xml")
+    root = ET.fromstring(xml)
+    paragraphs = []
+    for p in root.iter(f"{_W}p"):
+        parts = []
+        for node in p.iter():
+            if node.tag == f"{_W}t":
+                parts.append(node.text or "")
+            elif node.tag == f"{_W}tab":
+                parts.append("\t")
+            elif node.tag in (f"{_W}br", f"{_W}cr"):
+                parts.append("\n")
+        paragraphs.append("".join(parts))
+    return "\n".join(paragraphs).strip()
+
+
+# -- PDF ---------------------------------------------------------------------
+
+_STREAM_RE = re.compile(rb"stream\r?\n", re.S)
+
+
+def _inflate_streams(data: bytes):
+    """Yield decoded content streams (Flate or raw)."""
+    for m in _STREAM_RE.finditer(data):
+        start = m.end()
+        end = data.find(b"endstream", start)
+        if end < 0:
+            continue
+        raw = data[start:end].rstrip(b"\r\n")
+        # The stream dict immediately precedes `stream`.
+        dict_start = data.rfind(b"<<", 0, m.start())
+        sdict = data[dict_start:m.start()] if dict_start >= 0 else b""
+        if b"FlateDecode" in sdict:
+            try:
+                yield zlib.decompress(raw)
+            except zlib.error:
+                continue
+        elif b"Filter" not in sdict:
+            yield raw
+
+
+def _unescape_literal(body: bytes) -> str:
+    out = bytearray()
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c != 0x5C:  # backslash
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            break
+        e = body[i]
+        simple = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08,
+                  0x66: 0x0C, 0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+        if e in simple:
+            out.append(simple[e])
+            i += 1
+        elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+            j = i
+            while j < n and j < i + 3 and 0x30 <= body[j] <= 0x37:
+                j += 1
+            out.append(int(body[i:j], 8) & 0xFF)
+            i = j
+        elif e in (0x0A, 0x0D):  # line continuation
+            i += 1
+            if e == 0x0D and i < n and body[i] == 0x0A:
+                i += 1
+        else:
+            out.append(e)
+            i += 1
+    return out.decode("latin-1")
+
+
+def _decode_hex(body: bytes) -> str:
+    hx = re.sub(rb"\s", b"", body)
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        raw = bytes.fromhex(hx.decode("ascii"))
+    except ValueError:
+        return ""
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be", errors="ignore")
+    return raw.decode("latin-1")
+
+
+def _scan_content(stream: bytes) -> list[str]:
+    """Tokenize one content stream; returns text fragments with '\n'
+    markers inserted at line-advancing operators."""
+    frags: list[str] = []
+    pending: list[str] = []   # operand strings since the last operator
+    i, n = 0, len(stream)
+    while i < n:
+        c = stream[i]
+        if c == 0x28:  # ( literal string
+            depth, j = 1, i + 1
+            start = j
+            while j < n and depth:
+                cj = stream[j]
+                if cj == 0x5C:
+                    j += 2
+                    continue
+                if cj == 0x28:
+                    depth += 1
+                elif cj == 0x29:
+                    depth -= 1
+                j += 1
+            pending.append(_unescape_literal(stream[start:j - 1]))
+            i = j
+        elif c == 0x3C and i + 1 < n and stream[i + 1] != 0x3C:  # < hex
+            j = stream.find(b">", i + 1)
+            if j < 0:
+                break
+            pending.append(_decode_hex(stream[i + 1:j]))
+            i = j + 1
+        elif c == 0x3C:  # << dict — skip balanced
+            i += 2
+        elif (0x41 <= c <= 0x5A) or (0x61 <= c <= 0x7A) or c in (0x27, 0x22):
+            j = i
+            while j < n and ((0x41 <= stream[j] <= 0x5A)
+                             or (0x61 <= stream[j] <= 0x7A)
+                             or stream[j] in (0x27, 0x22, 0x2A)):
+                j += 1
+            op = stream[i:j]
+            if op in (b"Tj", b"TJ"):
+                frags.extend(pending)
+            elif op in (b"'", b'"'):
+                frags.append("\n")
+                frags.extend(pending)
+            elif op in (b"T*", b"Td", b"TD", b"ET"):
+                frags.append("\n")
+            pending.clear()
+            i = j
+        elif c == 0x2F:  # /Name
+            j = i + 1
+            while j < n and stream[j] not in b" \t\r\n()<>[]{}/%":
+                j += 1
+            i = j
+        elif c == 0x25:  # % comment
+            j = stream.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        else:
+            i += 1
+    return frags
+
+
+def extract_pdf_text(data: bytes) -> str:
+    frags: list[str] = []
+    for stream in _inflate_streams(data):
+        if b"Tj" in stream or b"TJ" in stream or b"'" in stream:
+            frags.extend(_scan_content(stream))
+    text = "".join(
+        f if f == "\n" else f + ("" if f.endswith((" ", "\n")) else " ")
+        for f in frags)
+    # Collapse runs of blank lines / spaces introduced by layout ops.
+    text = re.sub(r"[ \t]*\n[ \t]*", "\n", text)
+    text = re.sub(r"\n{3,}", "\n\n", text)
+    text = re.sub(r"[ \t]{2,}", " ", text)
+    return text.strip()
+
+
+def load_document(path) -> tuple[str, str]:
+    """Read a file and return (name, extracted_text)."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    return p.name, extract_text(p.read_bytes(), p.name)
