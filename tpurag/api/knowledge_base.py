@@ -90,11 +90,14 @@ class KnowledgeBase:
         return [int(i) for i in ids]
 
     def delete_document(self, doc_id: str) -> int:
-        """Tombstone all chunks of a document (dense side; keyword postings
-        for dead ids are filtered at result-assembly time)."""
+        """Delete all chunks of a document from BOTH indexes: dense rows
+        tombstone, keyword postings tombstone with overfetch until the
+        index's next compaction (meilisearch.ts:193-194 delete-by-filter
+        parity; round 1 left dead postings live forever)."""
         ids = self._doc_chunks.pop(doc_id, [])
         if ids:
             self.dense.delete(ids)
+            self.inverted.delete_docs(ids)
             for cid in ids:
                 self.chunks[cid].metadata["deleted"] = True
         return len(ids)
@@ -184,6 +187,10 @@ class KnowledgeBase:
         ]
 
     def _assemble(self, query: str, scores, ids, bits) -> SearchResponse:
+        from tpurag.index.inverted import highlight
+        from tpurag.ingest.tokenizer import tokenize_query
+
+        qtoks = tokenize_query(query)
         results = []
         for s, i, bt in zip(scores, ids, bits):
             i = int(i)
@@ -192,9 +199,12 @@ class KnowledgeBase:
             c = self.chunks[i]
             if c.metadata.get("deleted"):
                 continue
+            found_in = decode_bits(int(bt))
             results.append(SearchResult(
                 chunk_id=i, score=float(s), text=c.text, doc_name=c.doc_name,
-                source=c.source, found_in=decode_bits(int(bt)),
+                source=c.source, found_in=found_in,
+                highlighted=(highlight(c.text, qtoks)
+                             if "keyword" in found_in else ""),
                 metadata=c.metadata,
             ))
         stats = {

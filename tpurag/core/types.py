@@ -57,6 +57,8 @@ class SearchResult:
     doc_name: str = ""
     source: str = "document"          # which index produced it
     found_in: tuple[str, ...] = ()    # sources that hit it (for RRF both-bonus)
+    highlighted: str = ""             # **-marked match text for keyword hits
+    #                                   (meilisearch.ts:222-233 _formatted)
     metadata: dict = dataclasses.field(default_factory=dict)
 
 

@@ -1,9 +1,7 @@
 """Inverted index (keyword search) — the Meilisearch replacement.
 
 Host side: vocabulary + per-term postings accumulated incrementally
-(Meilisearch ingests 500-doc batches over HTTP, src/lib/meilisearch.ts:137;
-here adds are in-process and the device arrays are rebuilt lazily on the
-next search after mutation).
+(Meilisearch ingests 500-doc batches over HTTP, src/lib/meilisearch.ts:137).
 
 Device layout (all measured-on-v5e decisions):
 - Postings live in per-width BUCKET MATRICES: each term's doc-sorted
@@ -14,20 +12,40 @@ Device layout (all measured-on-v5e decisions):
   for a 512x8x2048 fetch), and fetching every term at its own bucket
   width costs only ~2x the final class width (geometric sum).
 - Queries are width-classed: each query runs at the max bucket width of
-  its own terms (exact; pow2 buckets bound compile variants).
+  its own terms, rounded up to BM25Config.width_ladder (bounds compiled
+  kernel variants).
 - Scoring tail = bitonic-merge + T-window segment-sum + top-k: the fused
   Pallas kernel on TPU (kernels/bm25_pallas), the XLA sort path on CPU.
 
+MUTABILITY (growable-segment design, same idea as the dense side):
+- adds after the first build land in a TAIL SEGMENT: small per-term
+  bucket matrices rebuilt lazily in O(tail_nnz) — the MAIN segment is
+  never re-walked (the reference's Meilisearch also absorbs adds
+  incrementally; round-1 rebuilt everything per mutation).
+- per-document delete (meilisearch.ts:193-194 deleteDocuments filter):
+  dead ids are masked by candidate OVERFETCH + host filter, so top-k
+  counts are unaffected; postings are physically dropped at the next
+  compaction.
+- compact() merges the tail + drops dead postings + refreshes BM25
+  global stats; it runs automatically once the tail outgrows 25% of the
+  main segment or deletes exceed 10% of docs. Between compactions,
+  main-segment impacts keep their build-time avgdl and idf counts dead
+  docs (bounded, documented drift — standard incremental-index policy).
+
 `rank_compat_scores` reproduces the reference's 1/(rank+1) rank-to-score
 conversion (meilisearch.ts:235); default is true Okapi BM25.
+`highlight` reproduces the **-wrapped match markup
+(meilisearch.ts:222-233).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import json
 import math
 import pathlib
+import re
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +55,7 @@ from tpurag.core.config import BM25Config
 from tpurag.ingest.tokenizer import tokenize, tokenize_query
 from tpurag.kernels.bm25 import rank_compat, segsum_topk_candidates
 from tpurag.kernels.bm25_pallas import merge_segsum_topk
-from tpurag.kernels.runtime import NEG_INF, interpret_mode
+from tpurag.kernels.runtime import NEG_INF, interpret_mode, round_up
 
 try:  # C++-accelerated tokenize/count path (optional).
     from tpurag.native import loader as _native
@@ -98,19 +116,50 @@ def _bucket_score(bucketw, rowid, idf, mats, k: int, p_max: int, t: int,
     return segsum_topk_candidates(doc, con, k=k)
 
 
+@dataclasses.dataclass
+class _Layout:
+    """One device-resident postings segment."""
+
+    widths: tuple
+    mats: tuple               # ((doc, imp) jnp pairs) aligned with widths
+    term_bucket: np.ndarray   # (V,) int32 bucket width, 0 = term absent
+    term_row: np.ndarray      # (V,) int32 row index (0 = pad row)
+    nnz: int = 0
+
+
+def highlight(text: str, query_tokens: list[str],
+              mark: str = "**") -> str:
+    """Wrap query-term matches in `mark` (meilisearch.ts:222-233
+    _formatted content with highlightPreTag/PostTag)."""
+    toks = sorted({t for t in query_tokens if t}, key=len, reverse=True)
+    if not toks:
+        return text
+    pat = re.compile("|".join(re.escape(t) for t in toks), re.IGNORECASE)
+    return pat.sub(lambda m: f"{mark}{m.group(0)}{mark}", text)
+
+
 class InvertedIndex:
+    # Auto-compaction policy (tail/delete growth bounds).
+    TAIL_COMPACT_RATIO = 0.25
+    TAIL_COMPACT_MIN = 4096
+    DEAD_COMPACT_RATIO = 0.10
+    DEAD_COMPACT_MIN = 64
+
     def __init__(self, config: BM25Config | None = None):
         self.config = config or BM25Config()
         self.vocab: dict[str, int] = {}
         self._postings_doc: list[list[int]] = []   # per-term doc ids
         self._postings_tf: list[list[int]] = []    # per-term frequencies
         self.doc_len: list[int] = []               # tokens per doc id
-        self._dirty = True
-        self.n_docs = 0
-        self._buckets: dict[int, tuple] = {}       # width -> (doc, imp) mats
-        self._term_bucket = None                   # (V,) int32 widths
-        self._term_row = None                      # (V,) int32 row in bucket
-        self._term_df = None                       # (V,) int32 true df
+        self.n_docs = 0                            # live docs
+        self._total_tokens = 0                     # live token count
+        # Segments.
+        self._main: _Layout | None = None
+        self._main_count: list[int] = []  # per-term postings in main
+        self._tail: _Layout | None = None
+        self._tail_nnz = 0
+        self._dead: set[int] = set()      # deleted ids still in layouts
+        self._builds = 0                  # full compactions (observable)
 
     # -- build ---------------------------------------------------------------
 
@@ -118,7 +167,8 @@ class InvertedIndex:
         """Index one document under external integer id `doc_id`.
 
         doc_id must equal the dense-index row id so RRF fusion can match
-        candidates across sources by id."""
+        candidates across sources by id. After the first build, postings
+        land in the tail segment — no main-segment rebuild."""
         if _native is not None and _native.available():
             counts = _native.term_counts(text)
         else:
@@ -133,6 +183,7 @@ class InvertedIndex:
                 self.vocab[term] = tid
                 self._postings_doc.append([])
                 self._postings_tf.append([])
+                self._main_count.append(0)
             self._postings_doc[tid].append(doc_id)
             self._postings_tf[tid].append(c)
             total += c
@@ -140,56 +191,135 @@ class InvertedIndex:
             self.doc_len.append(0)
         self.doc_len[doc_id] = total
         self.n_docs += 1
-        self._dirty = True
+        self._total_tokens += total
+        if self._main is not None:
+            self._tail_nnz += len(counts)
+            self._tail = None  # lazily rebuilt (O(tail_nnz))
 
     def add_batch(self, ids, texts) -> None:
         for i, t in zip(ids, texts):
             self.add(int(i), t)
 
-    def _build_device(self) -> None:
-        n = len(self.doc_len)
-        v = len(self._postings_doc)
-        dl = np.asarray(self.doc_len, np.float32) if n else np.zeros(1, np.float32)
-        avgdl = max(float(dl.sum()) / max(self.n_docs, 1), 1.0)
-        k1, b = self.config.k1, self.config.b
-        dnorm = np.maximum(k1 * (1.0 - b + b * dl / avgdl), 1e-6)
+    def delete_doc(self, doc_id: int) -> None:
+        """Tombstone one document (meilisearch.ts:193-194). Search
+        overfetches past dead ids until the next compaction physically
+        drops the postings."""
+        doc_id = int(doc_id)
+        if doc_id in self._dead or doc_id >= len(self.doc_len):
+            return
+        self._dead.add(doc_id)
+        self.n_docs = max(self.n_docs - 1, 0)
+        self._total_tokens -= self.doc_len[doc_id]
 
+    def delete_docs(self, ids) -> None:
+        for i in np.atleast_1d(ids):
+            self.delete_doc(int(i))
+
+    @property
+    def _avgdl(self) -> float:
+        return max(self._total_tokens / max(self.n_docs, 1), 1.0)
+
+    def _impacts(self, tid: int, start: int, end: int, dnorm: np.ndarray):
+        docs = np.asarray(self._postings_doc[tid][start:end], np.int64)
+        tfs = np.asarray(self._postings_tf[tid][start:end], np.float32)
+        k1 = self.config.k1
+        return docs, tfs * (k1 + 1.0) / (tfs + dnorm[docs])
+
+    def _dnorm(self) -> np.ndarray:
+        n = len(self.doc_len)
+        dl = np.asarray(self.doc_len, np.float32) if n else np.zeros(
+            1, np.float32)
+        k1, b = self.config.k1, self.config.b
+        return np.maximum(k1 * (1.0 - b + b * dl / self._avgdl), 1e-6)
+
+    def _build_layout(self, ranges: list[tuple[int, int]]) -> _Layout:
+        """Build one segment layout from per-term posting ranges."""
+        v = len(self._postings_doc)
+        dnorm = self._dnorm()
         head_m = self.config.head_m if not self.config.exact_scoring else 0
         term_bucket = np.zeros(v, np.int32)
         term_row = np.zeros(v, np.int32)
-        term_df = np.zeros(v, np.int32)
         by_width: dict[int, list[int]] = {}
+        nnz = 0
         for tid in range(v):
-            df = len(self._postings_doc[tid])
-            term_df[tid] = df
-            eff = min(df, head_m) if head_m > 0 else df
+            s, e = ranges[tid]
+            cnt = e - s
+            if cnt <= 0:
+                continue
+            eff = min(cnt, head_m) if head_m > 0 else cnt
             w = _next_pow2(max(eff, 16))
             term_bucket[tid] = w
             term_row[tid] = len(by_width.setdefault(w, []))
             by_width[w].append(tid)
-
-        self._buckets = {}
-        for w, tids in sorted(by_width.items()):
+            nnz += cnt
+        mats = []
+        widths = tuple(sorted(by_width))
+        for w in widths:
+            tids = by_width[w]
             doc_mat = np.full((len(tids) + 1, w), _BIG, np.int32)
             imp_mat = np.zeros((len(tids) + 1, w), np.float32)
             for row, tid in enumerate(tids):
-                docs = np.asarray(self._postings_doc[tid], np.int64)
-                tfs = np.asarray(self._postings_tf[tid], np.float32)
-                imps = tfs * (k1 + 1.0) / (tfs + dnorm[docs])
+                s, e = ranges[tid]
+                docs, imps = self._impacts(tid, s, e, dnorm)
                 if head_m > 0 and len(docs) > w:
-                    # Impact-ordered head: keep top-w by impact, doc-sorted
-                    # (approximate; see BM25Config.head_m).
+                    # Impact-ordered head: keep top-w by impact,
+                    # doc-sorted (approximate; see BM25Config.head_m).
                     top = np.argpartition(-imps, w - 1)[:w]
                     top = top[np.argsort(docs[top], kind="stable")]
                     docs, imps = docs[top], imps[top]
+                else:
+                    order = np.argsort(docs, kind="stable")
+                    docs, imps = docs[order], imps[order]
                 # Row 0 is the pad row (gathered by empty slots).
                 doc_mat[row + 1, : len(docs)] = docs
                 imp_mat[row + 1, : len(imps)] = imps
-            self._buckets[w] = (jnp.asarray(doc_mat), jnp.asarray(imp_mat))
-        self._term_bucket = term_bucket
-        self._term_row = term_row
-        self._term_df = term_df
-        self._dirty = False
+            mats.append((jnp.asarray(doc_mat), jnp.asarray(imp_mat)))
+        return _Layout(widths=widths, mats=tuple(mats),
+                       term_bucket=term_bucket, term_row=term_row, nnz=nnz)
+
+    def compact(self) -> None:
+        """Full rebuild: drop dead postings, absorb the tail, refresh
+        BM25 global stats. O(total nnz) — amortized by the policy."""
+        if self._dead:
+            for tid in range(len(self._postings_doc)):
+                docs = self._postings_doc[tid]
+                if not any(d in self._dead for d in docs):
+                    continue
+                tfs = self._postings_tf[tid]
+                keep = [j for j, d in enumerate(docs)
+                        if d not in self._dead]
+                self._postings_doc[tid] = [docs[j] for j in keep]
+                self._postings_tf[tid] = [tfs[j] for j in keep]
+            for d in self._dead:
+                self.doc_len[d] = 0
+            self._dead = set()
+        self._main_count = [len(p) for p in self._postings_doc]
+        self._main = self._build_layout(
+            [(0, c) for c in self._main_count])
+        self._tail = None
+        self._tail_nnz = 0
+        self._builds += 1
+
+    # Back-compat alias (round-1 name).
+    _build_device = compact
+
+    def _needs_compact(self) -> bool:
+        if self._main is None:
+            return True
+        if self._tail_nnz > max(self.TAIL_COMPACT_MIN,
+                                self.TAIL_COMPACT_RATIO * self._main.nnz):
+            return True
+        if len(self._dead) > max(self.DEAD_COMPACT_MIN,
+                                 self.DEAD_COMPACT_RATIO * max(self.n_docs, 1)):
+            return True
+        return False
+
+    def _tail_layout(self) -> _Layout:
+        if self._tail is None:
+            self._tail = self._build_layout(
+                [(c, len(p)) for c, p in
+                 zip(self._main_count, self._postings_doc)])
+        return self._tail
 
     # -- query ---------------------------------------------------------------
 
@@ -201,35 +331,27 @@ class InvertedIndex:
         bqueries = [tokenize_query(q) for q in queries]
         return self.search_tokens(bqueries, k)
 
-    def search_tokens(self, token_lists: list[list[str]], k: int):
-        bsz = len(token_lists)
-        if self._dirty:
-            self._build_device()
-        n = len(self.doc_len)
-        if n == 0 or self.n_docs == 0:
-            return (
-                np.full((bsz, k), NEG_INF, np.float32),
-                np.full((bsz, k), -1, np.int32),
-            )
-        df_cap = int(self.config.max_df_ratio * self.n_docs)
-        rows = []
-        for toks in token_lists:
-            tids = [self.vocab[t] for t in toks if t in self.vocab]
-            if self.config.max_df_ratio < 1.0:
-                tids = [t for t in tids if self._term_df[t] <= df_cap]
-            rows.append(tids)
-
+    def _score(self, rows: list[list[int]], kk: int,
+               layout: _Layout) -> tuple[np.ndarray, np.ndarray]:
+        """Score one segment: width-class the queries against this
+        layout's buckets and run the fused scoring tail per class."""
+        bsz = len(rows)
+        scores = np.full((bsz, kk), NEG_INF, np.float32)
+        ids = np.full((bsz, kk), -1, np.int32)
+        if not layout.mats:
+            return scores, ids
         ladder = tuple(sorted(self.config.width_ladder or ()))
+        tb, tr = layout.term_bucket, layout.term_row
+        v = len(tb)  # terms born after this layout was built are absent
 
         def row_pmax(tids):
-            p = max((int(self._term_bucket[t]) for t in tids), default=16)
-            # Round up to the ladder (bounds compiled kernel variants).
+            p = max((int(tb[t]) for t in tids if t < v and tb[t] > 0),
+                    default=16)
             for w in ladder:
                 if w >= p:
                     return w
             return p
 
-        # Width classes: each query runs at its own max bucket width.
         if self.config.width_classes and bsz > 1:
             groups: dict[tuple[int, int], list[int]] = {}
             for bi, tids in enumerate(rows):
@@ -240,37 +362,92 @@ class InvertedIndex:
                        _next_pow2(max((len(r) for r in rows), default=1)))
                       : list(range(bsz))}
 
-        scores = np.full((bsz, k), NEG_INF, np.float32)
-        ids = np.full((bsz, k), -1, np.int32)
-        kk = min(k, n)
-        widths = tuple(sorted(self._buckets))
-        mats = tuple(self._buckets[w] for w in widths)
         use_pallas = not interpret_mode()
+        df_live = max(self.n_docs, 1)
         for (p_max, t_max), members in groups.items():
+            # A class can't yield more candidates than it has lanes.
+            k_eff = min(kk, t_max * p_max)
             g = len(members)
             bucketw = np.zeros((g, t_max), np.int32)
             rowid = np.zeros((g, t_max), np.int32)
             idf = np.zeros((g, t_max), np.float32)
             for gi, bi in enumerate(members):
                 for ti, tid in enumerate(rows[bi]):
-                    bucketw[gi, ti] = self._term_bucket[tid]
-                    rowid[gi, ti] = self._term_row[tid] + 1  # +1: row 0 = pad
-                    df = int(self._term_df[tid])
+                    if tid >= v or tb[tid] == 0:
+                        continue  # term absent from this segment
+                    bucketw[gi, ti] = tb[tid]
+                    rowid[gi, ti] = tr[tid] + 1  # +1: row 0 = pad
+                    # df counts dead postings until compaction; clamp to
+                    # the live doc count so Okapi idf stays positive
+                    # (negative contributions read as empty lanes in the
+                    # segsum tail).
+                    df = min(len(self._postings_doc[tid]), df_live)
                     idf[gi, ti] = math.log(
-                        1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+                        1.0 + (df_live - df + 0.5) / (df + 0.5))
             s, i = _bucket_score(
                 jnp.asarray(bucketw), jnp.asarray(rowid), jnp.asarray(idf),
-                mats, k=kk, p_max=p_max, t=t_max, widths=widths,
-                use_pallas=use_pallas)
+                layout.mats, k=k_eff, p_max=p_max, t=t_max,
+                widths=layout.widths, use_pallas=use_pallas)
             s = np.asarray(s)
             i = np.asarray(i)
-            if s.shape[1] < k:
-                s = np.pad(s, ((0, 0), (0, k - s.shape[1])),
+            if s.shape[1] < kk:
+                s = np.pad(s, ((0, 0), (0, kk - s.shape[1])),
                            constant_values=NEG_INF)
-                i = np.pad(i, ((0, 0), (0, k - i.shape[1])),
+                i = np.pad(i, ((0, 0), (0, kk - i.shape[1])),
                            constant_values=-1)
-            scores[members] = s[:, :k]
-            ids[members] = i[:, :k]
+            scores[members] = s[:, :kk]
+            ids[members] = i[:, :kk]
+        return scores, ids
+
+    def search_tokens(self, token_lists: list[list[str]], k: int):
+        bsz = len(token_lists)
+        if self._needs_compact():
+            self.compact()
+        n = len(self.doc_len)
+        if n == 0 or self.n_docs == 0:
+            return (
+                np.full((bsz, k), NEG_INF, np.float32),
+                np.full((bsz, k), -1, np.int32),
+            )
+        df_cap = int(self.config.max_df_ratio * max(self.n_docs, 1))
+        rows = []
+        for toks in token_lists:
+            tids = [self.vocab[t] for t in toks if t in self.vocab]
+            if self.config.max_df_ratio < 1.0:
+                tids = [t for t in tids
+                        if len(self._postings_doc[t]) <= df_cap]
+            rows.append(tids)
+
+        # Overfetch past tombstones (dead ids filtered below), rounded
+        # to bound compiled kernel variants.
+        extra = round_up(len(self._dead), 8) if self._dead else 0
+        kk = min(k + extra, max(n, 1))
+
+        scores, ids = self._score(rows, kk, self._main)
+        if self._tail_nnz:
+            s2, i2 = self._score(rows, kk, self._tail_layout())
+            # Main/tail doc sets are disjoint (tail = docs added after
+            # the last compaction): plain candidate merge.
+            from tpurag.kernels.topk import merge_topk
+
+            ms, mi = merge_topk(jnp.asarray(scores), jnp.asarray(ids),
+                                jnp.asarray(s2), jnp.asarray(i2), kk)
+            scores, ids = np.asarray(ms), np.asarray(mi)
+            ids = np.where(scores <= NEG_INF / 2, -1, ids)
+        if self._dead:
+            dead = np.isin(ids, np.fromiter(self._dead, np.int32,
+                                            len(self._dead)))
+            scores = np.where(dead, np.float32(NEG_INF), scores)
+            order = np.argsort(-scores, axis=1, kind="stable")
+            scores = np.take_along_axis(scores, order, axis=1)
+            ids = np.take_along_axis(ids, order, axis=1)
+            ids = np.where(scores <= NEG_INF / 2, -1, ids)
+        scores, ids = scores[:, :k], ids[:, :k]
+        if scores.shape[1] < k:
+            scores = np.pad(scores, ((0, 0), (0, k - scores.shape[1])),
+                            constant_values=NEG_INF)
+            ids = np.pad(ids, ((0, 0), (0, k - ids.shape[1])),
+                         constant_values=-1)
         if self.config.rank_compat_scores:
             scores = np.asarray(rank_compat(jnp.asarray(scores)))
         return scores, ids
@@ -278,31 +455,53 @@ class InvertedIndex:
     def __len__(self) -> int:
         return self.n_docs
 
-    # -- persistence -----------------------------------------------------------
+    # -- persistence (binary postings, SURVEY.md §5.4) -----------------------
 
     def save(self, path) -> None:
         path = pathlib.Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
+        offsets = np.zeros(len(self._postings_doc) + 1, np.int64)
+        np.cumsum([len(p) for p in self._postings_doc], out=offsets[1:])
+        flat_doc = np.fromiter(
+            (d for p in self._postings_doc for d in p), np.int32,
+            int(offsets[-1]))
+        flat_tf = np.fromiter(
+            (t for p in self._postings_tf for t in p), np.int32,
+            int(offsets[-1]))
         np.savez(
             path,
-            vocab=json.dumps(self.vocab),
+            vocab=json.dumps(self.vocab, ensure_ascii=False),
             doc_len=np.asarray(self.doc_len, np.int32),
             n_docs=self.n_docs,
-            postings=json.dumps({
-                "doc": self._postings_doc,
-                "tf": self._postings_tf,
-            }),
+            total_tokens=self._total_tokens,
+            post_offsets=offsets,
+            post_doc=flat_doc,
+            post_tf=flat_tf,
+            dead=np.fromiter(self._dead, np.int32, len(self._dead)),
         )
 
     @classmethod
     def load(cls, path, config: BM25Config | None = None) -> "InvertedIndex":
-        data = np.load(pathlib.Path(path).with_suffix(".npz"), allow_pickle=False)
+        data = np.load(pathlib.Path(path).with_suffix(".npz"),
+                       allow_pickle=False)
         idx = cls(config)
         idx.vocab = json.loads(str(data["vocab"]))
         idx.doc_len = [int(x) for x in data["doc_len"]]
         idx.n_docs = int(data["n_docs"])
-        p = json.loads(str(data["postings"]))
-        idx._postings_doc = p["doc"]
-        idx._postings_tf = p["tf"]
-        idx._dirty = True
+        if "post_offsets" in data:
+            offs = data["post_offsets"]
+            fd = data["post_doc"]
+            ft = data["post_tf"]
+            idx._postings_doc = [fd[offs[i]:offs[i + 1]].tolist()
+                                 for i in range(len(offs) - 1)]
+            idx._postings_tf = [ft[offs[i]:offs[i + 1]].tolist()
+                                for i in range(len(offs) - 1)]
+            idx._total_tokens = int(data["total_tokens"])
+            idx._dead = set(int(x) for x in data["dead"])
+        else:  # round-1 JSON format
+            p = json.loads(str(data["postings"]))
+            idx._postings_doc = p["doc"]
+            idx._postings_tf = p["tf"]
+            idx._total_tokens = sum(idx.doc_len)
+        idx._main_count = [0] * len(idx._postings_doc)
         return idx
