@@ -36,11 +36,12 @@ class TestBatching:
 
 
 @pytest.fixture(scope="module")
-def server():
+def server(tmp_path_factory):
     kb = KnowledgeBase("srv-kb")
     kb.add_document("jax", "JAX compiles numerical programs with XLA for TPU.")
     kb.add_document("bread", "Bake bread with flour, water, salt and yeast.")
-    srv = RagServer(kb, agent=Agent(kb))
+    data_dir = tmp_path_factory.mktemp("srv-data")
+    srv = RagServer(kb, agent=Agent(kb), data_dir=str(data_dir))
     httpd = srv.serve(port=0, background=True)
     port = httpd.server_address[1]
     yield f"http://127.0.0.1:{port}", srv
@@ -113,13 +114,20 @@ class TestServer:
             code = e.code
         assert code == 400
 
-    def test_save_route(self, server, tmp_path):
-        base, _ = server
-        code, out = _req(base, "POST", "/save", {"path": str(tmp_path / "snap")})
+    def test_save_route_confined_to_data_dir(self, server, tmp_path):
+        base, srv = server
+        # Relative paths resolve under data_dir.
+        code, out = _req(base, "POST", "/save", {"path": "snap"})
         assert code == 200 and out["chunks"] >= 2
         from tpurag import KnowledgeBase
-        kb2 = KnowledgeBase.load(tmp_path / "snap")
+        kb2 = KnowledgeBase.load(srv.data_dir / "snap")
         assert len(kb2) == out["chunks"]
+        # Escapes are rejected (ADVICE round-1: arbitrary-path write).
+        code, out = _req(base, "POST", "/save",
+                         {"path": str(tmp_path / "evil")})
+        assert code == 403
+        code, out = _req(base, "POST", "/save", {"path": "../evil"})
+        assert code == 403
 
     def test_tracing_utils(self):
         from tpurag.core.types import QueryTrace
@@ -134,11 +142,98 @@ class TestServer:
         sec = block_and_time(lambda: jnp_.ones((8, 8)).sum(), reps=2)
         assert sec >= 0
 
-    def test_eval_route(self, server):
-        base, _ = server
+    def test_eval_route_persists_run(self, server):
+        base, srv = server
         code, out = _req(base, "POST", "/eval", {"n": 1})
         assert code == 200 and out["status"] in ("completed", "failed")
         assert "averages" in out and out["results"]
+        run_id = out["run_id"]
+        # Run is durable: listed, fetchable, and on disk
+        # (schema.prisma:110-152 EvalRun parity).
+        code, listing = _req(base, "GET", "/eval")
+        assert any(r["id"] == run_id for r in listing["runs"])
+        code, full = _req(base, "GET", f"/eval/{run_id}")
+        assert code == 200 and full["results"]
+        assert (srv.data_dir / "eval_runs" / f"{run_id}.json").exists()
+        code, _ = _req(base, "POST", f"/eval/{run_id}/delete")
+        assert code == 200
+        code, _ = _req(base, "GET", f"/eval/{run_id}")
+        assert code == 404
+
+    def test_mixed_mode_concurrent_batch(self, server):
+        """ADVICE round-1 (medium): a keyword request coalesced behind a
+        vector request must still be answered in keyword mode, and each
+        response sliced to its own top_k."""
+        base, _ = server
+        results = [None] * 12
+
+        def hit(i):
+            mode = ("keyword", "vector", "hybrid")[i % 3]
+            k = 1 + (i % 2)
+            results[i] = (mode, k, _req(base, "POST", "/search",
+                                        {"query": "bread flour yeast",
+                                         "top_k": k, "mode": mode}))
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(60)
+        for mode, k, (code, out) in results:
+            assert code == 200
+            assert len(out["results"]) <= k
+            for r in out["results"]:
+                if mode == "keyword":
+                    assert "keyword" in r["found_in"]
+                elif mode == "vector":
+                    assert r["found_in"] == ["vector"]
+
+    def _sse(self, base, path, timeout=120):
+        import urllib.request
+
+        req = urllib.request.Request(base + path, method="GET")
+        events = []
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            assert r.headers["Content-Type"].startswith("text/event-stream")
+            ev = None
+            for raw in r:
+                line = raw.decode().strip()
+                if line.startswith("event: "):
+                    ev = line[7:]
+                elif line.startswith("data: "):
+                    events.append((ev, json.loads(line[6:])))
+                    if ev in ("complete", "error"):
+                        break
+        return events
+
+    def test_document_process_sse(self, server):
+        base, _ = server
+        text = " ".join(f"streaming ingest sentence {i}." for i in range(200))
+        code, out = _req(base, "POST", "/documents/upload",
+                         {"name": "big-doc", "text": text})
+        assert code == 200 and out["status"] == "pending"
+        events = self._sse(base, f"/documents/{out['doc_id']}/process")
+        kinds = [e for e, _ in events]
+        assert kinds[0] == "status" and kinds[-1] == "complete"
+        assert kinds.count("progress") >= 1
+        assert events[-1][1]["chunks"] >= 1
+        code, out = _req(base, "POST", "/search",
+                         {"query": "streaming ingest sentence"})
+        assert out["results"][0]["doc_name"] == "big-doc"
+
+    def test_eval_stream_sse(self, server):
+        base, _ = server
+        events = self._sse(base, "/eval/stream?n=2")
+        kinds = [e for e, _ in events]
+        assert kinds[0] == "status"
+        assert kinds.count("progress") >= 2  # VERDICT done-bar
+        assert kinds[-1] == "complete"
+        assert "averages" in events[-1][1]
+
+    def test_process_sse_unknown_doc(self, server):
+        base, _ = server
+        events = self._sse(base, "/documents/nonexistent/process")
+        assert events[0][0] == "error"
 
     def test_concurrent_searches_batch(self, server):
         base, _ = server

@@ -2,51 +2,88 @@
 
 REST parity with the reference's API surface (SURVEY.md §2.9) on the
 stdlib http.server — no framework dependency. Queries funnel through the
-BatchingExecutor so concurrent requests share device batches.
+BatchingExecutor so concurrent requests share device batches, bucketed
+by (mode, preset) so a keyword request coalesced behind a hybrid one is
+never served in the wrong mode.
 
 Routes:
   GET  /health                      (main.py:245 parity)
-  POST /search   {query, top_k?, mode?}
-  POST /chat     {question, history?}
-  POST /documents {name, text}
-  DELETE is POST /documents/delete {doc_id}
+  POST /search   {query, top_k?, mode?, preset?}
+  POST /chat     {question, history?, session_id?}
+  GET/POST /documents; POST /documents/delete {doc_id}
+  POST /documents/upload {name, text} -> pending doc        (upload/route.ts)
+  GET  /documents/<id>/process       SSE status/progress/heartbeat/
+                                     complete/error frames
+                                     (documents/[id]/process/route.ts:41-54)
   GET  /graph                       (graph viz export, main.py:466 parity)
-  POST /eval     {n?}
+  POST /eval {n?} -> persisted run; GET /eval; GET /eval/<id>;
+  POST /eval/<id>/delete            (schema.prisma:110-152 EvalRun rows)
+  GET  /eval/stream?n=N              SSE live scoring
+                                     (eval/stream/[id]/route.ts:42-113)
+  POST /save {path}                  confined to data_dir
   GET  /stats
+Codebase routes (codebases/* parity) live in api/code_routes.py and are
+mounted when a CodebaseManager is passed.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import json
+import pathlib
+import queue as queue_mod
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import Iterator, Optional
 
 from tpurag.engine.batching import BatchingExecutor
+
+_SSE_HEARTBEAT_S = 5.0  # process/route.ts heartbeat cadence
 
 
 class RagServer:
     def __init__(self, kb, agent=None, graph=None, auth=None, sessions=None,
-                 max_batch: int = 64, max_wait_ms: float = 2.0):
+                 max_batch: int = 64, max_wait_ms: float = 2.0,
+                 data_dir: Optional[str] = None, codebases=None):
+        """data_dir: directory that /save targets must resolve inside
+        (defaults to the current working directory — an open server must
+        not take arbitrary filesystem paths from request bodies) and
+        where eval runs persist."""
         from tpurag.api.sessions import SessionStore
+        from tpurag.eval.store import EvalStore
 
         self.kb = kb
         self.agent = agent
         self.graph = graph
         self.auth = auth              # TokenAuth or None (open)
         self.sessions = sessions or SessionStore()
+        self.data_dir = pathlib.Path(data_dir or ".").resolve()
+        self.eval_store = EvalStore(str(self.data_dir) if data_dir else None)
+        self.codebases = codebases    # optional CodebaseManager
+        self._pending_docs: dict[str, dict] = {}
         self._lock = threading.Lock()
         self.executor = BatchingExecutor(self._run_batch, max_batch,
                                          max_wait_ms)
         self._httpd: Optional[ThreadingHTTPServer] = None
 
     def _run_batch(self, requests: list[dict]) -> list:
-        queries = [r["query"] for r in requests]
-        top_k = max(int(r.get("top_k", 8)) for r in requests)
-        mode = requests[0].get("mode", "hybrid")
-        resps = self.kb.search_batch(queries, top_k=top_k, mode=mode)
-        return resps
+        """Bucket the coalesced batch by (mode, preset); run one device
+        batch per bucket at the bucket's max top_k; slice each response
+        back to its own requested top_k."""
+        out: list = [None] * len(requests)
+        groups: dict[tuple, list[int]] = {}
+        for i, r in enumerate(requests):
+            key = (r.get("mode", "hybrid"), r.get("preset"))
+            groups.setdefault(key, []).append(i)
+        for (mode, preset), idxs in groups.items():
+            ks = [int(requests[i].get("top_k", 8)) for i in idxs]
+            resps = self.kb.search_batch(
+                [requests[i]["query"] for i in idxs],
+                top_k=max(ks), mode=mode, preset=preset)
+            for i, resp, k in zip(idxs, resps, ks):
+                resp.results = resp.results[:k]
+                out[i] = resp
+        return out
 
     # -- handlers --------------------------------------------------------
 
@@ -134,6 +171,16 @@ class RagServer:
             with self._lock:
                 n = self.kb.delete_document(body.get("doc_id", ""))
             return 200, {"deleted_chunks": n}
+        if method == "POST" and path == "/documents/upload":
+            # upload/route.ts:9-77: save content as a pending document;
+            # GET /documents/<id>/process streams the index build.
+            if not body.get("name") or not body.get("text"):
+                return 400, {"error": "missing 'name' or 'text'"}
+            doc_id = body.get("doc_id") or body["name"]
+            self._pending_docs[doc_id] = {"name": body["name"],
+                                          "text": body["text"],
+                                          "status": "pending"}
+            return 200, {"doc_id": doc_id, "status": "pending"}
         if method == "GET" and path == "/graph":
             if self.graph is None:
                 return 404, {"error": "no graph index"}
@@ -142,12 +189,20 @@ class RagServer:
             target = body.get("path")
             if not target:
                 return 400, {"error": "missing 'path'"}
+            # Saves are confined to data_dir (an open socket must not
+            # write to arbitrary filesystem paths).
+            resolved = (self.data_dir / target).resolve() \
+                if not pathlib.Path(target).is_absolute() \
+                else pathlib.Path(target).resolve()
+            if not resolved.is_relative_to(self.data_dir):
+                return 403, {"error":
+                             f"save path must resolve inside {self.data_dir}"}
             with self._lock:
-                self.kb.save(target)
+                self.kb.save(resolved)
                 if self.graph is not None:
-                    self.graph.save(str(target) + "/graph")
+                    self.graph.save(str(resolved) + "/graph")
                 self.sessions.save()
-            return 200, {"saved": target, "chunks": len(self.kb)}
+            return 200, {"saved": str(resolved), "chunks": len(self.kb)}
         if method == "POST" and path == "/eval":
             if self.agent is None:
                 return 503, {"error": "no agent configured"}
@@ -155,7 +210,9 @@ class RagServer:
 
             with self._lock:
                 run = EvalService(self.agent).run(n=int(body.get("n", 3)))
+            run_id = self.eval_store.save_run(run)
             return 200, {
+                "run_id": run_id,
                 "status": run.status,
                 "averages": run.averages,
                 "results": [
@@ -165,7 +222,127 @@ class RagServer:
                     for r in run.results
                 ],
             }
+        if method == "GET" and path == "/eval":
+            return 200, {"runs": self.eval_store.list()}
+        if path.startswith("/eval/"):
+            parts = path.split("/")
+            run_id = parts[2]
+            if method == "POST" and len(parts) == 4 and parts[3] == "delete":
+                ok = self.eval_store.delete(run_id)
+                return (200, {"deleted": True}) if ok else (
+                    404, {"error": f"no eval run {run_id}"})
+            if method == "GET" and len(parts) == 3:
+                payload = self.eval_store.get(run_id)
+                if payload is None:
+                    return 404, {"error": f"no eval run {run_id}"}
+                return 200, payload
+        if self.codebases is not None and path.startswith("/codebases"):
+            from tpurag.api.code_routes import handle_codebase
+
+            resp = handle_codebase(self.codebases, method, path, body)
+            if resp is not None:
+                return resp
         return 404, {"error": f"no route {method} {path}"}
+
+    # -- SSE streams -------------------------------------------------------
+
+    def handle_stream(self, method: str, path: str, body: dict,
+                      token: Optional[str] = None
+                      ) -> Optional[Iterator[tuple[str, dict]]]:
+        """Returns an (event, payload) generator for SSE routes, or None
+        when `path` is not a streaming route."""
+        path, _, qs = path.partition("?")
+        params = dict(p.split("=", 1) for p in qs.split("&") if "=" in p)
+        if self.auth is not None and self.auth.verify(token) is None:
+            return None
+        parts = path.strip("/").split("/")
+        if (method == "GET" and len(parts) == 3 and parts[0] == "documents"
+                and parts[2] == "process"):
+            return self._process_stream(parts[1])
+        if method == "GET" and path == "/eval/stream":
+            return self._eval_stream(int(params.get("n", 3)))
+        if (self.codebases is not None and method == "GET"
+                and len(parts) == 3 and parts[0] == "codebases"
+                and parts[2] == "process"):
+            from tpurag.api.code_routes import process_stream
+
+            return process_stream(self.codebases, parts[1], self._lock)
+        return None
+
+    def _process_stream(self, doc_id: str) -> Iterator[tuple[str, dict]]:
+        """Chunk-batched index build with progress frames
+        (documents/[id]/process/route.ts:41-54 event shapes)."""
+        doc = self._pending_docs.pop(doc_id, None)
+        if doc is None:
+            yield "error", {"error": f"no pending document {doc_id}"}
+            return
+        yield "status", {"status": "processing", "progress": 5}
+        from tpurag.core.types import Chunk
+        from tpurag.ingest.chunker import chunk_text
+
+        pieces = chunk_text(doc["text"], self.kb.config.chunking)
+        chunks = [Chunk(text=p, doc_id=doc_id, doc_name=doc["name"],
+                        chunk_index=i) for i, p in enumerate(pieces)]
+        total = max(len(chunks), 1)
+        done = 0
+        step = 8
+        ids: list[int] = []
+        for s in range(0, len(chunks), step):
+            with self._lock:
+                ids += self.kb.add_chunks(chunks[s:s + step])
+            done = min(s + step, len(chunks))
+            yield "progress", {"progress": 5 + int(90 * done / total),
+                               "chunks": done, "total": total}
+        yield "complete", {"progress": 100, "chunks": len(ids),
+                           "doc_id": doc_id}
+
+    def _eval_stream(self, n: int) -> Iterator[tuple[str, dict]]:
+        """Live per-question scoring (eval/stream/[id]/route.ts:42-113):
+        progress frames as each question completes, heartbeats while a
+        question is still running, then a complete frame."""
+        if self.agent is None:
+            yield "error", {"error": "no agent configured"}
+            return
+        from tpurag.eval.service import EvalService
+
+        q: queue_mod.Queue = queue_mod.Queue()
+        holder: dict = {}
+
+        def work():
+            try:
+                with self._lock:
+                    run = EvalService(self.agent).run(
+                        n=n, on_progress=lambda r: q.put(("progress", r)))
+                holder["run"] = run
+            except Exception as e:  # degrade, never crash
+                holder["error"] = str(e)
+            q.put(("done", None))
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        yield "status", {"status": "running", "total": n}
+        while True:
+            try:
+                kind, run = q.get(timeout=_SSE_HEARTBEAT_S)
+            except queue_mod.Empty:
+                yield "heartbeat", {}
+                continue
+            if kind == "done":
+                break
+            last = run.results[-1]
+            yield "progress", {
+                "progress": run.progress, "total": run.total,
+                "question": last.question.question,
+                "scores": (dataclasses.asdict(last.scores)
+                           if last.scores else None),
+            }
+        if "error" in holder:
+            yield "error", {"error": holder["error"]}
+            return
+        run = holder["run"]
+        run_id = self.eval_store.save_run(run)
+        yield "complete", {"run_id": run_id, "status": run.status,
+                           "averages": run.averages}
 
     # -- lifecycle -------------------------------------------------------
 
@@ -188,11 +365,37 @@ class RagServer:
                 auth_header = self.headers.get("Authorization", "")
                 token = auth_header.removeprefix("Bearer ").strip() or None
                 try:
+                    stream = outer.handle_stream(method, self.path, body,
+                                                 token=token)
+                    if stream is not None:
+                        self._write_sse(stream)
+                        return
                     code, out = outer.handle(method, self.path, body,
                                              token=token)
                 except Exception as e:  # degrade, never crash (SURVEY §5.3)
                     code, out = 500, {"error": str(e)}
                 self._write(code, out)
+
+            def _write_sse(self, stream):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                try:
+                    for event, payload in stream:
+                        frame = (f"event: {event}\n"
+                                 f"data: {json.dumps(payload, ensure_ascii=False)}\n\n")
+                        self.wfile.write(frame.encode())
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client disconnected mid-stream
+                except Exception as e:
+                    try:
+                        frame = (f"event: error\n"
+                                 f"data: {json.dumps({'error': str(e)})}\n\n")
+                        self.wfile.write(frame.encode())
+                    except OSError:
+                        pass
 
             def _write(self, code, out):
                 data = json.dumps(out, ensure_ascii=False).encode()

@@ -1,0 +1,85 @@
+"""Durable eval-run storage.
+
+The reference persists EvalRun/EvalResult rows in SQLite via Prisma
+(prisma/schema.prisma:110-152) so runs survive the process; round 1 kept
+them in memory only. Here each run is one JSON artifact under
+<dir>/eval_runs/ (plus an in-memory cache); memory-only when no
+directory is configured."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import time
+from typing import Optional
+
+
+def _run_payload(run, run_id: str) -> dict:
+    return {
+        "id": run_id,
+        "status": run.status,
+        "progress": run.progress,
+        "total": run.total,
+        "averages": run.averages,
+        "error": run.error,
+        "created_at": time.time(),
+        "results": [
+            {
+                "question": r.question.question,
+                "expected_intent": r.question.expected_intent,
+                "expected_tools": r.question.expected_tools,
+                "answer": r.answer[:2000],
+                "scores": (dataclasses.asdict(r.scores)
+                           if r.scores else None),
+                "tools_used": r.tools_used,
+                "seconds": r.seconds,
+                "error": r.error,
+            }
+            for r in run.results
+        ],
+    }
+
+
+class EvalStore:
+    def __init__(self, directory: Optional[str] = None):
+        self.dir = pathlib.Path(directory) / "eval_runs" if directory else None
+        self._cache: dict[str, dict] = {}
+        if self.dir is not None and self.dir.exists():
+            for f in sorted(self.dir.glob("run_*.json")):
+                try:
+                    payload = json.loads(f.read_text())
+                    self._cache[payload["id"]] = payload
+                except (json.JSONDecodeError, KeyError):
+                    continue
+
+    def save_run(self, run) -> str:
+        run_id = f"run_{int(time.time() * 1000):x}_{len(self._cache)}"
+        payload = _run_payload(run, run_id)
+        self._cache[run_id] = payload
+        if self.dir is not None:
+            self.dir.mkdir(parents=True, exist_ok=True)
+            (self.dir / f"{run_id}.json").write_text(
+                json.dumps(payload, ensure_ascii=False))
+        return run_id
+
+    def list(self) -> list[dict]:
+        return [
+            {k: p[k] for k in ("id", "status", "averages", "total",
+                               "created_at")}
+            for p in sorted(self._cache.values(),
+                            key=lambda p: p["created_at"], reverse=True)
+        ]
+
+    def get(self, run_id: str) -> Optional[dict]:
+        return self._cache.get(run_id)
+
+    def delete(self, run_id: str) -> bool:
+        if run_id not in self._cache:
+            return False
+        del self._cache[run_id]
+        if self.dir is not None:
+            f = self.dir / f"{run_id}.json"
+            if f.exists():
+                f.unlink()
+        return True

@@ -41,9 +41,13 @@ def _write_rows(buf, rows, start):
     return jax.lax.dynamic_update_slice(buf, rows.astype(buf.dtype), (start, 0))
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("ids",))
-def _zero_rows(buf, ids: tuple[int, ...]):
-    return buf.at[jnp.asarray(ids, jnp.int32)].set(0)
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _zero_rows(buf, ids):
+    """ids: traced (M,) int32, padded by repeating a valid id (the
+    scatter is a set-to-zero, so duplicates are idempotent). Traced ids
+    + pow2-padded M keep the compile cache bounded on a long-lived
+    server with ongoing deletes (round-1 advisor finding)."""
+    return buf.at[ids].set(0)
 
 
 class DenseIndex:
@@ -100,7 +104,10 @@ class DenseIndex:
         if not live:
             return
         self._deleted.update(live)
-        self._emb = _zero_rows(self._emb, tuple(sorted(live)))
+        m = 1 << max(len(live) - 1, 0).bit_length()  # pad to pow2 bucket
+        padded = np.full(m, live[0], np.int32)
+        padded[: len(live)] = sorted(live)
+        self._emb = _zero_rows(self._emb, jnp.asarray(padded))
 
     # -- query -------------------------------------------------------------
 
