@@ -1,0 +1,191 @@
+"""Code-chat composition + codebase HTTP routes (VERDICT round-1 items
+5 and 8: chat/route.ts:8-373 flow, codebases/* surface, `code` preset
+actually selected for code KBs)."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from tpurag.api.code_routes import CodebaseManager
+from tpurag.code.chat import code_chat, extract_code_keywords
+
+
+@pytest.fixture(scope="module")
+def repo(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fixture-repo")
+    (root / "src").mkdir()
+    (root / "src" / "scheduler.py").write_text(
+        "class Scheduler:\n"
+        "    def submit_task(self, task):\n"
+        "        '''Queue a task for execution.'''\n"
+        "        self.queue.append(task)\n"
+        "\n"
+        "    def run_pending(self):\n"
+        "        for task in self.queue:\n"
+        "            task.execute()\n")
+    (root / "src" / "executor.py").write_text(
+        "def execute_task(task, retries=3):\n"
+        "    for attempt in range(retries):\n"
+        "        try:\n"
+        "            return task.run()\n"
+        "        except RuntimeError:\n"
+        "            continue\n"
+        "    raise TimeoutError('task failed after retries')\n")
+    (root / "README.md").write_text("A tiny task scheduler library.")
+    return root
+
+
+@pytest.fixture(scope="module")
+def manager(repo):
+    mgr = CodebaseManager(dim=128)
+    cb = mgr.register(str(repo), "tiny")
+    mgr.process(cb)
+    return mgr
+
+
+class TestKeywordExtraction:
+    def test_deterministic_identifiers(self):
+        kws = extract_code_keywords(
+            "How does submit_task interact with run_pending?")
+        assert "submit_task" in kws and "run_pending" in kws
+
+    def test_llm_identifier_filter(self):
+        llm = lambda p: "reactive, ref, 响应式, effect, not-an-ident!"
+        kws = extract_code_keywords("how does reactivity work?", llm=llm)
+        assert kws == ["reactive", "ref", "effect"]
+
+    def test_llm_garbage_falls_back(self):
+        kws = extract_code_keywords("explain the Scheduler class",
+                                    llm=lambda p: "！！！")
+        assert "Scheduler" in kws
+
+
+class TestCodeChat:
+    def test_symbol_addressed_answer(self, manager):
+        res = manager.chat("tiny", "how does submit_task work?")
+        assert "submit_task" in res.answer
+        sym = [s for s in res.sources if s["type"] == "symbol"]
+        assert sym and sym[0]["filePath"].endswith("scheduler.py")
+        assert isinstance(sym[0]["startLine"], int)
+
+    def test_code_chunk_sources_have_lines(self, manager):
+        res = manager.chat("tiny", "where is execute_task retried?")
+        chunks = [s for s in res.sources if s["type"] == "code_chunk"]
+        assert chunks
+        assert chunks[0]["filePath"].endswith(".py")
+        assert chunks[0]["startLine"] >= 1
+
+    def test_uses_code_preset(self, manager):
+        cb = manager.codebases["tiny"]
+        assert cb.kb.config.preset == "code"
+        p = cb.kb._preset(None)
+        assert p.rrf_k == 40 and p.keyword_weight == 1.3
+
+    def test_context_blocks(self, manager):
+        res = manager.chat("tiny", "explain the Scheduler queue")
+        assert "[🔤 Relevant symbols]" in res.context
+        assert "[📄 Relevant code]" in res.context
+
+    def test_llm_mode_composes_context(self, repo):
+        prompts = []
+
+        def llm(p):
+            prompts.append(p)
+            return ("scheduler,submit_task" if "code-search" in p
+                    else "The Scheduler queues tasks (src/scheduler.py:1).")
+
+        mgr = CodebaseManager(llm=llm, dim=128)
+        cb = mgr.register(str(repo), "t2")
+        mgr.process(cb)
+        res = mgr.chat("t2", "how are tasks queued?")
+        assert "Scheduler" in res.answer
+        # Final prompt carried the retrieved context.
+        assert any("Relevant" in p for p in prompts)
+
+
+@pytest.fixture(scope="module")
+def cb_server(repo, tmp_path_factory):
+    from tpurag import KnowledgeBase
+    from tpurag.api.server import RagServer
+
+    kb = KnowledgeBase("srv")
+    kb.add_document("d", "placeholder document")
+    srv = RagServer(kb, codebases=CodebaseManager(dim=128),
+                    data_dir=str(tmp_path_factory.mktemp("cb-data")))
+    httpd = srv.serve(port=0, background=True)
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", srv, repo
+    srv.shutdown()
+
+
+def _req(base, method, path, body=None):
+    data = json.dumps(body or {}).encode()
+    req = urllib.request.Request(
+        base + path, data=data if method == "POST" else None,
+        method=method, headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestCodebaseRoutes:
+    def test_full_lifecycle(self, cb_server):
+        base, srv, repo = cb_server
+        code, out = _req(base, "POST", "/codebases",
+                         {"path": str(repo), "id": "lc"})
+        assert code == 200 and out["status"] == "pending"
+
+        # Chat before processing is a conflict.
+        code, out = _req(base, "POST", "/codebases/lc/chat",
+                         {"question": "?"})
+        assert code == 409
+
+        # SSE 6-step pipeline.
+        req = urllib.request.Request(base + "/codebases/lc/process")
+        events = []
+        with urllib.request.urlopen(req, timeout=120) as r:
+            ev = None
+            for raw in r:
+                line = raw.decode().strip()
+                if line.startswith("event: "):
+                    ev = line[7:]
+                elif line.startswith("data: "):
+                    events.append((ev, json.loads(line[6:])))
+                    if ev in ("complete", "error"):
+                        break
+        kinds = [e for e, _ in events]
+        assert kinds[-1] == "complete"
+        assert kinds.count("progress") >= 3  # multi-step pipeline
+        assert events[-1][1]["symbols"] >= 2
+
+        code, out = _req(base, "GET", "/codebases")
+        assert any(c["id"] == "lc" and c["status"] == "completed"
+                   for c in out["codebases"])
+
+        code, out = _req(base, "POST", "/codebases/lc/chat",
+                         {"question": "how does submit_task work?"})
+        assert code == 200 and out["sourceNodes"]
+        assert "submit_task" in out["answer"]
+
+        code, out = _req(base, "GET", "/codebases/lc/module-graph")
+        assert code == 200 and out["nodes"]
+
+        code, out = _req(base, "GET", "/codebases/lc/files/tree")
+        assert code == 200
+        names = json.dumps(out["tree"])
+        assert "scheduler.py" in names
+
+        code, out = _req(base, "GET",
+                         "/codebases/lc/file?path=src/executor.py")
+        assert code == 200 and "execute_task" in out["content"]
+
+        code, out = _req(base, "GET", "/codebases/lc/file?path=nope.py")
+        assert code == 404
+
+    def test_unknown_codebase(self, cb_server):
+        base, _, _ = cb_server
+        code, _ = _req(base, "GET", "/codebases/ghost")
+        assert code == 404

@@ -131,13 +131,33 @@ def cmd_bench(args):
 
 def cmd_serve(args):
     from tpurag.agent.react import Agent
+    from tpurag.api.code_routes import CodebaseManager
     from tpurag.api.server import RagServer
 
     kb = _load_kb(args.kb)
     agent = Agent(kb)
-    server = RagServer(kb, agent=agent)
+    server = RagServer(kb, agent=agent,
+                       data_dir=args.data_dir or args.kb,
+                       codebases=CodebaseManager(dim=kb.dim))
     print(f"serving on http://{args.host}:{args.port}", file=sys.stderr)
     server.serve(args.host, args.port)
+
+
+def cmd_codechat(args):
+    """Composed code chat over a repository (chat/route.ts:8-373)."""
+    from tpurag.api.code_routes import CodebaseManager
+
+    mgr = CodebaseManager()
+    cb = mgr.register(args.repo)
+    mgr.process(cb, progress=lambda pct, step: print(
+        f"  [{pct:3d}%] {step}", file=sys.stderr))
+    res = mgr.chat(cb.cb_id, args.question)
+    print(res.answer)
+    if res.sources:
+        print("\n-- sources --")
+        for s in res.sources:
+            loc = f"{s['filePath']}:{s.get('startLine', '?')}"
+            print(f"  [{s['type']}] {s['name']} @ {loc}")
 
 
 def cmd_graph(args):
@@ -193,7 +213,15 @@ def main(argv=None):
     p.add_argument("--kb", required=True)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--data-dir", default=None,
+                   help="directory /save targets are confined to "
+                        "(default: the KB directory)")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("codechat", help="one-shot code chat over a repo")
+    p.add_argument("question")
+    p.add_argument("--repo", required=True)
+    p.set_defaults(fn=cmd_codechat)
 
     p = sub.add_parser("graph")
     p.add_argument("--kb", required=True)

@@ -1,0 +1,238 @@
+"""Codebase HTTP surface (the reference's 8 api/codebases/* routes).
+
+Reference routes (SURVEY.md §2.9):
+  POST /codebases {id?, path|url}      register  (api/codebases POST)
+  GET  /codebases                      list
+  GET  /codebases/<id>                 detail/status
+  GET  /codebases/<id>/process         SSE 6-step pipeline
+                                       (process/route.ts:16-449: clone ->
+                                       structure -> module graph ->
+                                       symbols -> chunks -> completed)
+  POST /codebases/<id>/chat {question} composed code chat
+                                       (chat/route.ts:8-373)
+  GET  /codebases/<id>/module-graph    viz export
+  GET  /codebases/<id>/files/tree      file tree
+  GET  /codebases/<id>/file?path=      one file's content
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import urllib.parse
+from typing import Iterator, Optional
+
+
+@dataclasses.dataclass
+class Codebase:
+    cb_id: str
+    path: str
+    status: str = "pending"   # pending | processing | completed | failed
+    kb: object = None
+    symbols: object = None
+    module_graph: Optional[dict] = None
+    structure: Optional[dict] = None
+    files: list = dataclasses.field(default_factory=list)
+    error: str = ""
+
+
+class CodebaseManager:
+    """Per-codebase lifecycle. Code KBs run the `code` hybrid preset
+    (rrf_k=40, keyword weight 1.3, hybrid-search.ts:96-104)."""
+
+    def __init__(self, embedder=None, llm=None, dim: int = 256):
+        self.embedder = embedder
+        self.llm = llm
+        self.dim = dim
+        self.codebases: dict[str, Codebase] = {}
+
+    def register(self, path: str, cb_id: Optional[str] = None) -> Codebase:
+        import pathlib
+
+        cb_id = cb_id or pathlib.Path(path).name
+        cb = Codebase(cb_id=cb_id, path=path)
+        self.codebases[cb_id] = cb
+        return cb
+
+    def process(self, cb: Codebase,
+                progress=lambda pct, step: None) -> None:
+        """The 6-step pipeline (process/route.ts percentages)."""
+        import dataclasses as dc
+
+        from tpurag.api.knowledge_base import KnowledgeBase
+        from tpurag.code.chunks import create_code_chunks
+        from tpurag.code.fetcher import clone_repo, walk_code_files
+        from tpurag.code.modules import build_module_graph
+        from tpurag.code.structure import analyze_repo_structure
+        from tpurag.code.symbols import SymbolTable
+        from tpurag.core.config import EngineConfig
+
+        cb.status = "processing"
+        progress(5, "fetch")
+        import pathlib
+        import tempfile
+
+        root = pathlib.Path(cb.path)
+        if not root.exists():  # URL: shallow clone (repo-fetcher.ts:185)
+            root = clone_repo(cb.path, tempfile.mkdtemp(prefix="tpurag_cb_"))
+        cb.files = walk_code_files(root)
+        progress(20, "structure")
+        cb.structure = analyze_repo_structure(root, cb.files)
+        progress(25, "modules")
+        cfg = dc.replace(EngineConfig(), preset="code")
+        cb.kb = KnowledgeBase(cb.cb_id, embedder=self.embedder,
+                              config=cfg, dim=self.dim)
+        cb.module_graph = build_module_graph(
+            cb.files, workspaces=cb.structure.get("workspaces", []),
+            embedder=cb.kb.embedder, llm=self.llm)
+        progress(45, "symbols")
+        cb.symbols = SymbolTable()
+        cb.symbols.extract_files(cb.files)
+        progress(70, "chunks")
+        cb.kb.add_chunks(create_code_chunks(cb.files))
+        progress(98, "index")
+        cb.status = "completed"
+
+    def chat(self, cb_id: str, question: str):
+        from tpurag.code.chat import code_chat
+
+        cb = self.codebases[cb_id]
+        return code_chat(question, cb.kb, symbols=cb.symbols,
+                         module_graph=cb.module_graph, llm=self.llm,
+                         name=cb.cb_id)
+
+
+def _file_tree(files: list) -> dict:
+    """Nested tree (files/tree route parity)."""
+    root: dict = {"name": "", "dirs": {}, "files": []}
+    for f in files:
+        parts = f["rel"].split("/")
+        node = root
+        for d in parts[:-1]:
+            node = node["dirs"].setdefault(d, {"name": d, "dirs": {},
+                                               "files": []})
+        node["files"].append({"name": parts[-1], "lines": f["lines"],
+                              "language": f["language"]})
+
+    def pack(node):
+        return {"name": node["name"], "files": node["files"],
+                "dirs": [pack(d) for d in node["dirs"].values()]}
+
+    return pack(root)
+
+
+def handle_codebase(mgr: CodebaseManager, method: str, path: str,
+                    body: dict) -> Optional[tuple[int, dict]]:
+    """Non-SSE codebase routes; None if the path doesn't match."""
+    path, _, qs = path.partition("?")
+    params = dict(urllib.parse.parse_qsl(qs))
+    parts = [p for p in path.split("/") if p]
+    if parts[0] != "codebases":
+        return None
+    if len(parts) == 1:
+        if method == "GET":
+            return 200, {"codebases": [
+                {"id": cb.cb_id, "status": cb.status, "path": cb.path,
+                 "files": len(cb.files)}
+                for cb in mgr.codebases.values()]}
+        if method == "POST":
+            if not body.get("path"):
+                return 400, {"error": "missing 'path'"}
+            cb = mgr.register(body["path"], body.get("id"))
+            return 200, {"id": cb.cb_id, "status": cb.status}
+    cb = mgr.codebases.get(parts[1]) if len(parts) >= 2 else None
+    if cb is None:
+        return 404, {"error": f"no codebase {parts[1] if len(parts) > 1 else ''}"}
+    if len(parts) == 2 and method == "GET":
+        out = {"id": cb.cb_id, "status": cb.status, "path": cb.path,
+               "files": len(cb.files), "error": cb.error}
+        if cb.structure:
+            out["structure"] = {k: v for k, v in cb.structure.items()
+                                if k != "skeleton"}
+        return 200, out
+    sub = parts[2] if len(parts) >= 3 else ""
+    if sub == "chat" and method == "POST":
+        if cb.status != "completed":
+            return 409, {"error": f"codebase {cb.cb_id} is {cb.status}"}
+        if not body.get("question"):
+            return 400, {"error": "missing 'question'"}
+        res = mgr.chat(cb.cb_id, body["question"])
+        return 200, {"answer": res.answer, "sourceNodes": res.sources,
+                     "keywords": res.keywords}
+    if sub == "module-graph" and method == "GET":
+        if cb.module_graph is None:
+            return 409, {"error": "not processed"}
+        from tpurag.code.modules import export_module_graph
+
+        return 200, export_module_graph(cb.module_graph)
+    if sub == "files" and len(parts) == 4 and parts[3] == "tree" \
+            and method == "GET":
+        return 200, {"tree": _file_tree(cb.files)}
+    if sub == "file" and method == "GET":
+        rel = params.get("path", "")
+        for f in cb.files:
+            if f["rel"] == rel:
+                return 200, {"path": rel, "language": f["language"],
+                             "content": f["text"]}
+        return 404, {"error": f"no file {rel!r}"}
+    return 404, {"error": f"no codebase route {method} {path}"}
+
+
+def process_stream(mgr: CodebaseManager, cb_id: str,
+                   lock: threading.Lock) -> Iterator[tuple[str, dict]]:
+    """SSE for GET /codebases/<id>/process — the 6-step pipeline with
+    the reference's progress percentages (process/route.ts:16-449)."""
+    cb = mgr.codebases.get(cb_id)
+    if cb is None:
+        yield "error", {"error": f"no codebase {cb_id}"}
+        return
+    if cb.status == "completed":
+        yield "complete", {"progress": 100, "status": "completed"}
+        return
+    events: list[tuple[int, str]] = []
+
+    def on_progress(pct, step):
+        events.append((pct, step))
+
+    yield "status", {"status": "processing", "progress": 0}
+    try:
+        with lock:
+            # Run stepwise so frames interleave with work: process()
+            # calls on_progress synchronously; emit what accumulated.
+            import threading as _t
+
+            done = _t.Event()
+            err: list[str] = []
+
+            def work():
+                try:
+                    mgr.process(cb, progress=on_progress)
+                except Exception as e:  # noqa: BLE001
+                    cb.status = "failed"
+                    cb.error = str(e)
+                    err.append(str(e))
+                finally:
+                    done.set()
+
+            t = _t.Thread(target=work, daemon=True)
+            t.start()
+            sent = 0
+            while not done.wait(0.05):
+                while sent < len(events):
+                    pct, step = events[sent]
+                    yield "progress", {"progress": pct, "step": step}
+                    sent += 1
+            while sent < len(events):
+                pct, step = events[sent]
+                yield "progress", {"progress": pct, "step": step}
+                sent += 1
+            if err:
+                yield "error", {"error": err[0]}
+                return
+    except Exception as e:  # noqa: BLE001
+        yield "error", {"error": str(e)}
+        return
+    yield "complete", {"progress": 100, "status": cb.status,
+                       "files": len(cb.files),
+                       "chunks": len(cb.kb) if cb.kb else 0,
+                       "symbols": len(cb.symbols) if cb.symbols else 0}

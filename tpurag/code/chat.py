@@ -1,0 +1,187 @@
+"""Code chat — the composed codebase-QA pipeline.
+
+Reference: src/app/api/codebases/[id]/chat/route.ts:8-373 —
+  Step 1 LLM keyword extraction (identifier-only, <=10, :66-100)
+  Step 2 module summaries (top-5, :107-134)
+  Step 3 keyword code search (:140-169)
+  Step 4 symbol search (<=15, :175-204)
+  Step 5 context assembly: modules / symbols(<=8) / code chunks(<=5)
+  Step 6 LLM answer + sourceNodes with file:line
+         (symbols score 0.8-0.05i, chunks 0.6-0.05i, :277-324)
+
+Round 1 had all the parts (symbols, modules, code chunks) but never
+composed them; the `code` hybrid preset (rrf_k=40, kw weight 1.3) is
+selected here for every code search. LLM optional: keyword extraction
+falls back to identifier mining from the question and the answer to an
+extractive assembly, keeping the pipeline testable offline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Callable, Optional
+
+_IDENT = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+_WORD = re.compile(r"[A-Za-z_][A-Za-z0-9_]+")
+_STOP = {"the", "how", "what", "does", "where", "when", "why", "and",
+         "implement", "implemented", "work", "works", "code", "codebase",
+         "repo", "function", "with", "this", "that", "explain", "show"}
+
+SOURCE_EXT = re.compile(
+    r"\.(ts|tsx|js|jsx|vue|py|java|go|rs|c|cc|cpp|h|hpp)$", re.IGNORECASE)
+
+
+@dataclasses.dataclass
+class CodeChatResult:
+    answer: str
+    sources: list[dict]
+    keywords: list[str]
+    context: str = ""
+
+
+def extract_code_keywords(question: str,
+                          llm: Optional[Callable[[str], str]] = None
+                          ) -> list[str]:
+    """Identifier-only keyword extraction (chat/route.ts:66-100): LLM
+    asked for comma-separated code identifiers, filtered to valid
+    identifiers, <=10; deterministic identifier mining otherwise."""
+    if llm is not None:
+        raw = llm(
+            "You are a code-search assistant. From the user question, "
+            "extract keywords for searching code. Return ONLY English "
+            "code identifiers (function/class/variable names), "
+            "comma-separated — no prose.\n"
+            'Example: "How does Vue reactivity work?" -> '
+            "reactive,ref,effect,track,trigger,computed\n"
+            f'Question: "{question}"')
+        kws = [k.strip() for k in re.split(r"[,，\s]+", raw)]
+        kws = [k for k in kws if k and _IDENT.match(k)][:10]
+        if kws:
+            return kws
+    # Deterministic: identifiers in the question (camelCase / snake_case
+    # words survive; stopwords don't).
+    kws = []
+    for w in _WORD.findall(question):
+        if w.lower() in _STOP or len(w) < 3:
+            continue
+        if w not in kws:
+            kws.append(w)
+    return kws[:10]
+
+
+def _source_nodes(symbols: list, chunks: list) -> list[dict]:
+    """sourceNodes with file:line (chat/route.ts:277-324)."""
+    nodes = []
+    for i, s in enumerate(symbols[:6]):
+        nodes.append({
+            "type": "symbol", "name": s.name, "symbolType": s.kind,
+            "score": round(0.8 - i * 0.05, 4), "filePath": s.file,
+            "startLine": s.start_line, "endLine": s.end_line,
+        })
+    kept = 0
+    for r in chunks:
+        if kept >= 4:
+            break
+        path = r.metadata.get("doc_rel") or r.doc_name
+        if not SOURCE_EXT.search(path):
+            continue  # skip non-source files (chat/route.ts:300-304)
+        nodes.append({
+            "type": "code_chunk", "name": path.split("/")[-1],
+            "score": round(0.6 - kept * 0.05, 4), "filePath": path,
+            "startLine": r.metadata.get("start_line"),
+            "endLine": r.metadata.get("end_line"),
+            "content": r.text[:200],
+        })
+        kept += 1
+    return nodes
+
+
+def code_chat(question: str, kb, symbols=None, module_graph=None,
+              llm: Optional[Callable[[str], str]] = None,
+              name: str = "", session=None) -> CodeChatResult:
+    """The 6-step flow over one code KB. kb must hold code chunks
+    (create_code_chunks); symbols: SymbolTable; module_graph: the
+    build_module_graph dict."""
+    # Step 1: keywords.
+    keywords = extract_code_keywords(question, llm)
+
+    # Step 2: module summaries (top 5).
+    module_block = ""
+    if module_graph and module_graph.get("modules"):
+        from tpurag.code.modules import search_modules
+
+        mods = [m for m, _ in search_modules(
+            module_graph, " ".join(keywords) or question, kb.embedder, k=5)]
+        if not mods:
+            mods = module_graph["modules"][:5]
+        module_block = "\n\n".join(
+            f"📦 {m.name} ({m.path})" + (f"\n   {m.summary}" if m.summary
+                                         else "")
+            for m in mods)
+
+    # Step 3: keyword-driven code search at the `code` preset.
+    query = " ".join(keywords) if keywords else question
+    resp = kb.search(query, mode="hybrid", preset="code")
+    code_hits = resp.results[:5]
+
+    # Step 4: symbol search (<=15).
+    sym_hits = []
+    if symbols is not None and keywords:
+        seen = set()
+        for kw in keywords:
+            for s in symbols.lookup(kw) + symbols.search(kw, k=5):
+                if s.symbol_id not in seen:
+                    seen.add(s.symbol_id)
+                    sym_hits.append(s)
+        sym_hits = sym_hits[:15]
+
+    # Step 5: context assembly (chat/route.ts:223-258 block shapes).
+    blocks = []
+    if module_block:
+        blocks.append(f"[📦 Relevant modules]\n{module_block}")
+    if sym_hits:
+        sym_lines = []
+        for i, s in enumerate(sym_hits[:8]):
+            sym_lines.append(
+                f"{i + 1}. {s.kind} {s.name} @ {s.file}:{s.start_line}")
+        blocks.append("[🔤 Relevant symbols]\n" + "\n".join(sym_lines))
+    if code_hits:
+        snippet_lines = []
+        for i, r in enumerate(code_hits):
+            preview = r.text[:300] + ("..." if len(r.text) > 300 else "")
+            snippet_lines.append(f"{i + 1}. {r.doc_name}\n{preview}")
+        blocks.append("[📄 Relevant code]\n" + "\n\n".join(snippet_lines))
+    context = "\n\n".join(blocks) or \
+        "(no relevant code found; answering from the question alone)"
+
+    # Step 6: answer.
+    if llm is not None:
+        answer = llm(
+            f"You are a code assistant for the codebase \"{name}\". "
+            "Answer using the retrieved information below. Cite file "
+            "paths and line numbers for concrete code; explain the "
+            "logic; start from the module architecture when summaries "
+            "exist; say so plainly if the context is insufficient.\n\n"
+            f"Retrieved information:\n\n{context}\n\n"
+            f"User question: {question}")
+    else:
+        # Extractive offline answer: top snippet + symbol addresses.
+        parts = []
+        if sym_hits:
+            parts.append("Relevant symbols: " + "; ".join(
+                f"{s.kind} {s.name} ({s.file}:{s.start_line})"
+                for s in sym_hits[:5]))
+        if code_hits:
+            parts.append(code_hits[0].text[:800])
+        if module_block:
+            parts.append(module_block[:400])
+        answer = "\n\n".join(parts) or \
+            "No matching code found for this question."
+
+    if session is not None:
+        session.append("user", question)
+        session.append("assistant", answer)
+    return CodeChatResult(answer=answer,
+                          sources=_source_nodes(sym_hits, code_hits),
+                          keywords=keywords, context=context)

@@ -10,15 +10,32 @@ same inverted-index machinery the chunks use."""
 from __future__ import annotations
 
 import dataclasses
+import re
 
-from tpurag.code.parser import parse_code_file
+from tpurag.code.parser import (
+    _find_block_end_braces, _find_block_end_indent, parse_code_file,
+)
 from tpurag.index.inverted import InvertedIndex
+
+# Method-level patterns: the block parser only matches top-level
+# declarations (^-anchored, code-parser.ts:108-129); class methods are
+# indented and need their own pass for file:line symbol addressing.
+_METHOD_PATTERNS: dict[str, re.Pattern] = {
+    "python": re.compile(r"^\s+(?:async\s+)?def\s+(\w+)\s*\("),
+    "typescript": re.compile(
+        r"^\s+(?:public\s+|private\s+|protected\s+|static\s+|async\s+)*"
+        r"(\w+)\s*\([^;=]*\)\s*(?::\s*[\w<>\[\] |,.]+\s*)?\{"),
+    "go": re.compile(r"^func\s+\([^)]*\)\s*(\w+)\s*\("),
+    "rust": re.compile(r"^\s+(?:pub(?:\([^)]*\))?\s+)?(?:async\s+)?fn\s+(\w+)"),
+}
+_METHOD_PATTERNS["javascript"] = _METHOD_PATTERNS["typescript"]
+_NOT_METHODS = {"if", "for", "while", "switch", "return", "catch", "else"}
 
 
 @dataclasses.dataclass
 class Symbol:
     name: str
-    kind: str            # function | class | interface | type | struct...
+    kind: str            # function | class | method | interface | type...
     file: str
     start_line: int
     end_line: int
@@ -32,19 +49,43 @@ class SymbolTable:
         self._by_name: dict[str, list[int]] = {}
         self._index = InvertedIndex()
 
+    def _add(self, name: str, kind: str, rel: str, start: int, end: int,
+             language: str) -> None:
+        sym = Symbol(name=name, kind=kind, file=rel, start_line=start,
+                     end_line=end, language=language,
+                     symbol_id=len(self.symbols))
+        self.symbols.append(sym)
+        self._by_name.setdefault(name.lower(), []).append(sym.symbol_id)
+        # Index name + snake/camel fragments + file for keyword lookup.
+        self._index.add(sym.symbol_id, f"{name} {rel} {kind} {language}")
+
     def extract_file(self, rel: str, text: str, language: str) -> int:
         """Parse one file's symbols into the table; returns count added."""
         added = 0
+        seen: set[tuple[str, int]] = set()
         for b in parse_code_file(text, language):
-            sym = Symbol(name=b.name, kind=b.block_type, file=rel,
-                         start_line=b.start_line, end_line=b.end_line,
-                         language=language, symbol_id=len(self.symbols))
-            self.symbols.append(sym)
-            self._by_name.setdefault(b.name.lower(), []).append(sym.symbol_id)
-            # Index name + snake/camel fragments + file for keyword lookup.
-            self._index.add(sym.symbol_id,
-                            f"{b.name} {rel} {b.block_type} {language}")
+            self._add(b.name, b.block_type, rel, b.start_line, b.end_line,
+                      language)
+            seen.add((b.name, b.start_line))
             added += 1
+        # Method pass (indented declarations inside classes/impls).
+        pat = _METHOD_PATTERNS.get(language)
+        if pat is not None:
+            lines = text.split("\n")
+            for li, line in enumerate(lines):
+                m = pat.match(line)
+                if not m or m.group(1) in _NOT_METHODS:
+                    continue
+                if (m.group(1), li + 1) in seen:
+                    continue
+                if language == "python":
+                    end = _find_block_end_indent(lines, li)
+                else:
+                    end = _find_block_end_braces(lines, li)
+                self._add(m.group(1), "method", rel, li + 1, end + 1,
+                          language)
+                seen.add((m.group(1), li + 1))
+                added += 1
         return added
 
     def extract_files(self, files: list[dict]) -> int:
