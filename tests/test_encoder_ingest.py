@@ -1,0 +1,137 @@
+"""Encoder-in-ingest (VERDICT round-1 item 8): npz checkpoint load
+reproduces embeddings bit-exactly, the subword (BPE) tokenizer fills the
+learned-vocab slot, and the double-buffered pipeline produces the same
+index as sequential feeding."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpurag.ingest.subword import SubwordTokenizer
+from tpurag.models.encoder import (
+    EncoderConfig, EncoderEmbedder, load_params, save_params,
+)
+
+CFG = EncoderConfig(vocab_size=512, dim=64, n_layers=2, n_heads=4,
+                    max_len=32, out_dim=64, dtype="float32")
+CFG_BF16 = EncoderConfig(vocab_size=512, dim=64, n_layers=2, n_heads=4,
+                         max_len=32, out_dim=64, dtype="bfloat16")
+
+
+class TestCheckpoint:
+    def test_roundtrip_bit_exact_fp32(self, tmp_path):
+        emb = EncoderEmbedder(CFG, seed=3, seq_len=16)
+        texts = ["alpha beta gamma", "the quick brown fox", "单元 测试"]
+        before = emb(texts)
+        emb.save(tmp_path / "enc")
+        emb2 = EncoderEmbedder.load(tmp_path / "enc", seq_len=16)
+        after = emb2(texts)
+        np.testing.assert_array_equal(before, after)  # bit-exact
+
+    def test_roundtrip_bit_exact_bf16(self, tmp_path):
+        emb = EncoderEmbedder(CFG_BF16, seed=7, seq_len=16)
+        texts = ["tensor parallel encoder"]
+        before = emb(texts)
+        save_params(emb.params, emb.cfg, tmp_path / "b")
+        params, cfg = load_params(tmp_path / "b")
+        assert cfg == CFG_BF16
+        # Raw bf16 payloads survive: leaves equal bit-for-bit.
+        flat_a = np.asarray(emb.params["layers"][0]["wq"]).view(np.uint16)
+        flat_b = np.asarray(params["layers"][0]["wq"]).view(np.uint16)
+        np.testing.assert_array_equal(flat_a, flat_b)
+        after = EncoderEmbedder(cfg, params=params, seq_len=16)(texts)
+        np.testing.assert_array_equal(before, after)
+
+    def test_mismatched_tree_rejected(self, tmp_path):
+        emb = EncoderEmbedder(CFG, seq_len=16)
+        save_params(emb.params, CFG, tmp_path / "c")
+        import json
+
+        import numpy as _np
+
+        data = dict(_np.load(tmp_path / "c.npz"))
+        del data["layers.1.wq"]
+        dt = json.loads(str(data.pop("__dtypes__")))
+        cfgj = str(data.pop("__config__"))
+        _np.savez(tmp_path / "c", __dtypes__=json.dumps(dt),
+                  __config__=cfgj, **data)
+        with pytest.raises((AssertionError, KeyError)):
+            load_params(tmp_path / "c")
+
+
+class TestSubword:
+    CORPUS = ["the retrieval engine retrieves retrieval results",
+              "engine engineering engineered engines",
+              "tokenize tokenizer tokenization"] * 5
+
+    def test_train_encode_decode_shapes(self):
+        tok = SubwordTokenizer.train(self.CORPUS, vocab_size=200)
+        assert 2 < tok.vocab_size <= 200
+        ids, mask = tok(["retrieval engine", ""], seq_len=16)
+        assert ids.shape == (2, 16) and mask.shape == (2, 16)
+        assert mask[0].sum() >= 2
+        assert mask[1].sum() == 1  # empty text keeps one valid slot
+
+    def test_merges_compress_frequent_words(self):
+        tok = SubwordTokenizer.train(self.CORPUS, vocab_size=400)
+        # A corpus-frequent word encodes into few pieces; a random
+        # string falls back to many character pieces.
+        assert len(tok.encode("retrieval")) <= 3
+        assert len(tok.encode("zqxjkwv")) >= 4
+
+    def test_save_load_identical_encoding(self, tmp_path):
+        tok = SubwordTokenizer.train(self.CORPUS, vocab_size=200)
+        tok.save(tmp_path / "bpe.json")
+        tok2 = SubwordTokenizer.load(tmp_path / "bpe.json")
+        for t in self.CORPUS[:3] + ["unseen engineering text"]:
+            assert tok.encode(t) == tok2.encode(t)
+
+    def test_plugs_into_encoder(self):
+        tok = SubwordTokenizer.train(self.CORPUS, vocab_size=300)
+        cfg = EncoderConfig(vocab_size=max(512, tok.vocab_size), dim=64,
+                            n_layers=1, n_heads=4, max_len=32, out_dim=64,
+                            dtype="float32")
+        emb = EncoderEmbedder(cfg, tokenizer=tok, seq_len=16)
+        out = emb(["retrieval engine", "tokenizer"])
+        assert out.shape == (2, 64)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0,
+                                   rtol=1e-5)
+
+
+class TestPipelinedIngest:
+    def _docs(self, n=6):
+        return [(f"d{i}", " ".join(f"w{i}x{j}" for j in range(900)))
+                for i in range(n)]
+
+    def test_double_buffered_matches_sequential(self):
+        from tpurag import KnowledgeBase
+        from tpurag.ingest.pipeline import ingest_documents
+
+        emb = EncoderEmbedder(CFG, seed=1, seq_len=16)
+        kb1 = KnowledgeBase("pipe", embedder=emb, dim=emb.dim)
+        stats = ingest_documents(kb1, self._docs(), batch_size=8)
+        assert stats["chunks"] == len(kb1) and stats["chunks"] > 8
+        assert stats["chunks_per_sec"] > 0
+
+        kb2 = KnowledgeBase("seq", embedder=emb, dim=emb.dim)
+        for name, text in self._docs():
+            kb2.add_document(name, text)
+        assert len(kb1) == len(kb2)
+        q = "w3x17 w3x18"
+        i1 = [r.chunk_id for r in kb1.search(q, top_k=3).results]
+        i2 = [r.chunk_id for r in kb2.search(q, top_k=3).results]
+        assert i1 == i2
+
+    def test_encode_async_is_dispatch_only(self):
+        emb = EncoderEmbedder(CFG, seq_len=16)
+        out = emb.encode_async(["hello world"])
+        assert hasattr(out, "block_until_ready")  # device array, not np
+        assert np.asarray(out).shape == (1, 64)
+
+    def test_ingest_bench_config_runs(self):
+        from tpurag.eval.bench import config6_ingest
+
+        out = config6_ingest()
+        assert out["metric"] == "ingest_chunks_per_sec"
+        assert out["value"] > 0 and out["chunks"] > 0

@@ -276,12 +276,56 @@ def config5_sharded(seed: int = 0) -> dict:
             "n_lists": idx.n_lists}
 
 
+def config6_ingest(seed: int = 0) -> dict:
+    """Ingest throughput: chunk -> tokenize -> on-chip encode -> index
+    (chunks/sec), double-buffered host feed (ingest/pipeline.py).
+    The BASELINE 'one on-chip pipeline' north star, measured."""
+    from tpurag.api.knowledge_base import KnowledgeBase
+    from tpurag.ingest.pipeline import ingest_documents
+    from tpurag.models.encoder import EncoderConfig, EncoderEmbedder
+
+    on_tpu = _on_tpu()
+    rng = np.random.default_rng(seed)
+    if on_tpu:
+        cfg = EncoderConfig(dim=512, n_layers=4, n_heads=8, out_dim=1024,
+                            max_len=128, dtype="bfloat16")
+        n_docs, words = 64, 3000
+    else:
+        cfg = EncoderConfig(dim=128, n_layers=2, n_heads=4, out_dim=128,
+                            max_len=64, dtype="float32")
+        n_docs, words = 8, 800
+    emb = EncoderEmbedder(cfg, seq_len=cfg.max_len)
+    vocab = [f"word{i}" for i in range(2000)]
+
+    def doc(i):
+        return (f"doc{i}", " ".join(
+            vocab[j] for j in rng.integers(0, len(vocab), words)))
+
+    # Warm-up compiles the encode step at the batch shape.
+    kb0 = KnowledgeBase("warm", embedder=emb, dim=emb.dim)
+    ingest_documents(kb0, [doc(0)], batch_size=256)
+
+    kb = KnowledgeBase("ingest-bench", embedder=emb, dim=emb.dim)
+    stats = ingest_documents(kb, (doc(i) for i in range(n_docs)),
+                             batch_size=256)
+    return {"metric": "ingest_chunks_per_sec",
+            "value": stats["chunks_per_sec"], "unit": "chunks/s",
+            "chunks": stats["chunks"], "seconds": stats["seconds"],
+            "encoder": dataclasses_summary(cfg)}
+
+
+def dataclasses_summary(cfg) -> str:
+    return (f"dim{cfg.dim} L{cfg.n_layers} out{cfg.out_dim} "
+            f"seq{cfg.max_len} {cfg.dtype}")
+
+
 CONFIGS = {
     "exact_dense": config1_exact_dense,
     "hybrid": config2_hybrid,
     "memory_fusion": config3_memory_fusion,
     "graph": config4_graph,
     "sharded": config5_sharded,
+    "ingest": config6_ingest,
 }
 
 

@@ -158,33 +158,89 @@ class DenseIndex:
     def __len__(self) -> int:
         return self.n_active - len(self._deleted)
 
-    # -- persistence (SURVEY.md §5.4: per-shard serialized artifacts) -------
+    # -- persistence (SURVEY.md §5.4) ----------------------------------------
+    #
+    # Artifacts: <path>.meta.json + one raw .npy per shard
+    # (<path>.emb.npy single-device, <path>.emb.shardNNN.npy sharded).
+    # The matrix is stored in its STORAGE dtype — bf16 rows persist as
+    # their raw 2-byte payloads via a uint16 view (round 1 upconverted
+    # to fp32: 2x artifact size) — and .npy files reload with
+    # np.load(mmap_mode='r'): the host never materializes fp32, and a
+    # multi-host process can map only its own shard file.
+
+    def _storage_view(self, arr: np.ndarray) -> np.ndarray:
+        if self.dtype == jnp.bfloat16:
+            return np.asarray(arr).view(np.uint16)
+        return np.asarray(arr, self.dtype)
 
     def save(self, path) -> None:
         path = pathlib.Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
-        np.savez(
-            path,
-            emb=np.asarray(self._emb[: self.n_active], np.float32),
-            meta=json.dumps({
-                "dim": self.dim,
-                "dtype": self.dtype.name,
-                "n_active": self.n_active,
-                "deleted": sorted(self._deleted),
-            }),
-        )
+        n_shards = self.mesh.shape[self.data_axis] if self.mesh else 1
+        meta = {
+            "dim": self.dim,
+            "dtype": self.dtype.name,
+            "n_active": self.n_active,
+            "deleted": sorted(self._deleted),
+            "n_shards": n_shards,
+            "capacity": self.capacity,
+        }
+        (path.parent / (path.name + ".meta.json")).write_text(
+            json.dumps(meta))
+        if n_shards == 1:
+            np.save(path.parent / (path.name + ".emb.npy"),
+                    self._storage_view(self._emb[: self.n_active]))
+            return
+        rs = self.capacity // n_shards  # contiguous row blocks = sharding
+        for s in range(n_shards):
+            lo, hi = s * rs, min((s + 1) * rs, self.n_active)
+            rows = self._emb[lo:max(hi, lo)]
+            np.save(path.parent / (path.name + f".emb.shard{s:03d}.npy"),
+                    self._storage_view(rows))
 
     @classmethod
     def load(cls, path, mesh=None, data_axis: str = "data") -> "DenseIndex":
-        data = np.load(pathlib.Path(path).with_suffix(".npz"), allow_pickle=False)
-        meta = json.loads(str(data["meta"]))
+        path = pathlib.Path(path)
+        meta_file = path.parent / (path.name + ".meta.json")
+        if not meta_file.exists():  # legacy round-1 .npz (fp32)
+            data = np.load(path.with_suffix(".npz"), allow_pickle=False)
+            meta = json.loads(str(data["meta"]))
+            idx = cls(meta["dim"], dtype=meta["dtype"],
+                      capacity=max(meta["n_active"], 128),
+                      mesh=mesh, data_axis=data_axis)
+            if meta["n_active"]:
+                idx._grow_to(meta["n_active"])
+                idx._emb = _write_rows(idx._emb, jnp.asarray(data["emb"]), 0)
+                idx.n_active = meta["n_active"]
+            idx._deleted = set(meta["deleted"])
+            return idx
+        meta = json.loads(meta_file.read_text())
         idx = cls(meta["dim"], dtype=meta["dtype"],
                   capacity=max(meta["n_active"], 128),
                   mesh=mesh, data_axis=data_axis)
-        if meta["n_active"]:
-            # Rows were normalized before save; write them back verbatim.
-            idx._grow_to(meta["n_active"])
-            idx._emb = _write_rows(idx._emb, jnp.asarray(data["emb"]), 0)
-            idx.n_active = meta["n_active"]
+
+        def as_storage(arr):
+            if idx.dtype == jnp.bfloat16:
+                return jnp.asarray(arr).view(jnp.bfloat16)
+            return jnp.asarray(arr)
+
+        if meta["n_shards"] == 1:
+            mm = np.load(path.parent / (path.name + ".emb.npy"),
+                         mmap_mode="r")
+            parts = [mm]
+        else:
+            parts = [np.load(path.parent
+                             / (path.name + f".emb.shard{s:03d}.npy"),
+                             mmap_mode="r")
+                     for s in range(meta["n_shards"])]
+        pos = 0
+        idx._grow_to(meta["n_active"])
+        for mm in parts:
+            if len(mm) == 0:
+                continue
+            idx._emb = _write_rows(idx._emb, as_storage(np.asarray(mm)),
+                                   pos)
+            pos += len(mm)
+        idx.n_active = meta["n_active"]
         idx._deleted = set(meta["deleted"])
         return idx

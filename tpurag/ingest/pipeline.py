@@ -4,9 +4,12 @@ Reference flow: SimpleDirectoryReader -> SentenceSplitter -> embedding
 API batches -> VectorStoreIndex persist (src/lib/llm/index-manager.ts:27-236),
 with Meilisearch chunk writes batched 500 at a time (meilisearch.ts:137).
 
-Here the embed step is the on-chip encoder and the host feed is
-double-buffered: batch i+1 tokenizes on host while batch i encodes on
-device (jax dispatch is async, so overlap falls out of not blocking)."""
+The embed step is the on-chip encoder and the host feed is genuinely
+DOUBLE-BUFFERED when the embedder exposes async dispatch
+(EncoderEmbedder.encode_async): batch i encodes on device while the host
+tokenizes batch i+1 and indexes batch i-1's postings — jax dispatch is
+asynchronous, so the overlap is realized by dispatching batch i before
+blocking on batch i-1's result. Plain batched feeding otherwise."""
 
 from __future__ import annotations
 
@@ -19,35 +22,57 @@ from tpurag.core.types import Chunk
 from tpurag.ingest.chunker import chunk_text
 
 
-def ingest_documents(kb, docs: Iterable[tuple[str, str]],
-                     batch_size: int = 256,
-                     progress: Optional[callable] = None) -> dict:
-    """Ingest (name, text) pairs into a KnowledgeBase in encoder batches.
-
-    Returns stats {docs, chunks, seconds} (mirrors the reference's
-    index-build timing logs, index-manager.ts:226-236)."""
-    t0 = time.perf_counter()
+def _batches(kb, docs: Iterable[tuple[str, str]], batch_size: int):
     pending: list[Chunk] = []
     n_docs = 0
-    n_chunks = 0
-
-    def flush():
-        nonlocal pending, n_chunks
-        if not pending:
-            return
-        kb.add_chunks(pending)
-        n_chunks += len(pending)
-        if progress:
-            progress(n_chunks)
-        pending = []
-
     for name, text in docs:
         n_docs += 1
         for i, piece in enumerate(chunk_text(text, kb.config.chunking)):
             pending.append(Chunk(text=piece, doc_id=name, doc_name=name,
                                  chunk_index=i))
             if len(pending) >= batch_size:
-                flush()
-    flush()
-    return {"docs": n_docs, "chunks": n_chunks,
-            "seconds": time.perf_counter() - t0}
+                yield n_docs, pending
+                pending = []
+    if pending:
+        yield n_docs, pending
+
+
+def ingest_documents(kb, docs: Iterable[tuple[str, str]],
+                     batch_size: int = 256,
+                     progress: Optional[callable] = None) -> dict:
+    """Ingest (name, text) pairs into a KnowledgeBase in encoder batches.
+
+    Returns stats {docs, chunks, seconds, chunks_per_sec} (mirrors the
+    reference's index-build timing, index-manager.ts:226-236)."""
+    t0 = time.perf_counter()
+    n_docs = 0
+    n_chunks = 0
+    pipelined = hasattr(kb.embedder, "encode_async")
+
+    in_flight = None  # (chunks, dispatched device array)
+    for n_docs, batch in _batches(kb, docs, batch_size):
+        if pipelined:
+            texts = [c.display_text() for c in batch]
+            out = kb.embedder.encode_async(texts)  # device busy on batch i
+            if in_flight is not None:
+                prev_chunks, prev_out = in_flight
+                # Blocks on batch i-1 only AFTER batch i is dispatched.
+                kb.add_chunks(prev_chunks, vectors=np.asarray(prev_out))
+                n_chunks += len(prev_chunks)
+                if progress:
+                    progress(n_chunks)
+            in_flight = (batch, out)
+        else:
+            kb.add_chunks(batch)
+            n_chunks += len(batch)
+            if progress:
+                progress(n_chunks)
+    if in_flight is not None:
+        prev_chunks, prev_out = in_flight
+        kb.add_chunks(prev_chunks, vectors=np.asarray(prev_out))
+        n_chunks += len(prev_chunks)
+        if progress:
+            progress(n_chunks)
+    seconds = time.perf_counter() - t0
+    return {"docs": n_docs, "chunks": n_chunks, "seconds": seconds,
+            "chunks_per_sec": n_chunks / max(seconds, 1e-9)}

@@ -1,0 +1,146 @@
+"""Subword (BPE) tokenizer — the learned-vocab option for the on-chip
+encoder.
+
+The reference tokenizes inside the remote embedding API; the on-chip
+encoder needs its own vocabulary. Round 1 shipped only hash-vocab
+tokenization (models/encoder.hash_token_ids); this is the real subword
+slot: byte-pair-encoding trained on the corpus (standard merges-ranking
+BPE, GPT-2 style over word symbols), JSON-persisted, greedy merge-order
+encoding, emitting (ids, mask) arrays shaped for encode_tokens.
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import pathlib
+from typing import Iterable, Optional
+
+import numpy as np
+
+from tpurag.ingest.tokenizer import tokenize
+
+PAD, UNK, EOW = "<pad>", "<unk>", "</w>"
+
+
+def _word_symbols(word: str) -> tuple[str, ...]:
+    return tuple(word[:-1]) + (word[-1] + EOW,)
+
+
+class SubwordTokenizer:
+    def __init__(self, vocab: dict[str, int],
+                 merges: list[tuple[str, str]]):
+        self.vocab = vocab
+        self.merges = {tuple(m): i for i, m in enumerate(merges)}
+        self._encode_cache: dict[str, list[int]] = {}
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    # -- training ----------------------------------------------------------
+
+    @classmethod
+    def train(cls, texts: Iterable[str], vocab_size: int = 8192,
+              max_words: int = 200_000) -> "SubwordTokenizer":
+        """Standard BPE: start from characters(+</w>), repeatedly merge
+        the most frequent adjacent symbol pair until vocab_size."""
+        freqs: collections.Counter = collections.Counter()
+        for text in texts:
+            for w in tokenize(text):
+                freqs[w] += 1
+                if len(freqs) >= max_words:
+                    break
+        words = {_word_symbols(w): c for w, c in freqs.items()}
+        vocab: dict[str, int] = {PAD: 0, UNK: 1}
+        for syms in words:
+            for s in syms:
+                if s not in vocab:
+                    vocab[s] = len(vocab)
+        merges: list[tuple[str, str]] = []
+        while len(vocab) < vocab_size:
+            pairs: collections.Counter = collections.Counter()
+            for syms, c in words.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += c
+            if not pairs:
+                break
+            (a, b), top_count = pairs.most_common(1)[0]
+            if top_count < 2:
+                break
+            merged = a + b
+            merges.append((a, b))
+            if merged not in vocab:
+                vocab[merged] = len(vocab)
+            new_words = {}
+            for syms, c in words.items():
+                out = []
+                i = 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+            words = new_words
+        return cls(vocab, merges)
+
+    # -- encoding ----------------------------------------------------------
+
+    def _bpe_word(self, word: str) -> list[int]:
+        cached = self._encode_cache.get(word)
+        if cached is not None:
+            return cached
+        syms = list(_word_symbols(word))
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i, pair in enumerate(zip(syms, syms[1:])):
+                rank = self.merges.get(pair)
+                if rank is not None and (best_rank is None
+                                         or rank < best_rank):
+                    best, best_rank = i, rank
+            if best is None:
+                break
+            syms[best:best + 2] = [syms[best] + syms[best + 1]]
+        ids = [self.vocab.get(s, self.vocab[UNK]) for s in syms]
+        if len(self._encode_cache) < 100_000:
+            self._encode_cache[word] = ids
+        return ids
+
+    def encode(self, text: str) -> list[int]:
+        out: list[int] = []
+        for w in tokenize(text):
+            out.extend(self._bpe_word(w))
+        return out
+
+    def __call__(self, texts: list[str], seq_len: int = 128):
+        """(ids, mask) int32/bool (B, S) — the encode_tokens input shape
+        (same protocol as models.encoder.hash_token_ids)."""
+        ids = np.zeros((len(texts), seq_len), np.int32)
+        mask = np.zeros((len(texts), seq_len), bool)
+        for i, t in enumerate(texts):
+            enc = self.encode(t)[:seq_len]
+            ids[i, : len(enc)] = enc
+            mask[i, : len(enc)] = True
+            if not enc:
+                mask[i, 0] = True
+        return ids, mask
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path) -> None:
+        p = pathlib.Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps({
+            "vocab": self.vocab,
+            "merges": [list(m) for m in sorted(
+                self.merges, key=self.merges.get)],
+        }, ensure_ascii=False))
+
+    @classmethod
+    def load(cls, path) -> "SubwordTokenizer":
+        data = json.loads(pathlib.Path(path).read_text())
+        return cls(data["vocab"], [tuple(m) for m in data["merges"]])
