@@ -1,16 +1,38 @@
-"""Mermaid diagram cleanup.
+"""Mermaid diagram cleaning + per-type validation.
 
-Reference: src/lib/mermaid-cleaner.ts — chart-type detection over 6 types
-(:7-14) and syntax cleanup/validation (:51-). Subset here: type
-detection, fence stripping, orphan-line removal, arrow normalization,
-and a validity check used by the quality evaluator's format pre-check."""
+Full parity with src/lib/mermaid-cleaner.ts:
+- chart-type table over 6 types (:7-14) detected on the first line;
+- cleanMermaidSyntax steps (:51-148): fence strip, literal-\\n removal,
+  header-less input repaired to `flowchart TD` with a default node ID
+  when the first node lacks one, flowchart-specific orphaned-node
+  removal (:150-215), then per-type validation;
+- validateMermaidSyntax per type (:220-298): flowchart direction +
+  connection checks, gantt title/dateFormat, mindmap root, sequence/
+  er/state header + non-empty body;
+- formatMermaidSyntax 2-space indent (:340-361).
+
+The small helpers round 1 shipped (clean_mermaid / is_valid_mermaid /
+detect_chart_type / wrap_diagram) remain as the call-site API, backed by
+the full cleaner.
+"""
 
 from __future__ import annotations
 
+import dataclasses
 import re
 
-CHART_TYPES = ("graph", "flowchart", "sequenceDiagram", "classDiagram",
-               "stateDiagram", "pie", "gantt", "erDiagram")
+# Declaration keywords per type (mermaid-cleaner.ts:7-14), plus `graph`
+# as a flowchart alias and pie/classDiagram for detection completeness.
+CHART_TYPES: dict[str, tuple[str, ...]] = {
+    "flowchart": ("flowchart", "graph"),
+    "sequence": ("sequenceDiagram",),
+    "er": ("erDiagram",),
+    "gantt": ("gantt",),
+    "mindmap": ("mindmap",),
+    "state": ("stateDiagram-v2", "stateDiagram"),
+    "pie": ("pie",),
+    "class": ("classDiagram",),
+}
 
 _FENCE = re.compile(r"```(?:mermaid)?\s*|```", re.IGNORECASE)
 _ARROW_FIX = [
@@ -18,44 +40,173 @@ _ARROW_FIX = [
     (re.compile(r"=\s+=>"), "==>"),
     (re.compile(r"<-\s+-"), "<--"),
 ]
+_NODE_DEF = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)\s*[\[\{\(|]")
+_NODE_IDS = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)\s*[\[\{\(|]")
+_CONNECTOR = re.compile(r"-->|-\.->|---|==>")
+
+
+@dataclasses.dataclass
+class CleanResult:
+    success: bool
+    data: str = ""
+    error: str = ""
+    logs: list[str] = dataclasses.field(default_factory=list)
 
 
 def detect_chart_type(text: str) -> str | None:
     head = text.strip().split("\n", 1)[0].strip()
-    for t in CHART_TYPES:
-        if head.startswith(t):
-            return t
+    for ctype, keywords in CHART_TYPES.items():
+        if any(head.startswith(k) for k in keywords):
+            return ctype
     return None
 
 
+def _remove_orphaned_nodes(text: str, logs: list[str]) -> str:
+    """Drop standalone node definitions never referenced by any
+    connection (mermaid-cleaner.ts:150-215); keeps header, connections,
+    and referenced standalone definitions in order."""
+    lines = text.split("\n")
+    first, content = lines[0], lines[1:]
+    connected: set[str] = set()
+    connections: list[str] = []
+    standalone: list[tuple[str, str]] = []
+    for line in content:
+        t = line.strip()
+        if not t:
+            continue
+        if _CONNECTOR.search(t):
+            connections.append(line)
+            for m in _NODE_IDS.finditer(t):
+                connected.add(m.group(1))
+            for part in re.split(r"-->|---|-\.->|\|", t):
+                head = part.strip().split("[")[0].split("{")[0] \
+                    .split("(")[0].strip()
+                if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", head or ""):
+                    connected.add(head)
+        else:
+            standalone.append((line, t))
+    kept = []
+    for original, t in standalone:
+        m = _NODE_DEF.match(t)
+        if m and m.group(1) not in connected:
+            logs.append(f"dropped orphaned node definition: {t[:40]}")
+            continue
+        kept.append(original)
+    return "\n".join([first] + connections + kept)
+
+
+def _validate(lines: list[str], ctype: str | None) -> list[str]:
+    """Per-type validation (mermaid-cleaner.ts:220-298)."""
+    errors: list[str] = []
+    if not lines:
+        return ["diagram is empty"]
+    first = lines[0]
+    if ctype == "flowchart":
+        if not (first.startswith("flowchart") or first.startswith("graph")):
+            errors.append("first line must be flowchart TD / flowchart LR")
+        direction = re.sub(r"^(flowchart|graph)", "", first).strip()
+        if direction not in ("TD", "LR", "TB", "RL", "BT", ""):
+            errors.append(f"unsupported flowchart direction: {direction}")
+        if len(lines) < 2:
+            errors.append("flowchart body is empty")
+        elif not any(_CONNECTOR.search(ln) for ln in lines[1:]):
+            errors.append("no node connections (-->) found")
+    elif ctype == "sequence":
+        if not first.startswith("sequenceDiagram"):
+            errors.append("sequence diagram must start with sequenceDiagram")
+        if len(lines) < 2:
+            errors.append("sequence diagram body is empty")
+    elif ctype == "er":
+        if not first.startswith("erDiagram"):
+            errors.append("ER diagram must start with erDiagram")
+        if len(lines) < 2:
+            errors.append("ER diagram body is empty")
+    elif ctype == "gantt":
+        if not first.startswith("gantt"):
+            errors.append("gantt chart must start with gantt")
+        if not any(ln.startswith("title") for ln in lines):
+            errors.append("gantt chart is missing a title declaration")
+        if not any(ln.startswith("dateFormat") for ln in lines):
+            errors.append("gantt chart is missing a dateFormat declaration")
+    elif ctype == "mindmap":
+        if not first.startswith("mindmap"):
+            errors.append("mindmap must start with mindmap")
+        has_root = any("root((" in ln or "root(" in ln for ln in lines)
+        if not has_root and len(lines) < 3:
+            errors.append("mindmap is missing a root node")
+    elif ctype == "state":
+        if not first.startswith("stateDiagram"):
+            errors.append("state diagram must start with stateDiagram(-v2)")
+        if len(lines) < 2:
+            errors.append("state diagram body is empty")
+    else:
+        if len(lines) < 2:
+            errors.append("diagram has too little content")
+    return errors
+
+
+def clean_mermaid_syntax(raw: str) -> CleanResult:
+    """The full cleanMermaidSyntax pipeline (mermaid-cleaner.ts:51-148)."""
+    logs: list[str] = []
+    cleaned = _FENCE.sub("", raw).strip()
+    logs.append("stripped markdown fences")
+    cleaned = cleaned.replace("\\n", " ")  # renderers reject literal \n
+    for pat, rep in _ARROW_FIX:
+        cleaned = pat.sub(rep, cleaned)
+    ctype = detect_chart_type(cleaned)
+    if ctype is None:
+        logs.append("no chart type detected; assuming flowchart")
+        first = cleaned.split("\n", 1)[0].strip()
+        if re.match(r"^[\[\({]", first):
+            cleaned = "Start" + cleaned  # first node lacked an ID
+            logs.append("added default node ID: Start")
+        cleaned = f"flowchart TD\n  {cleaned}"
+        ctype = "flowchart"
+    else:
+        logs.append(f"detected chart type: {ctype}")
+    if ctype == "flowchart":
+        cleaned = _remove_orphaned_nodes(cleaned, logs)
+    lines = [ln.strip() for ln in cleaned.split("\n") if ln.strip()]
+    errors = _validate(lines, ctype)
+    # Structural bracket balance (shared across types).
+    for o, c in ("[]", "()", "{}"):
+        if cleaned.count(o) != cleaned.count(c):
+            errors.append(f"unbalanced {o}{c} brackets")
+    if errors:
+        return CleanResult(success=False, error="; ".join(errors),
+                           logs=logs)
+    return CleanResult(success=True, data=cleaned, logs=logs)
+
+
+def format_mermaid_syntax(text: str) -> str:
+    """2-space indent for display (mermaid-cleaner.ts:340-361)."""
+    out = []
+    for i, line in enumerate(ln.strip() for ln in text.split("\n")):
+        if not line:
+            continue
+        out.append(line if not out else "  " + line)
+    return "\n".join(out)
+
+
+# -- call-site API (round-1 names, kept) --------------------------------------
+
+
 def clean_mermaid(text: str) -> str:
-    """Strip fences, normalize arrows, drop trailing prose lines."""
-    body = _FENCE.sub("", text).strip()
+    """Best-effort cleanup: the full pipeline's output when it succeeds,
+    its partial cleanup otherwise."""
+    res = clean_mermaid_syntax(text)
+    if res.success:
+        return res.data
+    body = _FENCE.sub("", text).strip().replace("\\n", " ")
     for pat, rep in _ARROW_FIX:
         body = pat.sub(rep, body)
-    lines = body.split("\n")
-    if not lines:
-        return body
-    # Keep the header plus lines that look like diagram syntax.
-    kept = [lines[0]]
-    for ln in lines[1:]:
-        s = ln.strip()
-        if not s:
-            continue
-        if re.search(r"(-->|---|==>|:::|:|\[|\]|\(|\)|\{|\}|participant|subgraph|end$)", s):
-            kept.append(ln)
-    return "\n".join(kept)
+    return body
 
 
 def is_valid_mermaid(text: str) -> bool:
-    body = clean_mermaid(text)
-    if detect_chart_type(body) is None:
+    if detect_chart_type(_FENCE.sub("", text).strip()) is None:
         return False
-    # Balanced brackets as a cheap structural check.
-    for o, c in ("[]", "()", "{}"):
-        if body.count(o) != body.count(c):
-            return False
-    return len(body.split("\n")) >= 2 or detect_chart_type(body) in ("pie", "gantt")
+    return clean_mermaid_syntax(text).success
 
 
 def wrap_diagram(text: str) -> str:

@@ -40,6 +40,9 @@ class ToolContext:
     graph: object = None
     llm: Optional[Callable[[str], str]] = None
     fetcher: Optional[Callable[[str], str]] = None
+    fetchers: list = dataclasses.field(default_factory=list)
+    # ^ web-search instance list for failover (web-tools.ts:64-138);
+    #   `fetcher` stays the single-instance case.
     tool_calls: list = dataclasses.field(default_factory=list)
     search_results: list = dataclasses.field(default_factory=list)
     web_failures: int = 0
@@ -170,19 +173,51 @@ def create_diagram_tool(ctx: ToolContext) -> Tool:
                 "Generate a Mermaid diagram from a description (>=20 chars).", fn)
 
 
+def optimize_web_query(question: str, llm=None) -> str:
+    """LLM search-query optimization (web-tools.ts:39-58): compress the
+    question into engine keywords; deterministic stopword-strip
+    fallback."""
+    if llm is not None:
+        try:
+            out = llm(
+                "Rewrite the user question as a concise web search query "
+                "(keywords only, no punctuation, max 8 words). "
+                f"Question: {question}\nQuery:").strip().strip('"')
+            first = out.split("\n")[0].strip()
+            if 0 < len(first) <= 100:
+                return first
+        except Exception:
+            pass
+    import re as _re
+
+    words = [w for w in _re.split(r"\s+", question)
+             if w.lower() not in ("the", "a", "an", "of", "is", "are",
+                                  "what", "how", "why", "please", "to")]
+    return " ".join(words[:8]) or question
+
+
 def create_web_search_tool(ctx: ToolContext) -> Tool:
     def fn(query: str = "") -> str:
         # Circuit breaker after 3 failures (web-tools.ts:24-31).
         if ctx.web_failures >= 3:
             return "Web search disabled (repeated failures)."
-        if ctx.fetcher is None:
+        if ctx.fetcher is None and not ctx.fetchers:
             return ("Web search is not configured in this deployment; "
                     "answer from the knowledge base instead.")
-        try:
-            return ctx.fetcher(f"search://{query}")[:3000]
-        except Exception as e:
-            ctx.web_failures += 1
-            return f"Web search failed: {e}"
+        optimized = optimize_web_query(query, ctx.llm)
+        # Instance failover (web-tools.ts:64-138: try each SearXNG
+        # instance in turn): ctx.fetchers is the instance list; the
+        # single ctx.fetcher remains the one-instance case.
+        instances = ctx.fetchers or [ctx.fetcher]
+        last_err = None
+        for fetch in instances:
+            try:
+                return fetch(f"search://{optimized}")[:3000]
+            except Exception as e:
+                last_err = e
+                continue
+        ctx.web_failures += 1
+        return f"Web search failed on all instances: {last_err}"
     return Tool("web_search", "Search the web (when configured).", fn)
 
 

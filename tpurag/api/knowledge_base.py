@@ -80,7 +80,9 @@ class KnowledgeBase:
         texts = [c.display_text() for c in chunks]
         if vectors is None:
             vectors = self.embedder(texts)
-        ids = self.dense.add(np.asarray(vectors))
+        # vectors may be a device array (pipelined ingest): pass it
+        # through — dense.add normalizes on device, no host round-trip.
+        ids = self.dense.add(vectors)
         for cid, chunk, text in zip(ids, chunks, texts):
             chunk.metadata.setdefault("indexed_at", time.time())
             self.chunks.append(chunk)

@@ -301,9 +301,10 @@ def config6_ingest(seed: int = 0) -> dict:
         return (f"doc{i}", " ".join(
             vocab[j] for j in rng.integers(0, len(vocab), words)))
 
-    # Warm-up compiles the encode step at the batch shape.
+    # Warm-up: run the identical doc stream once so every pow2 batch
+    # bucket (full batches + the remainder) is compiled before timing.
     kb0 = KnowledgeBase("warm", embedder=emb, dim=emb.dim)
-    ingest_documents(kb0, [doc(0)], batch_size=256)
+    ingest_documents(kb0, (doc(i) for i in range(n_docs)), batch_size=256)
 
     kb = KnowledgeBase("ingest-bench", embedder=emb, dim=emb.dim)
     stats = ingest_documents(kb, (doc(i) for i in range(n_docs)),

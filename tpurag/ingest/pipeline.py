@@ -56,8 +56,10 @@ def ingest_documents(kb, docs: Iterable[tuple[str, str]],
             out = kb.embedder.encode_async(texts)  # device busy on batch i
             if in_flight is not None:
                 prev_chunks, prev_out = in_flight
-                # Blocks on batch i-1 only AFTER batch i is dispatched.
-                kb.add_chunks(prev_chunks, vectors=np.asarray(prev_out))
+                # Indexed only AFTER batch i is dispatched; the vectors
+                # stay on device (dense.add consumes them in place — no
+                # device->host->device round-trip).
+                kb.add_chunks(prev_chunks, vectors=prev_out)
                 n_chunks += len(prev_chunks)
                 if progress:
                     progress(n_chunks)
@@ -69,7 +71,7 @@ def ingest_documents(kb, docs: Iterable[tuple[str, str]],
                 progress(n_chunks)
     if in_flight is not None:
         prev_chunks, prev_out = in_flight
-        kb.add_chunks(prev_chunks, vectors=np.asarray(prev_out))
+        kb.add_chunks(prev_chunks, vectors=prev_out)
         n_chunks += len(prev_chunks)
         if progress:
             progress(n_chunks)

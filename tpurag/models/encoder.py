@@ -248,10 +248,18 @@ class EncoderEmbedder:
     def encode_async(self, texts: list[str]) -> jax.Array:
         """Dispatch without blocking (jax async dispatch): the returned
         device array materializes later — the double-buffered ingest
-        feed tokenizes the next batch while this one encodes."""
-        ids, mask = self._tokens(texts)
-        return encode_tokens(self.params, ids, mask,
-                             n_heads=self.cfg.n_heads)
+        feed tokenizes the next batch while this one encodes.
+
+        The batch axis pads to a power-of-two bucket so a stream of
+        ragged batches compiles O(log B) encode variants, not one per
+        size (padding rows are sliced off the output)."""
+        n = len(texts)
+        bucket = 1 << max(n - 1, 0).bit_length() if n > 1 else 1
+        padded = texts + [""] * (bucket - n)
+        ids, mask = self._tokens(padded)
+        out = encode_tokens(self.params, ids, mask,
+                            n_heads=self.cfg.n_heads)
+        return out[:n]
 
     def __call__(self, texts: list[str]) -> np.ndarray:
         return np.asarray(self.encode_async(texts))
