@@ -1,0 +1,73 @@
+"""Multi-host DCN path (SURVEY §5.8): two OS processes, each with 4
+virtual CPU devices, join via jax.distributed (shard.mesh.init_distributed
+— Gloo over localhost standing in for DCN), build one global 8-device
+mesh, and run the corpus-sharded search verified against the exact
+oracle on every process. Round 1 left init_distributed as 10 untested
+lines."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    from tpurag.shard.mesh import init_distributed, make_mesh
+    init_distributed(coordinator=f"127.0.0.1:{port}",
+                     num_processes=nproc, process_id=pid)
+    import numpy as np, jax.numpy as jnp
+    from tpurag.shard.search import shard_corpus, sharded_dense_topk
+    devs = jax.devices()
+    assert len(devs) == 4 * nproc, f"global devices: {len(devs)}"
+    mesh = make_mesh([("data", len(devs))], devices=devs)
+    rng = np.random.default_rng(0)
+    n, d, b, k = 1024, 64, 8, 5
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    emb_sh = shard_corpus(jnp.asarray(emb), mesh)
+    s, ids = sharded_dense_topk(jnp.asarray(q), emb_sh, jnp.int32(n), k,
+                                mesh=mesh)
+    # Output replicates over 'data': every process's addressable shard
+    # carries the full (b, k) result.
+    got = np.asarray(jax.device_get(ids.addressable_shards[0].data))
+    ref = np.argsort(-(q @ emb.T), axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(got, ref)
+    print(f"proc {pid} ok", flush=True)
+""")
+
+
+def test_two_process_dcn_sharded_search(tmp_path):
+    worker = tmp_path / "dcn_worker.py"
+    worker.write_text(_WORKER)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    env = {**os.environ,
+           "PYTHONPATH": "/root/repo" + os.pathsep
+           + os.environ.get("PYTHONPATH", "")}
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append((p.returncode, out))
+    for i, (rc, out) in enumerate(outs):
+        assert rc == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert f"proc {i} ok" in out

@@ -135,3 +135,43 @@ class TestPipelinedIngest:
         out = config6_ingest()
         assert out["metric"] == "ingest_chunks_per_sec"
         assert out["value"] > 0 and out["chunks"] > 0
+
+
+class TestKBEmbedderPersistence:
+    def test_encoder_kb_roundtrip(self, tmp_path):
+        """KB.save persists the encoder checkpoint + tokenizer; load
+        reconstructs the SAME vector space without an embedder arg."""
+        from tpurag import KnowledgeBase
+        from tpurag.ingest.subword import SubwordTokenizer
+
+        tok = SubwordTokenizer.train(["zeppelin fleet marrakesh dawn"] * 3,
+                                     vocab_size=120)
+        emb = EncoderEmbedder(CFG, seed=5, seq_len=16, tokenizer=tok)
+        kb = KnowledgeBase("enc", embedder=emb, dim=emb.dim)
+        kb.add_document("z", "the zeppelin fleet departed toward marrakesh")
+        kb.add_document("f", "flamingo census results were high")
+        kb.save(tmp_path / "kb")
+        assert (tmp_path / "kb" / "encoder.npz").exists()
+        assert (tmp_path / "kb" / "tokenizer.json").exists()
+        r_before = kb.search("zeppelin fleet marrakesh", top_k=1,
+                             mode="vector")
+
+        kb2 = KnowledgeBase.load(tmp_path / "kb")
+        assert type(kb2.embedder).__name__ == "EncoderEmbedder"
+        assert kb2.embedder.tokenizer is not None
+        r = kb2.search("zeppelin fleet marrakesh", top_k=1, mode="vector")
+        assert r.results[0].doc_name == "z"
+        # Same vector space: identical query scores bit-identically.
+        assert r.results[0].score == r_before.results[0].score
+
+    def test_hash_kb_roundtrip_keeps_seed(self, tmp_path):
+        from tpurag import KnowledgeBase
+        from tpurag.ingest.embedder import HashEmbedder
+
+        kb = KnowledgeBase("h", embedder=HashEmbedder(64, seed=9), dim=64)
+        kb.add_document("d", "unique snowflake phrase")
+        kb.save(tmp_path / "kb")
+        kb2 = KnowledgeBase.load(tmp_path / "kb")
+        assert kb2.embedder.seed == 9 and kb2.embedder.dim == 64
+        assert kb2.search("unique snowflake", top_k=1,
+                          mode="vector").results

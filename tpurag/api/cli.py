@@ -46,7 +46,22 @@ def cmd_ingest(args):
     from tpurag.ingest.documents import DOC_SUFFIXES, load_document
     from tpurag.ingest.pipeline import ingest_documents
 
-    kb = _load_kb(args.kb, create=True)
+    embedder = None
+    if getattr(args, "encoder_ckpt", None):
+        from tpurag.models.encoder import EncoderEmbedder
+
+        embedder = EncoderEmbedder.load(args.encoder_ckpt)
+    elif getattr(args, "encoder", False):
+        from tpurag.models.encoder import EncoderEmbedder
+
+        embedder = EncoderEmbedder()  # random-init on-chip encoder
+    if embedder is not None and not pathlib.Path(args.kb, "kb.json").exists():
+        from tpurag import KnowledgeBase
+
+        kb = KnowledgeBase(pathlib.Path(args.kb).name or "kb",
+                           embedder=embedder)
+    else:
+        kb = _load_kb(args.kb, create=True)
     docs = []
     for src in args.paths:
         p = pathlib.Path(src)
@@ -56,6 +71,12 @@ def cmd_ingest(args):
                     docs.append(load_document(f))
         elif p.is_file():
             docs.append(load_document(p))
+    if getattr(args, "train_tokenizer", 0) and hasattr(kb.embedder,
+                                                       "tokenizer"):
+        from tpurag.ingest.subword import SubwordTokenizer
+
+        kb.embedder.tokenizer = SubwordTokenizer.train(
+            (t for _, t in docs), vocab_size=args.train_tokenizer)
     if args.code:
         from tpurag.code import create_code_chunks, walk_code_files
 
@@ -186,6 +207,14 @@ def main(argv=None):
     p.add_argument("--kb", required=True)
     p.add_argument("--code", action="store_true",
                    help="treat paths as code repositories")
+    p.add_argument("--encoder", action="store_true",
+                   help="embed with the on-chip transformer encoder "
+                        "(persisted with the KB)")
+    p.add_argument("--encoder-ckpt", default=None,
+                   help="npz encoder checkpoint to embed with")
+    p.add_argument("--train-tokenizer", type=int, default=0, metavar="V",
+                   help="train a BPE tokenizer (vocab size V) on the "
+                        "ingested docs for the encoder")
     p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("search")

@@ -260,9 +260,27 @@ class KnowledgeBase:
             else:
                 ivf_kind = "single"
                 self._ivf.save(d / "ivf")
+        # Persist the embedder so load() reconstructs the SAME vector
+        # space (an encoder KB reloaded with a different embedder would
+        # silently mis-retrieve).
+        emb_info: dict = {"kind": "custom"}
+        if isinstance(self.embedder, HashEmbedder):
+            emb_info = {"kind": "hash", "dim": self.embedder.dim,
+                        "seed": self.embedder.seed}
+        else:
+            from tpurag.models.encoder import EncoderEmbedder
+
+            if isinstance(self.embedder, EncoderEmbedder):
+                self.embedder.save(d / "encoder")
+                emb_info = {"kind": "encoder",
+                            "seq_len": self.embedder.seq_len,
+                            "tokenizer": self.embedder.tokenizer is not None}
+                if self.embedder.tokenizer is not None:
+                    self.embedder.tokenizer.save(d / "tokenizer.json")
         meta = {
             "name": self.name,
             "dim": self.dim,
+            "embedder": emb_info,
             "ivf": ivf_kind,
             "ivf_built_at": self._ivf_built_at,
             "chunks": [
@@ -285,6 +303,21 @@ class KnowledgeBase:
         'data' axis (and the IVF partition, if it was saved sharded)."""
         d = pathlib.Path(directory)
         meta = json.loads((d / "kb.json").read_text())
+        if embedder is None:
+            info = meta.get("embedder") or {}
+            if info.get("kind") == "hash":
+                embedder = HashEmbedder(info["dim"], seed=info.get("seed", 0))
+            elif info.get("kind") == "encoder":
+                from tpurag.models.encoder import EncoderEmbedder
+
+                tok = None
+                if info.get("tokenizer"):
+                    from tpurag.ingest.subword import SubwordTokenizer
+
+                    tok = SubwordTokenizer.load(d / "tokenizer.json")
+                embedder = EncoderEmbedder.load(
+                    d / "encoder", seq_len=info.get("seq_len", 128),
+                    tokenizer=tok)
         kb = cls(meta["name"], embedder=embedder, config=config,
                  dim=meta["dim"], mesh=mesh)
         kb.dense = DenseIndex.load(d / "dense", mesh=mesh)
