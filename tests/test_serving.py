@@ -264,3 +264,103 @@ class TestCLI:
         assert "notes.md" in capsys.readouterr().out
         main(["stats", "--kb", kbdir])
         assert json.loads(capsys.readouterr().out)["chunks"] >= 1
+
+
+class TestMultiKBAndAuth:
+    def test_kb_crud_and_scoped_search(self, server):
+        base, _ = server
+        code, out = _req(base, "POST", "/knowledge-bases", {"id": "kb2"})
+        assert code == 200
+        code, out = _req(base, "GET", "/knowledge-bases")
+        assert {k["id"] for k in out["knowledge_bases"]} >= {"default", "kb2"}
+
+        # Documents land in the right KB; searches are scoped.
+        _req(base, "POST", "/documents",
+             {"kb": "kb2", "name": "only2", "text": "quokka habitat notes"})
+        code, out = _req(base, "POST", "/search",
+                         {"kb": "kb2", "query": "quokka habitat"})
+        assert out["results"][0]["doc_name"] == "only2"
+        code, out = _req(base, "POST", "/search", {"query": "quokka habitat"})
+        assert all(r["doc_name"] != "only2" for r in out["results"])
+
+        code, out = _req(base, "GET", "/knowledge-bases/kb2")
+        assert code == 200 and out["chunks"] >= 1
+        code, _ = _req(base, "POST", "/knowledge-bases/kb2/delete")
+        assert code == 200
+        code, _ = _req(base, "POST", "/search",
+                       {"kb": "kb2", "query": "x"})
+        assert code == 404
+        code, _ = _req(base, "POST", "/knowledge-bases/default/delete")
+        assert code == 400
+
+    def test_chat_normal_mode(self, server):
+        base, _ = server
+        code, out = _req(base, "POST", "/chat",
+                         {"question": "how to bake bread?",
+                          "mode": "normal"})
+        assert code == 200
+        assert "bread" in out["answer"].lower()
+        assert out["tool_calls"] == []  # no agent loop in normal mode
+        assert len(out["sources"]) <= 2  # QueryEngine topK=2 parity
+
+    def test_graph_build_sse(self, server):
+        """api/lightrag/index SSE parity: POST /graph/build streams
+        status/progress/complete and installs the graph for /graph."""
+        base, srv = server
+        req = urllib.request.Request(
+            base + "/graph/build", data=b"{}", method="POST",
+            headers={"Content-Type": "application/json"})
+        events = []
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"].startswith("text/event-stream")
+            ev = None
+            for raw in r:
+                line = raw.decode().strip()
+                if line.startswith("event: "):
+                    ev = line[7:]
+                elif line.startswith("data: "):
+                    events.append((ev, json.loads(line[6:])))
+                    if ev in ("complete", "error"):
+                        break
+        kinds = [e for e, _ in events]
+        assert kinds[0] == "status" and kinds[-1] == "complete"
+        assert events[-1][1]["entities"] >= 0
+        assert srv.graph is not None
+        code, out = _req(base, "GET", "/graph")
+        assert code == 200 and "nodes" in out or "entities" in out
+
+    def test_auth_register_login_gate(self, tmp_path):
+        from tpurag.api.sessions import TokenAuth
+
+        kb = KnowledgeBase("authed")
+        kb.add_document("d", "secret contents")
+        auth = TokenAuth()
+        srv = RagServer(kb, auth=auth, data_dir=str(tmp_path))
+        httpd = srv.serve(port=0, background=True)
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            code, _ = _req(base, "POST", "/search", {"query": "secret"})
+            assert code == 401
+            code, _ = _req(base, "POST", "/auth/register",
+                           {"username": "u", "password": "p"})
+            assert code == 200
+            code, _ = _req(base, "POST", "/auth/register",
+                           {"username": "u", "password": "zzz"})
+            assert code == 400  # duplicate
+            code, out = _req(base, "POST", "/auth/login",
+                             {"username": "u", "password": "wrong"})
+            assert code == 401
+            code, out = _req(base, "POST", "/auth/login",
+                             {"username": "u", "password": "p"})
+            assert code == 200 and out["token"]
+            tok = out["token"]
+            data = json.dumps({"query": "secret"}).encode()
+            req = urllib.request.Request(
+                base + "/search", data=data, method="POST",
+                headers={"Content-Type": "application/json",
+                         "Authorization": f"Bearer {tok}"})
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert r.status == 200
+                assert json.loads(r.read())["results"]
+        finally:
+            srv.shutdown()

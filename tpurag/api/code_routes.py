@@ -169,7 +169,9 @@ def handle_codebase(mgr: CodebaseManager, method: str, path: str,
             and method == "GET":
         return 200, {"tree": _file_tree(cb.files)}
     if sub == "file" and method == "GET":
-        rel = params.get("path", "")
+        # The server merges query-string params into body before
+        # dispatch; accept either.
+        rel = params.get("path") or body.get("path", "")
         for f in cb.files:
             if f["rel"] == rel:
                 return 200, {"path": rel, "language": f["language"],

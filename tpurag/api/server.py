@@ -49,13 +49,16 @@ class RagServer:
         (defaults to the current working directory — an open server must
         not take arbitrary filesystem paths from request bodies) and
         where eval runs persist."""
-        from tpurag.api.sessions import SessionStore
+        from tpurag.api.sessions import SessionStore, TokenAuth, UserStore
         from tpurag.eval.store import EvalStore
 
         self.kb = kb
+        self.kbs: dict[str, object] = {"default": kb}  # multi-KB registry
         self.agent = agent
+        self._agents: dict[str, object] = {"default": agent}
         self.graph = graph
         self.auth = auth              # TokenAuth or None (open)
+        self.users = UserStore(auth if auth is not None else TokenAuth())
         self.sessions = sessions or SessionStore()
         self.data_dir = pathlib.Path(data_dir or ".").resolve()
         self.eval_store = EvalStore(str(self.data_dir) if data_dir else None)
@@ -66,18 +69,36 @@ class RagServer:
                                          max_wait_ms)
         self._httpd: Optional[ThreadingHTTPServer] = None
 
+    def _kb(self, body: dict):
+        """Resolve the target KB (multi-KB routing: optional 'kb' field;
+        reference scopes every route by kbId, SURVEY §2.9)."""
+        kb_id = body.get("kb", "default")
+        kb = self.kbs.get(kb_id)
+        if kb is None:
+            raise KeyError(f"no knowledge base {kb_id!r}")
+        return kb
+
+    def _agent_for(self, kb_id: str):
+        if kb_id not in self._agents:
+            from tpurag.agent.react import Agent
+
+            llm = getattr(self.agent, "llm", None) if self.agent else None
+            self._agents[kb_id] = Agent(self.kbs[kb_id], llm=llm)
+        return self._agents[kb_id]
+
     def _run_batch(self, requests: list[dict]) -> list:
-        """Bucket the coalesced batch by (mode, preset); run one device
-        batch per bucket at the bucket's max top_k; slice each response
-        back to its own requested top_k."""
+        """Bucket the coalesced batch by (kb, mode, preset); run one
+        device batch per bucket at the bucket's max top_k; slice each
+        response back to its own requested top_k."""
         out: list = [None] * len(requests)
         groups: dict[tuple, list[int]] = {}
         for i, r in enumerate(requests):
-            key = (r.get("mode", "hybrid"), r.get("preset"))
+            key = (r.get("kb", "default"), r.get("mode", "hybrid"),
+                   r.get("preset"))
             groups.setdefault(key, []).append(i)
-        for (mode, preset), idxs in groups.items():
+        for (kb_id, mode, preset), idxs in groups.items():
             ks = [int(requests[i].get("top_k", 8)) for i in idxs]
-            resps = self.kb.search_batch(
+            resps = self._kb({"kb": kb_id}).search_batch(
                 [requests[i]["query"] for i in idxs],
                 top_k=max(ks), mode=mode, preset=preset)
             for i, resp, k in zip(idxs, resps, ks):
@@ -89,9 +110,59 @@ class RagServer:
 
     def handle(self, method: str, path: str, body: dict,
                token: Optional[str] = None) -> tuple[int, dict]:
-        if self.auth is not None and path != "/health":
+        path, _, qs = path.partition("?")
+        if qs:  # query-string params back GET routes (body wins)
+            import urllib.parse
+
+            for k, v in urllib.parse.parse_qsl(qs):
+                body.setdefault(k, v)
+        if self.auth is not None and path != "/health" \
+                and not path.startswith("/auth/"):
             if self.auth.verify(token) is None:
                 return 401, {"error": "unauthorized"}
+        if body.get("kb") and body["kb"] not in self.kbs \
+                and not path.startswith("/knowledge-bases"):
+            return 404, {"error": f"no knowledge base {body['kb']!r}"}
+        if method == "POST" and path == "/auth/register":
+            # api/auth/register/route.ts:11 parity.
+            ok = self.users.register(body.get("username", ""),
+                                     body.get("password", ""))
+            return (200, {"registered": True}) if ok else (
+                400, {"error": "invalid or duplicate username"})
+        if method == "POST" and path == "/auth/login":
+            tok = self.users.login(body.get("username", ""),
+                                   body.get("password", ""))
+            return (200, {"token": tok}) if tok else (
+                401, {"error": "invalid credentials"})
+        if method == "GET" and path == "/knowledge-bases":
+            return 200, {"knowledge_bases": [
+                {"id": kid, "chunks": len(k), "docs": len(k._doc_chunks),
+                 "dim": k.dim}
+                for kid, k in self.kbs.items()]}
+        if method == "POST" and path == "/knowledge-bases":
+            kb_id = body.get("id", "")
+            if not kb_id or kb_id in self.kbs:
+                return 400, {"error": "missing or duplicate 'id'"}
+            from tpurag.api.knowledge_base import KnowledgeBase
+
+            self.kbs[kb_id] = KnowledgeBase(
+                kb_id, dim=int(body["dim"]) if body.get("dim") else None,
+                config=self.kb.config)
+            return 200, {"id": kb_id}
+        if path.startswith("/knowledge-bases/"):
+            kb_id = path.split("/")[2]
+            if kb_id not in self.kbs:
+                return 404, {"error": f"no knowledge base {kb_id}"}
+            if method == "GET":
+                k = self.kbs[kb_id]
+                return 200, {"id": kb_id, "chunks": len(k),
+                             "docs": len(k._doc_chunks), "dim": k.dim}
+            if method == "POST" and path.endswith("/delete"):
+                if kb_id == "default":
+                    return 400, {"error": "cannot delete the default KB"}
+                del self.kbs[kb_id]
+                self._agents.pop(kb_id, None)
+                return 200, {"deleted": True}
         if method == "GET" and path == "/sessions":
             return 200, {"sessions": self.sessions.list()}
         if method == "POST" and path == "/sessions":
@@ -133,26 +204,52 @@ class RagServer:
                 return 503, {"error": "no agent configured"}
             if not body.get("question"):
                 return 400, {"error": "missing 'question'"}
+            kb_id = body.get("kb", "default")
+            if kb_id not in self.kbs:
+                return 404, {"error": f"no knowledge base {kb_id}"}
             session = None
             history = body.get("history")
             if body.get("session_id"):
                 session = self.sessions.get_or_create(body["session_id"])
                 history = history or session.recent(10)  # last-10 rounds,
                 #                                          query/route.ts:17-75
-            with self._lock:  # agent mutates memory; serialize
-                res = self.agent.query(body["question"], history=history)
+            if body.get("mode") == "normal":
+                # Plain non-agentic query (agent.ts:126-179: QueryEngine
+                # topK=2) — retrieve 2 chunks, answer without the loop.
+                kb_t = self.kbs[kb_id]
+                resp = kb_t.search(body["question"], top_k=2)
+                ctx_text = "\n\n".join(r.text for r in resp.results)
+                agent = self._agent_for(kb_id)
+                if getattr(agent, "llm", None):
+                    answer = agent.llm(
+                        f"Context:\n{ctx_text}\n\nAnswer the question "
+                        f"using the context.\nQ: {body['question']}\nA:")
+                else:
+                    answer = ctx_text[:1500] or "No relevant content found."
+                res_payload = {
+                    "answer": answer, "tool_calls": [],
+                    "sources": [dataclasses.asdict(r)
+                                for r in resp.results],
+                }
+            else:
+                with self._lock:  # agent mutates memory; serialize
+                    res = self._agent_for(kb_id).query(body["question"],
+                                                       history=history)
+                res_payload = {
+                    "answer": res.answer,
+                    "tool_calls": res.tool_calls,
+                    "sources": [dataclasses.asdict(s)
+                                for s in res.sources or []],
+                }
             if session is not None:
                 session.append("user", body["question"])
-                session.append("assistant", res.answer)
-            return 200, {
-                "answer": res.answer,
-                "session_id": session.session_id if session else None,
-                "tool_calls": res.tool_calls,
-                "sources": [dataclasses.asdict(s) for s in res.sources or []],
-            }
+                session.append("assistant", res_payload["answer"])
+            res_payload["session_id"] = (session.session_id
+                                         if session else None)
+            return 200, res_payload
         if method == "GET" and path == "/documents":
             docs = {}
-            for c in self.kb.chunks:
+            for c in self._kb(body).chunks:
                 if c.metadata.get("deleted"):
                     continue
                 d = docs.setdefault(c.doc_id, {"doc_id": c.doc_id,
@@ -165,11 +262,11 @@ class RagServer:
             if not body.get("name") or not body.get("text"):
                 return 400, {"error": "missing 'name' or 'text'"}
             with self._lock:
-                ids = self.kb.add_document(body["name"], body["text"])
+                ids = self._kb(body).add_document(body["name"], body["text"])
             return 200, {"chunk_ids": ids}
         if method == "POST" and path == "/documents/delete":
             with self._lock:
-                n = self.kb.delete_document(body.get("doc_id", ""))
+                n = self._kb(body).delete_document(body.get("doc_id", ""))
             return 200, {"deleted_chunks": n}
         if method == "POST" and path == "/documents/upload":
             # upload/route.ts:9-77: save content as a pending document;
@@ -261,6 +358,8 @@ class RagServer:
             return self._process_stream(parts[1])
         if method == "GET" and path == "/eval/stream":
             return self._eval_stream(int(params.get("n", 3)))
+        if method == "POST" and path == "/graph/build":
+            return self._graph_build_stream(body)
         if (self.codebases is not None and method == "GET"
                 and len(parts) == 3 and parts[0] == "codebases"
                 and parts[2] == "process"):
@@ -295,6 +394,35 @@ class RagServer:
                                "chunks": done, "total": total}
         yield "complete", {"progress": 100, "chunks": len(ids),
                            "doc_id": doc_id}
+
+    def _graph_build_stream(self, body: dict) -> Iterator[tuple[str, dict]]:
+        """Build the entity/relation graph from the KB's chunks with
+        per-batch progress (api/lightrag/index SSE parity,
+        lightrag/index/route.ts:20-164 / main.py:256-346 — in-process,
+        no sidecar to poll)."""
+        try:
+            kb = self._kb(body)
+        except KeyError as e:
+            yield "error", {"error": str(e)}
+            return
+        from tpurag.graph.index import GraphIndex
+
+        g = GraphIndex(kb.embedder)
+        live = [(cid, c) for cid, c in enumerate(kb.chunks)
+                if not c.metadata.get("deleted")]
+        total = max(len(live), 1)
+        yield "status", {"status": "indexing", "total": len(live)}
+        done = 0
+        for cid, c in live:
+            with self._lock:
+                g.ingest_chunk(cid, c.text)
+            done += 1
+            if done % 16 == 0 or done == len(live):
+                yield "progress", {"progress": int(100 * done / total),
+                                   "chunks": done}
+        self.graph = g
+        yield "complete", {"progress": 100, "entities": len(g),
+                           "chunks": done}
 
     def _eval_stream(self, n: int) -> Iterator[tuple[str, dict]]:
         """Live per-question scoring (eval/stream/[id]/route.ts:42-113):

@@ -78,6 +78,38 @@ class SessionStore:
             ensure_ascii=False))
 
 
+class UserStore:
+    """Credentials store (next-auth register/login parity,
+    src/app/api/auth/register/route.ts:11, src/lib/auth.ts:6-65): salted
+    password hashes (blake2b standing in for bcrypt in this service
+    core), login issues API tokens through a TokenAuth."""
+
+    def __init__(self, auth: "TokenAuth"):
+        self.auth = auth
+        self._users: dict[str, tuple[str, str]] = {}  # name -> (salt, hash)
+
+    @staticmethod
+    def _pw_hash(password: str, salt: str) -> str:
+        return hashlib.blake2b((salt + password).encode(),
+                               digest_size=24).hexdigest()
+
+    def register(self, username: str, password: str) -> bool:
+        if not username or not password or username in self._users:
+            return False
+        salt = secrets.token_hex(8)
+        self._users[username] = (salt, self._pw_hash(password, salt))
+        return True
+
+    def login(self, username: str, password: str) -> Optional[str]:
+        rec = self._users.get(username)
+        if rec is None:
+            return None
+        salt, want = rec
+        if secrets.compare_digest(self._pw_hash(password, salt), want):
+            return self.auth.issue(username)
+        return None
+
+
 class TokenAuth:
     """Salted-hash API-token auth (replaces next-auth credentials+bcrypt,
     src/lib/auth.ts:6-65, for a service deployment)."""
