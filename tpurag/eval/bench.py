@@ -19,7 +19,31 @@ import numpy as np
 def _on_tpu() -> bool:
     import jax
 
+    _setup_cache()
     return jax.default_backend() in ("tpu", "axon")
+
+
+_cache_done = False
+
+
+def _setup_cache() -> None:
+    """Persistent compilation cache (remote-tunnel compiles take minutes;
+    the nprobe autotuner alone compiles one _ivf_search per doubling)."""
+    global _cache_done
+    if _cache_done:
+        return
+    import pathlib
+
+    import jax
+
+    cache_dir = pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"
+    try:
+        cache_dir.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, ValueError):
+        pass
+    _cache_done = True
 
 
 def _chain_time(step_fn, iters: int = 10, reps: int = 4) -> float:
@@ -320,6 +344,79 @@ def dataclasses_summary(cfg) -> str:
             f"seq{cfg.max_len} {cfg.dtype}")
 
 
+def config7_ivf_latency(seed: int = 0) -> dict:
+    """Small-batch latency: IVF vs exact scan on one chip (IVF's
+    operating regime per index/ivf.py — exact is near-roofline for big
+    batches; IVF wins when gathers replace a full scan for few queries).
+    2M x 1024 bf16 (4GB HBM) on TPU; small shapes on CPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpurag.core.config import IVFConfig
+    from tpurag.index.ivf import IVFIndex
+    from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
+
+    on_tpu = _on_tpu()
+    rng = np.random.default_rng(seed)
+    if on_tpu:
+        n, d, b, k = 2_000_000, 1024, 8, 10
+        cfg = IVFConfig(n_lists=2048, kmeans_iters=6, sample_size=262_144)
+        n_centers = 2048
+    else:
+        n, d, b, k = 65_536, 128, 8, 10
+        cfg = IVFConfig(n_lists=256, kmeans_iters=4, sample_size=16_384)
+        n_centers = 128
+
+    centers = _random_corpus(rng, n_centers, d)
+    which = rng.integers(0, n_centers, n)
+    emb = centers[which] + 0.3 * _random_corpus(rng, n, d)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = (emb[rng.choice(n, b, replace=False)]
+         + 0.1 * _random_corpus(rng, b, d))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q_dev = jnp.asarray(q)
+
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    idx = IVFIndex(cfg).build(emb, dtype=dtype, seed=seed)
+    # Exact baseline over the SAME (cluster-major) device matrix —
+    # identical memory, identical rows, tile-aligned.
+    emb_dev = idx.emb_ivf
+    npad = emb_dev.shape[0]
+
+    def exact_once():
+        if on_tpu:
+            s, i = dense_topk_pallas(q_dev, emb_dev, jnp.int32(npad), k)
+        else:
+            s, i = dense_topk_xla(q_dev, emb_dev, jnp.int32(npad), k)
+        return np.asarray(i)
+
+    exact_rows = exact_once()
+    exact_ids = np.asarray(idx.row_ids)[exact_rows]
+    nprobe = idx.tune_nprobe(q, exact_ids, k=k, target_recall=0.95)
+    _, ids = idx.search(q, k=k, nprobe=nprobe)
+    recall = float(np.mean([
+        len(set(np.asarray(ids)[i]) & set(exact_ids[i])) / k
+        for i in range(b)]))
+
+    def timed(fn, reps=8):
+        fn()
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return float(np.percentile(ts, 50))
+
+    t_exact = timed(exact_once)
+    t_ivf = timed(lambda: np.asarray(idx.search(q_dev, k=k,
+                                                nprobe=nprobe)[0]))
+    return {"metric": "ivf_speedup_smallbatch",
+            "value": t_exact / max(t_ivf, 1e-9), "unit": "x vs exact scan",
+            "n": n, "batch": b, "nprobe": nprobe, "n_lists": idx.n_lists,
+            "recall_at_10": recall,
+            "exact_p50_ms": t_exact * 1e3, "ivf_p50_ms": t_ivf * 1e3}
+
+
 CONFIGS = {
     "exact_dense": config1_exact_dense,
     "hybrid": config2_hybrid,
@@ -327,6 +424,7 @@ CONFIGS = {
     "graph": config4_graph,
     "sharded": config5_sharded,
     "ingest": config6_ingest,
+    "ivf_latency": config7_ivf_latency,
 }
 
 

@@ -59,6 +59,17 @@ def _kmeans(data, centroids, n_iters: int):
         jnp.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
 
 
+def _host_normalize(vectors) -> np.ndarray:
+    """L2-normalize on host: IVF builds handle multi-GB snapshots (8GB
+    at 2M x 1024 fp32) — a device normalize would need in+out buffers in
+    HBM at once and OOM a 16GB chip before the index is even built."""
+    data = np.array(vectors, np.float32, copy=True)
+    norms = np.linalg.norm(data, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    data /= norms
+    return data
+
+
 def ivf_scan(q, centroids, emb_ivf, row_table, row_ids,
              k: int, nprobe: int, c_max: int):
     """Traceable IVF probe-scan body (shared by the single-device jit and
@@ -138,7 +149,7 @@ class IVFIndex:
     def build(self, vectors, dtype=jnp.bfloat16,
               seed: int = 0) -> "IVFIndex":
         cfg = self.config
-        data = np.asarray(l2_normalize(np.asarray(vectors, np.float32)))
+        data = _host_normalize(vectors)
         n, d = data.shape
         cents, assign, n_lists = kmeans_assign(data, cfg, seed=seed)
         order = np.argsort(assign, kind="stable")

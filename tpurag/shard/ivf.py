@@ -39,7 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpurag.core.config import IVFConfig
 from tpurag.index.dense import l2_normalize
-from tpurag.index.ivf import ivf_scan, kmeans_assign
+from tpurag.index.ivf import _host_normalize, ivf_scan, kmeans_assign
 from tpurag.kernels.runtime import NEG_INF, round_up
 from tpurag.kernels.topk import select_topk
 
@@ -128,7 +128,7 @@ class ShardedIVFIndex:
         assert self.mesh is not None, "ShardedIVFIndex needs a mesh"
         s_count = self.n_shards
         cfg = self.config
-        data = np.asarray(l2_normalize(np.asarray(vectors, np.float32)))
+        data = _host_normalize(vectors)
         n, d = data.shape
         cents, assign, n_lists = kmeans_assign(data, cfg, seed=seed)
         counts = np.bincount(assign, minlength=n_lists)
