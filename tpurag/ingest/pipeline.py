@@ -16,8 +16,6 @@ from __future__ import annotations
 import time
 from typing import Iterable, Optional
 
-import numpy as np
-
 from tpurag.core.types import Chunk
 from tpurag.ingest.chunker import chunk_text
 

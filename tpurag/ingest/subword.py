@@ -14,7 +14,7 @@ from __future__ import annotations
 import collections
 import json
 import pathlib
-from typing import Iterable, Optional
+from typing import Iterable
 
 import numpy as np
 

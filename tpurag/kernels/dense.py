@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpurag.kernels.runtime import NEG_INF, cdiv, interpret_mode, pad_axis, round_up
+from tpurag.kernels.runtime import NEG_INF, interpret_mode, pad_axis, round_up
 from tpurag.kernels.topk import merge_topk, select_topk
 
 _BIG_ID = 2**30

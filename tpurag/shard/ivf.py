@@ -40,7 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpurag.core.config import IVFConfig
 from tpurag.index.dense import l2_normalize
 from tpurag.index.ivf import _host_normalize, ivf_scan, kmeans_assign
-from tpurag.kernels.runtime import NEG_INF, round_up
+from tpurag.kernels.runtime import round_up
 from tpurag.kernels.topk import select_topk
 
 
