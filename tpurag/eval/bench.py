@@ -400,25 +400,45 @@ def config7_ivf_latency(seed: int = 0) -> dict:
 
     # Chained-iteration timing (the dev relay adds ~30ms per blocking
     # dispatch — a naive per-call clock measures the relay, not the
-    # device; see bench.py).
+    # device; see bench.py). The corpus/table arrays are EXPLICIT jit
+    # arguments — closing over a 4GB device array captures it as a
+    # lowering constant and sinks the remote compile.
     from tpurag.index.ivf import ivf_scan
 
-    def exact_step(i):
-        qq = q_dev * (1.0 + i.astype(jnp.float32) * 1e-7)
-        if on_tpu:
-            s, _ = dense_topk_pallas(qq, emb_dev, jnp.int32(npad), k)
-        else:
-            s, _ = dense_topk_xla(qq, emb_dev, jnp.int32(npad), k)
-        return s.sum()
+    iters = 10
 
-    def ivf_step(i):
-        qq = q_dev * (1.0 + i.astype(jnp.float32) * 1e-7)
-        s, _ = ivf_scan(qq, idx.centroids, idx.emb_ivf, idx.row_table,
-                        idx.row_ids, k=k, nprobe=nprobe, c_max=idx.c_max)
-        return s.sum()
+    @jax.jit
+    def exact_chain(x0, qd, embd):
+        def body(i, acc):
+            qq = qd * (1.0 + i.astype(jnp.float32) * 1e-7)
+            if on_tpu:
+                s, _ = dense_topk_pallas(qq, embd, jnp.int32(npad), k)
+            else:
+                s, _ = dense_topk_xla(qq, embd, jnp.int32(npad), k)
+            return acc + s.sum()
+        return jax.lax.fori_loop(0, iters, body, x0)
 
-    t_exact = _chain_time(exact_step, iters=10, reps=3)
-    t_ivf = _chain_time(ivf_step, iters=10, reps=3)
+    @jax.jit
+    def ivf_chain(x0, qd, cents, embi, table, rowids):
+        def body(i, acc):
+            qq = qd * (1.0 + i.astype(jnp.float32) * 1e-7)
+            s, _ = ivf_scan(qq, cents, embi, table, rowids,
+                            k=k, nprobe=nprobe, c_max=idx.c_max)
+            return acc + s.sum()
+        return jax.lax.fori_loop(0, iters, body, x0)
+
+    def timed(fn, *args, reps=3):
+        float(fn(jnp.float32(0.0), *args))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn(jnp.float32(0.0), *args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts) / iters
+
+    t_exact = timed(exact_chain, q_dev, emb_dev)
+    t_ivf = timed(ivf_chain, q_dev, idx.centroids, idx.emb_ivf,
+                  idx.row_table, idx.row_ids)
     return {"metric": "ivf_speedup_smallbatch",
             "value": t_exact / max(t_ivf, 1e-9), "unit": "x vs exact scan",
             "n": n, "batch": b, "nprobe": nprobe, "n_lists": idx.n_lists,
