@@ -72,13 +72,19 @@ def main():
     # Config 2 shape: 100k chunks, dim 1024, top-8 hybrid.
     # Batch points ordered by descending expected QPS; the sweep stops
     # at the first point meeting the p50 gate (measured v5e with the
-    # tile-aligned corpus: b=512 -> 4.99ms / 102.6k QPS; b=448 is the
-    # fallback if run-to-run noise pushes 512 over the gate), so the
-    # cold run usually compiles exactly one point.
+    # column-merge kernel: b=512 -> 2.97ms / 172.5k QPS; larger batches
+    # amortize the corpus read further, so 1024/768 are tried first and
+    # the known-good 512 point is the safety net), so the cold run
+    # usually compiles exactly one point.
     if on_tpu:
         n, d, vocab = 100_000, 1024, 50_000
-        batches = (512, 448, 256)
-        iters = 20
+        batches = (1024, 768, 512)
+        # 100 chained device iterations per launch: the dev-relay costs
+        # ~24ms per blocking host round-trip REGARDLESS of device work
+        # (measured: total launch time is constant in iters), so at
+        # iters=20 every reported batch latency was inflated by ~1.2ms.
+        # 100 iterations amortize the relay artifact to ~0.24ms/batch.
+        iters = 100
     else:  # CPU smoke mode
         n, d, vocab = 20_000, 256, 5_000
         batches = (64,)

@@ -1,0 +1,144 @@
+"""Decompose the dense-scan kernel cost: matmul+reads vs top-k extraction.
+
+Builds stripped variants of the dense kernel at the headline shape
+(100k x 1024 bf16, b=512, k=8):
+  v0: matmul only, accumulate per-tile row-sum (no extraction)
+  v1: matmul + per-tile row-max running reduce (1 cheap pass)
+  v2: matmul + select_topk only (no cross-tile merge)
+  v3: full kernel (select + merge)  == dense_topk_pallas
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import numpy as np
+
+
+def main():
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpurag.kernels.dense import dense_topk_pallas
+    from tpurag.kernels.runtime import NEG_INF
+    from tpurag.kernels.topk import merge_topk, select_topk
+
+    n, d, b, k = 100_000, 1024, 512, 8
+    tile_b, tile_n = 128, 2048
+    rng = np.random.default_rng(0)
+    n_pad = -(-n // tile_n) * tile_n
+    emb = rng.standard_normal((n_pad, d)).astype(np.float32)
+    emb[n:] = 0
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    emb_dev = jnp.asarray(emb, jnp.bfloat16)
+    q_dev = jnp.asarray(q, jnp.bfloat16)
+    iters = 20
+
+    def make_variant(mode: str, tile_b: int = 128, tile_n: int = 2048):
+        def kern(q_ref, e_ref, out_ref, acc):
+            j = pl.program_id(1)
+            nn = pl.num_programs(1)
+
+            @pl.when(j == 0)
+            def _():
+                acc[:] = jnp.full_like(acc, NEG_INF if mode != "sum" else 0.0)
+
+            s = jax.lax.dot_general(
+                q_ref[:], e_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if mode == "sum":
+                acc[:, :1] = acc[:, :1] + jnp.sum(s, axis=1, keepdims=True)
+            elif mode == "rowmax":
+                acc[:, :1] = jnp.maximum(acc[:, :1],
+                                         jnp.max(s, axis=1, keepdims=True))
+            elif mode == "select":
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                tv, ti = select_topk(s, col, k)
+                acc[:] = jnp.maximum(acc[:], tv)  # keep, no merge
+            elif mode == "full":
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                tv, ti = select_topk(s, col, k)
+                rv, _ri = merge_topk(acc[:], jnp.zeros_like(acc, jnp.int32),
+                                     tv, ti, k)
+                acc[:] = rv
+
+            @pl.when(j == nn - 1)
+            def _():
+                out_ref[:] = acc[:]
+
+        npad2 = -(-n_pad // tile_n) * tile_n
+        grid = (b // tile_b, npad2 // tile_n)
+        return jax.jit(lambda qq: pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_b, d), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, d), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_b, k), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, k), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((tile_b, k), jnp.float32)],
+        )(qq, emb_dev))
+
+    def bench(fn, label):
+        @jax.jit
+        def chained(x0):
+            def step(i, acc):
+                qq = q_dev * (1.0 + i.astype(jnp.bfloat16) * 1e-3)
+                out = fn(qq)
+                return acc + out.sum()
+            return jax.lax.fori_loop(0, iters, step, x0)
+
+        t0 = time.perf_counter()
+        float(chained(jnp.float32(0.0)))
+        c = time.perf_counter() - t0
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(chained(jnp.float32(0.0)))
+            ts.append((time.perf_counter() - t0) / iters)
+        print(f"{label:24s} p50={np.percentile(ts, 50) * 1e3:7.3f}ms"
+              f" min={min(ts) * 1e3:7.3f}ms (compile {c:.0f}s)", flush=True)
+
+    print(f"backend={jax.default_backend()}")
+
+    # Pure-XLA matmul throughput reference (no top-k at all).
+    @jax.jit
+    def xla_mm(qq):
+        s = jax.lax.dot_general(
+            qq, emb_dev, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jnp.sum(s, axis=1)
+
+    bench(xla_mm, "xla matmul+rowsum")
+
+    for mode in ("sum", "rowmax", "select", "full"):
+        bench(make_variant(mode), f"v:{mode} tb=128 tn=2048")
+    # Step-count scaling probes: if per-step overhead dominates, time
+    # scales with grid size, not bytes.
+    for tb, tn in ((64, 2048), (512, 2048), (256, 2048), (128, 3072)):
+        try:
+            bench(make_variant("sum", tb, tn), f"v:sum tb={tb} tn={tn}")
+        except Exception as e:
+            print(f"v:sum tb={tb} tn={tn}: {type(e).__name__}: "
+                  f"{str(e)[:100]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Sweep dense_topk_pallas tile parameters on the real chip.
+
+Isolates the dense-scan component of the headline bench (100k x 1024
+bf16 corpus, batch 512, top-8) to find where the 3.7ms goes:
+corpus HBM re-reads (scale with B/tile_b), MXU matmul (fixed), or
+per-tile top-k extraction (fixed total, but per-pass VPU cost).
+
+Usage: python benchmarks/dense_sweep.py [--n 100000] [--b 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--d", type=int, default=1024)
+    ap.add_argument("--b", type=int, default=512)
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
+
+    rng = np.random.default_rng(0)
+    n, d, b, k = args.n, args.d, args.b, args.k
+    n_pad = -(-n // 2048) * 2048
+    emb = rng.standard_normal((n_pad, d)).astype(np.float32)
+    emb[n:] = 0
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    emb_dev = jnp.asarray(emb, jnp.bfloat16)
+    q_dev = jnp.asarray(q)
+    nv = jnp.int32(n)
+    iters = args.iters
+
+    def bench(fn, label):
+        import functools
+
+        @jax.jit
+        def chained(x0):
+            def step(i, acc):
+                qq = q_dev * (1.0 + i.astype(jnp.float32) * 1e-7)
+                s, ids = fn(qq)
+                return acc + s.sum()
+            return jax.lax.fori_loop(0, iters, step, x0)
+
+        t0 = time.perf_counter()
+        float(chained(jnp.float32(0.0)))
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(chained(jnp.float32(0.0)))
+            ts.append((time.perf_counter() - t0) / iters)
+        p50 = float(np.percentile(ts, 50))
+        print(f"{label:44s} p50={p50 * 1e3:7.3f}ms  min={min(ts) * 1e3:7.3f}ms"
+              f"  (compile {compile_s:.1f}s)", flush=True)
+        return p50
+
+    print(f"backend={jax.default_backend()} n={n} d={d} b={b} k={k}")
+
+    # XLA oracle (materializes (B, N) scores).
+    bench(lambda qq: dense_topk_xla(qq, emb_dev, nv, k), "xla oracle")
+
+    for tile_b, tile_n in [(128, 2048), (256, 2048), (512, 2048),
+                           (128, 1024), (256, 1024), (512, 1024),
+                           (512, 4096)]:
+        try:
+            bench(
+                lambda qq, tb=tile_b, tn=tile_n: dense_topk_pallas(
+                    qq, emb_dev, nv, k, tile_b=tb, tile_n=tn),
+                f"pallas tile_b={tile_b} tile_n={tile_n}")
+        except Exception as e:  # VMEM OOM etc.
+            print(f"pallas tile_b={tile_b} tile_n={tile_n}: "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

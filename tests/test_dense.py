@@ -50,6 +50,29 @@ def test_dense_topk_pallas_matches_xla(rng, n, d, b, k):
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
 
 
+@pytest.mark.parametrize("chunk_n", [64, 128])
+def test_dense_topk_pallas_chunked_matches_xla(rng, chunk_n):
+    # chunk_n < tile_n: the in-tile column-chunk scoring path.
+    n, d, b, k = 700, 48, 9, 8
+    q, emb = make_data(rng, n, d, b)
+    xv, xi = dense_topk_xla(jnp.asarray(q), jnp.asarray(emb), jnp.int32(n), k)
+    pv, pi = dense_topk_pallas(jnp.asarray(q), jnp.asarray(emb), jnp.int32(n),
+                               k, tile_b=8, tile_n=256, chunk_n=chunk_n,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+
+def test_dense_topk_pallas_k_not_pow2(rng):
+    # k=5 -> scratch padded to 8 rows: sentinel rows must never surface.
+    q, emb = make_data(rng, n=400, d=32, b=3)
+    xv, xi = dense_topk_xla(jnp.asarray(q), jnp.asarray(emb), jnp.int32(400), 5)
+    pv, pi = dense_topk_pallas(jnp.asarray(q), jnp.asarray(emb), jnp.int32(400),
+                               5, tile_b=8, tile_n=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+
 def test_dense_topk_pallas_n_valid_and_padding(rng):
     # n not a multiple of the tile, n_valid below n: padding + masking paths.
     q, emb = make_data(rng, n=333, d=40, b=2)

@@ -2,7 +2,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpurag.kernels.runtime import NEG_INF
-from tpurag.kernels.topk import merge_topk, select_topk
+from tpurag.kernels.topk import merge_topk, merge_topk_cols, select_topk
 
 
 def np_topk(scores, ids, k):
@@ -43,6 +43,42 @@ def test_merge_topk(rng):
     ev, ei = np_topk(allv, alli, k)
     np.testing.assert_allclose(np.asarray(vals), ev, rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(ids), ei)
+
+
+def _sorted_cols(rng, k, b, id_base):
+    """Random (K, B) columns sorted desc by (value, asc id) along axis 0."""
+    v = rng.standard_normal((b, k)).astype(np.float32)
+    ids = id_base + rng.permutation(4 * k)[:k].astype(np.int32)
+    ids = np.tile(ids, (b, 1))
+    order = np.lexsort((ids, -v), axis=1)
+    return (np.take_along_axis(v, order, axis=1).T,
+            np.take_along_axis(ids, order, axis=1).T)
+
+
+def test_merge_topk_cols_matches_numpy(rng):
+    k, b = 8, 6
+    av, ai = _sorted_cols(rng, k, b, id_base=0)
+    bv, bi = _sorted_cols(rng, k, b, id_base=100)
+    mv, mi = merge_topk_cols(jnp.asarray(av), jnp.asarray(ai),
+                             jnp.asarray(bv), jnp.asarray(bi))
+    allv = np.concatenate([av, bv], axis=0).T  # (B, 2K)
+    alli = np.concatenate([ai, bi], axis=0).T
+    ev, ei = np_topk(allv, alli, k)
+    np.testing.assert_allclose(np.asarray(mv), ev.T, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mi), ei.T)
+
+
+def test_merge_topk_cols_duplicate_values_tie_break(rng):
+    # Equal values across both lists: smaller id must win, per column.
+    k = 4
+    av = np.array([[2.0], [1.0], [1.0], [0.0]], np.float32)
+    ai = np.array([[7], [9], [11], [13]], np.int32)
+    bv = np.array([[1.0], [1.0], [1.0], [-1.0]], np.float32)
+    bi = np.array([[3], [8], [10], [1]], np.int32)
+    mv, mi = merge_topk_cols(jnp.asarray(av), jnp.asarray(ai),
+                             jnp.asarray(bv), jnp.asarray(bi))
+    np.testing.assert_allclose(np.asarray(mv)[:, 0], [2.0, 1.0, 1.0, 1.0])
+    np.testing.assert_array_equal(np.asarray(mi)[:, 0], [7, 3, 8, 9])
 
 
 def test_select_topk_all_neg_inf():

@@ -26,9 +26,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpurag.kernels.runtime import NEG_INF, interpret_mode, pad_axis, round_up
-from tpurag.kernels.topk import merge_topk, select_topk
+from tpurag.kernels.topk import merge_topk_cols, select_topk
 
 _BIG_ID = 2**30
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << (x - 1).bit_length() if x > 1 else 1
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -58,73 +62,115 @@ def dense_topk_xla(queries: jax.Array, emb: jax.Array, n_valid: jax.Array, k: in
 
 
 def _dense_topk_kernel(nvalid_ref, q_ref, e_ref, out_v_ref, out_i_ref,
-                       run_v, run_i, *, k: int, tile_n: int, precision):
+                       run_v, run_i, *, k: int, tile_n: int, chunk_n: int,
+                       precision):
+    """Running top-k lives TRANSPOSED in scratch as (k_pad, tile_b):
+    queries on the lane axis, so every merge compare-exchange runs at
+    full vreg utilization. (The row-layout (tile_b, 2k) merge was the
+    kernel's dominant cost — ~12% lane use across 8 select passes.)"""
     j = pl.program_id(1)
     nn = pl.num_programs(1)
+    kp = run_v.shape[0]  # k padded to a power of two
 
     @pl.when(j == 0)
     def _init():
         run_v[:] = jnp.full_like(run_v, NEG_INF)
         # Unique huge sentinel ids so ties in the merge never collide.
-        run_i[:] = _BIG_ID + jax.lax.broadcasted_iota(jnp.int32, run_i.shape, 1)
+        run_i[:] = _BIG_ID + jax.lax.broadcasted_iota(jnp.int32, run_i.shape, 0)
 
-    # (TB, D) x (TN, D)^T on the MXU, fp32 accumulation.
-    # bf16 operands on the MXU with fp32 accumulation. On TPU the precision
-    # stays default (Mosaic rejects fp32 contract precision for bf16 vectors
-    # on v5e); in interpret mode HIGHEST is forced because this CPU build's
-    # default matmul precision is lossy (~1e-1 abs) and tests compare
-    # bit-level against the XLA oracle.
-    s = jax.lax.dot_general(
-        q_ref[:], e_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    base = j * tile_n
-    col = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    # Only the boundary tile needs validity masking (fully-valid tiles —
-    # the overwhelming majority — skip the iota-compare-select pass).
     n_valid = nvalid_ref[0]
-    s = jax.lax.cond(
-        base + tile_n <= n_valid,
-        lambda s: s,
-        lambda s: jnp.where(col < n_valid, s, NEG_INF),
-        s,
-    )
 
-    # Skip the k-pass extraction when this tile cannot improve the running
-    # top-k (common once the running set is warm).
-    tile_max = jnp.max(s)
-    run_min = jnp.min(run_v[:])
+    # The corpus tile is DMA'd at (tile_n, D) granularity (big contiguous
+    # HBM reads), but scored/extracted in (tile_b, chunk_n) column chunks:
+    # the fp32 score block and the select-pass temporaries then only ever
+    # materialize chunk_n wide, which keeps VMEM pressure independent of
+    # tile_n and lets tile_b grow (fewer corpus re-reads per query batch).
+    for c in range(tile_n // chunk_n):
+        # (TB, D) x (chunk, D)^T on the MXU, fp32 accumulation.
+        # bf16 operands on the MXU with fp32 accumulation. On TPU the
+        # precision stays default (Mosaic rejects fp32 contract precision
+        # for bf16 vectors on v5e); in interpret mode HIGHEST is forced
+        # because this CPU build's default matmul precision is lossy
+        # (~1e-1 abs) and tests compare bit-level against the XLA oracle.
+        s = jax.lax.dot_general(
+            q_ref[:], e_ref[c * chunk_n:(c + 1) * chunk_n, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        base = j * tile_n + c * chunk_n
+        col = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        # Only the boundary chunk needs validity masking (fully-valid
+        # chunks — the overwhelming majority — skip the compare-select).
+        s = jax.lax.cond(
+            base + chunk_n <= n_valid,
+            lambda s: s,
+            lambda s: jnp.where(col < n_valid, s, NEG_INF),
+            s,
+        )
 
-    @pl.when((j == 0) | (tile_max > run_min))
-    def _merge():
-        tv, ti = select_topk(s, col, k)
-        rv, ri = merge_topk(run_v[:], run_i[:], tv, ti, k)
-        run_v[:] = rv
-        run_i[:] = ri
+        # Skip the k-pass extraction when this chunk cannot improve the
+        # running top-k (common once the running set is warm). Row k-1
+        # holds each query's current k-th best (sorted desc).
+        chunk_max = jnp.max(s)
+        run_min = jnp.min(run_v[k - 1, :])
+
+        @pl.when(((j == 0) & (c == 0)) | (chunk_max > run_min))
+        def _merge(s=s, col=col):
+            tv, ti = select_topk(s, col, k)          # (tb, k) sorted desc
+            tvt = tv.T                               # (k, tb)
+            tit = ti.T
+            if kp > k:
+                pad_v = jnp.full((kp - k,) + tvt.shape[1:], NEG_INF,
+                                 tvt.dtype)
+                pad_i = _BIG_ID + jax.lax.broadcasted_iota(
+                    jnp.int32, (kp - k,) + tit.shape[1:], 0)
+                tvt = jnp.concatenate([tvt, pad_v], axis=0)
+                tit = jnp.concatenate([tit, pad_i], axis=0)
+            rv, ri = merge_topk_cols(run_v[:], run_i[:], tvt, tit)
+            run_v[:] = rv
+            run_i[:] = ri
 
     @pl.when(j == nn - 1)
     def _emit():
-        out_v_ref[:] = run_v[:]
-        out_i_ref[:] = run_i[:]
+        out_v_ref[:] = run_v[:k, :].T
+        out_i_ref[:] = run_i[:k, :].T
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_b", "tile_n", "interpret")
+    jax.jit,
+    static_argnames=("k", "tile_b", "tile_n", "chunk_n", "interpret"),
 )
 def dense_topk_pallas(queries, emb, n_valid, k: int,
-                      tile_b: int = 128, tile_n: int = 2048,
+                      tile_b: int | None = None, tile_n: int = 2048,
+                      chunk_n: int | None = None,
                       interpret: bool = False):
     """Tiled Pallas cosine top-k. Same contract as dense_topk_xla.
 
     queries (B, D) and emb (N, D) may be unpadded; this wrapper pads B/N/D
     to tile multiples (zero vectors score 0 and are masked by n_valid).
+
+    tile_b: query-tile rows; the corpus is streamed from HBM B/tile_b
+    times, so bigger tiles cut read traffic — but past ~512k corpus rows
+    the per-chunk early-skip (which needs small tiles to fire) wins, so
+    auto mode picks 256 for large batches on small/medium corpora and
+    128 otherwise (measured on v5e: 100k x 1024, b=512: 1.58ms vs 1.68ms).
+
+    chunk_n: column-chunk width for scoring/extraction inside one corpus
+    tile (defaults to tile_n = no split). Smaller chunks cap the fp32
+    score + select-temp VMEM footprint so tile_b can grow.
     """
     b, d = queries.shape
     n = emb.shape[0]
+    if tile_b is None:
+        tile_b = 256 if (b >= 256 and n <= (1 << 19)) else 128
     tile_b = min(tile_b, round_up(b, 8))
     tile_n = min(tile_n, round_up(n, 128))
+    if chunk_n is None:
+        chunk_n = tile_n
+    chunk_n = min(chunk_n, tile_n)
+    if tile_n % chunk_n:
+        chunk_n = tile_n  # chunks must tile tile_n exactly
     bp = round_up(b, tile_b)
     np_ = round_up(n, tile_n)
     dp = round_up(d, 128)
@@ -134,7 +180,7 @@ def dense_topk_pallas(queries, emb, n_valid, k: int,
 
     grid = (bp // tile_b, np_ // tile_n)
     kernel = functools.partial(
-        _dense_topk_kernel, k=k, tile_n=tile_n,
+        _dense_topk_kernel, k=k, tile_n=tile_n, chunk_n=chunk_n,
         precision=jax.lax.Precision.HIGHEST if interpret else None)
     vals, ids = pl.pallas_call(
         kernel,
@@ -154,8 +200,8 @@ def dense_topk_pallas(queries, emb, n_valid, k: int,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((tile_b, k), jnp.float32),
-                pltpu.VMEM((tile_b, k), jnp.int32),
+                pltpu.VMEM((_next_pow2(k), tile_b), jnp.float32),
+                pltpu.VMEM((_next_pow2(k), tile_b), jnp.int32),
             ],
         ),
         out_shape=[

@@ -52,3 +52,49 @@ def merge_topk(vals_a, ids_a, vals_b, ids_b, k: int):
     vals = jnp.concatenate([vals_a, vals_b], axis=1)
     ids = jnp.concatenate([ids_a, ids_b], axis=1)
     return select_topk(vals, ids, k)
+
+
+def _lex_gt(va, ia, vb, ib):
+    """(va, ia) sorts strictly before (vb, ib): higher value, or equal
+    value and smaller id — the oracle's (lax.top_k) tie-break order."""
+    return (va > vb) | ((va == vb) & (ia < ib))
+
+
+def merge_topk_cols(av, ai, bv, bi):
+    """Merge two column-layout (K, B) candidate sets into the top-K.
+
+    Both inputs must be sorted descending by (value, then ascending id)
+    along axis 0; K must be a power of two. Returns (K, B) in the same
+    order. This is the VPU-efficient running-top-k merge: with B on the
+    lane axis every compare-exchange runs at full vreg utilization,
+    whereas a row-layout (B, 2K) select pass uses 2K/128 of each vreg.
+
+    Algorithm: top-K of two sorted-K lists = elementwise
+    lexmax(a_i, reverse(b)_i) (a bitonic sequence), then a log2(K)-stage
+    bitonic merge network along axis 0 sorts it descending.
+    """
+    kp = av.shape[0]
+    assert kp & (kp - 1) == 0, f"K={kp} must be a power of two"
+    # Row-reverse via static slices (Mosaic has no `rev` lowering).
+    bvr = jnp.concatenate([bv[i:i + 1] for i in range(kp - 1, -1, -1)], 0)
+    bir = jnp.concatenate([bi[i:i + 1] for i in range(kp - 1, -1, -1)], 0)
+    keep = _lex_gt(av, ai, bvr, bir)
+    mv = jnp.where(keep, av, bvr)
+    mi = jnp.where(keep, ai, bir)
+    stride = kp // 2
+    rest = mv.shape[1:]
+    while stride >= 1:
+        shape = (kp // (2 * stride), 2, stride) + rest
+        v2 = mv.reshape(shape)
+        i2 = mi.reshape(shape)
+        lo_v, hi_v = v2[:, 0], v2[:, 1]
+        lo_i, hi_i = i2[:, 0], i2[:, 1]
+        swap = _lex_gt(hi_v, hi_i, lo_v, lo_i)
+        mv = jnp.stack([jnp.where(swap, hi_v, lo_v),
+                        jnp.where(swap, lo_v, hi_v)], axis=1).reshape(
+            (kp,) + rest)
+        mi = jnp.stack([jnp.where(swap, hi_i, lo_i),
+                        jnp.where(swap, lo_i, hi_i)], axis=1).reshape(
+            (kp,) + rest)
+        stride //= 2
+    return mv, mi
