@@ -26,6 +26,7 @@ width, the round-1 301s-first-compile fix). Query terms are Zipf-sampled
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -175,19 +176,30 @@ def main():
                 jnp.asarray(idf_all[gsel]),
             ))
 
-        def step(i):
-            qq = q_dev * (1.0 + i.astype(jnp.float32) * 1e-7)
+        # Static per-class metadata (shapes/p_max) stays closed over;
+        # every ARRAY rides through jit arguments as a pytree — a
+        # closed-over device array becomes a captured lowering constant
+        # that the remote-compile tunnel must ship with the program
+        # (measured: the 200MB corpus constant dominated cold-compile
+        # time; a 4GB constant outright breaks the tunnel).
+        class_meta = [(p_max, n_real) for p_max, _, n_real, *_ in class_const]
+        class_arrs = tuple((sel, bw_g, row_g, idf_g)
+                           for _, sel, _, bw_g, row_g, idf_g in class_const)
+
+        def step(i, emb_arg, q_arg, mats_arg, carrs):
+            qq = q_arg * (1.0 + i.astype(jnp.float32) * 1e-7)
             if use_pallas:
-                v_s, v_i = dense_topk_pallas(qq, emb_dev, n_valid, k)
+                v_s, v_i = dense_topk_pallas(qq, emb_arg, n_valid, k)
             else:
-                v_s, v_i = dense_topk_xla(qq, emb_dev, n_valid, k)
+                v_s, v_i = dense_topk_xla(qq, emb_arg, n_valid, k)
             # Per-class BM25 at its ladder width; scatter class results
             # back into one (B, k) candidate table for fusion.
             k_i_full = jnp.full((b, k), -1, jnp.int32)
-            for p_max, sel, n_real, bw_g, row_g, idf_g in class_const:
+            for (p_max, n_real), (sel, bw_g, row_g, idf_g) in zip(
+                    class_meta, carrs):
                 k_s, k_i = _bucket_score(
                     jnp.roll(bw_g, i, axis=0), jnp.roll(row_g, i, axis=0),
-                    jnp.roll(idf_g, i, axis=0), mats,
+                    jnp.roll(idf_g, i, axis=0), mats_arg,
                     k=k, p_max=p_max, t=t_query, widths=widths,
                     use_pallas=use_pallas)
                 k_i_full = k_i_full.at[sel].set(k_i[:n_real])
@@ -200,15 +212,19 @@ def main():
         # production streaming server never pays; chaining measures true
         # device throughput). Inputs rotate per iteration so nothing hoists.
         @jax.jit
-        def chained(x0):
-            return jax.lax.fori_loop(0, iters,
-                                     lambda i, acc: acc + step(i), x0)
+        def chained(x0, emb_arg, q_arg, mats_arg, carrs):
+            return jax.lax.fori_loop(
+                0, iters,
+                lambda i, acc: acc + step(i, emb_arg, q_arg, mats_arg,
+                                          carrs), x0)
 
-        return chained
+        return functools.partial(chained, q_arg=q_dev, mats_arg=mats,
+                                 carrs=class_arrs)
 
     points = []
     for b in batches:
-        chained = build_point(b)
+        chained0 = build_point(b)
+        chained = lambda x0: chained0(x0, emb_arg=emb_dev)  # noqa: E731
         log(f"b={b}: compiling ...")
         t0 = time.perf_counter()
         float(chained(jnp.float32(0.0)))  # host read forces completion

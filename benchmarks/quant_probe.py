@@ -1,0 +1,99 @@
+"""Probe the int8 dense scan vs bf16 on the real chip (headline shape)."""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpurag.kernels.dense import dense_topk_pallas
+    from tpurag.kernels.quant import (dense_topk_pallas_q8, quantize_rows,
+                                      rescore_topk)
+
+    n, d, k = 100_000, 1024, 8
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 768
+    iters = 50
+    rng = np.random.default_rng(0)
+    n_pad = -(-n // 2048) * 2048
+    emb = rng.standard_normal((n_pad, d)).astype(np.float32)
+    emb[n:] = 0
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    emb_bf = jnp.asarray(emb, jnp.bfloat16)
+    e8, es = quantize_rows(jnp.asarray(emb))
+    q_dev = jnp.asarray(q)
+    q8, qs = quantize_rows(q_dev)
+    nv = jnp.int32(n)
+    print(f"b={b} n={n} d={d}", flush=True)
+
+    def timeit(name, fn):
+        t0 = time.perf_counter()
+        try:
+            jax.block_until_ready(fn(0))
+        except Exception as exc:
+            print(f"{name}: FAILED {type(exc).__name__}: {str(exc)[:300]}",
+                  flush=True)
+            return None
+        compile_s = time.perf_counter() - t0
+
+        @jax.jit
+        def chained(x0):
+            return jax.lax.fori_loop(
+                0, iters, lambda i, acc: acc + fn(i), x0)
+
+        jax.block_until_ready(chained(jnp.float32(0.0)))
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            jax.block_until_ready(chained(jnp.float32(0.0)))
+            ts.append((time.perf_counter() - t0) / iters)
+        p50 = float(np.percentile(ts, 50))
+        print(f"{name}: p50={p50 * 1e3:.3f}ms (first-call {compile_s:.0f}s)",
+              flush=True)
+        return p50
+
+    def bf16_run(i):
+        qq = q_dev * (1.0 + jnp.float32(i) * 1e-7)
+        v, _ = dense_topk_pallas(qq, emb_bf, nv, k)
+        return v.sum()
+
+    def q8_run(i):
+        v, _ = dense_topk_pallas_q8(
+            jnp.roll(q8, i, axis=0), jnp.roll(qs, i, axis=0), e8, es, nv, k)
+        return v.sum()
+
+    def q8_rescore_run(i):
+        _, ids = dense_topk_pallas_q8(
+            jnp.roll(q8, i, axis=0), jnp.roll(qs, i, axis=0), e8, es, nv,
+            4 * k)
+        qq = q_dev * (1.0 + jnp.float32(i) * 1e-7)
+        v, _ = rescore_topk(qq, emb_bf, ids, k)
+        return v.sum()
+
+    timeit("bf16 scan      ", bf16_run)
+    timeit("int8 scan      ", q8_run)
+    timeit("int8+rescore   ", q8_rescore_run)
+    # int8 accuracy sanity on-chip (kernel vs host exact).
+    _, ids = dense_topk_pallas_q8(q8, qs, e8, es, nv, k)
+    exact = np.argsort(-(q @ emb[:n].T), axis=1)[:, :k]
+    hits = sum(len(set(np.asarray(ids)[i].tolist()) & set(exact[i].tolist()))
+               for i in range(b))
+    print(f"int8 recall@{k} vs exact: {hits / (b * k):.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Round 2 int8 probe: rescore compile retry + tile_b sweep."""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpurag.kernels.quant import (dense_topk_pallas_q8, quantize_rows,
+                                      rescore_topk)
+
+    n, d, k = 100_000, 1024, 8
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 768
+    iters = 50
+    rng = np.random.default_rng(0)
+    n_pad = -(-n // 2048) * 2048
+    emb = rng.standard_normal((n_pad, d)).astype(np.float32)
+    emb[n:] = 0
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    emb_bf = jnp.asarray(emb, jnp.bfloat16)
+    e8, es = quantize_rows(jnp.asarray(emb))
+    q_dev = jnp.asarray(q)
+    q8, qs = quantize_rows(q_dev)
+    nv = jnp.int32(n)
+    print(f"b={b} n={n} d={d}", flush=True)
+
+    def timeit(name, fn):
+        t0 = time.perf_counter()
+        try:
+            jax.block_until_ready(fn(0))
+        except Exception as exc:
+            print(f"{name}: FAILED {type(exc).__name__}: {str(exc)[:200]}",
+                  flush=True)
+            return None
+        compile_s = time.perf_counter() - t0
+
+        @jax.jit
+        def chained(x0):
+            return jax.lax.fori_loop(
+                0, iters, lambda i, acc: acc + fn(i), x0)
+
+        jax.block_until_ready(chained(jnp.float32(0.0)))
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            jax.block_until_ready(chained(jnp.float32(0.0)))
+            ts.append((time.perf_counter() - t0) / iters)
+        p50 = float(np.percentile(ts, 50))
+        print(f"{name}: p50={p50 * 1e3:.3f}ms (first-call {compile_s:.0f}s)",
+              flush=True)
+        return p50
+
+    # Rescore alone (gather + einsum + top-k at m=32 candidates).
+    fixed_ids = jnp.asarray(
+        rng.integers(0, n, size=(b, 4 * k)).astype(np.int32))
+
+    def rescore_only(i):
+        v, _ = rescore_topk(q_dev, emb_bf, jnp.roll(fixed_ids, i, axis=0), k)
+        return v.sum()
+
+    timeit("rescore only   ", rescore_only)
+
+    for tb in (256, 512):
+        def q8_run(i, tb=tb):
+            v, _ = dense_topk_pallas_q8(
+                jnp.roll(q8, i, axis=0), jnp.roll(qs, i, axis=0), e8, es,
+                nv, k, tile_b=tb)
+            return v.sum()
+
+        timeit(f"int8 tb={tb}    ", q8_run)
+
+    # int8 at m=32 (the rescore overfetch shape).
+    def q8_m32(i):
+        v, _ = dense_topk_pallas_q8(
+            jnp.roll(q8, i, axis=0), jnp.roll(qs, i, axis=0), e8, es, nv,
+            4 * k, tile_b=256)
+        return v.sum()
+
+    timeit("int8 m=32      ", q8_m32)
+
+
+if __name__ == "__main__":
+    main()

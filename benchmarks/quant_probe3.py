@@ -1,0 +1,94 @@
+"""Post-asc-merge probe: bf16 regression check + int8 m=16/32 compiles."""
+
+from __future__ import annotations
+
+import pathlib
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpurag.kernels.dense import dense_topk_pallas
+    from tpurag.kernels.quant import (dense_topk_pallas_q8, quantize_rows,
+                                      rescore_topk)
+
+    n, d, k, b = 100_000, 1024, 8, 768
+    iters = 50
+    rng = np.random.default_rng(0)
+    n_pad = -(-n // 2048) * 2048
+    emb = rng.standard_normal((n_pad, d)).astype(np.float32)
+    emb[n:] = 0
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    emb_bf = jnp.asarray(emb, jnp.bfloat16)
+    e8, es = quantize_rows(jnp.asarray(emb))
+    q_dev = jnp.asarray(q)
+    q8, qs = quantize_rows(q_dev)
+    nv = jnp.int32(n)
+    print(f"b={b} n={n} d={d}", flush=True)
+
+    def timeit(name, fn):
+        t0 = time.perf_counter()
+        try:
+            jax.block_until_ready(fn(0))
+        except Exception as exc:
+            print(f"{name}: FAILED {type(exc).__name__}: {str(exc)[:150]}",
+                  flush=True)
+            return
+
+        compile_s = time.perf_counter() - t0
+
+        @jax.jit
+        def chained(x0):
+            return jax.lax.fori_loop(
+                0, iters, lambda i, acc: acc + fn(i), x0)
+
+        jax.block_until_ready(chained(jnp.float32(0.0)))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(chained(jnp.float32(0.0)))
+            ts.append((time.perf_counter() - t0) / iters)
+        print(f"{name}: p50={np.percentile(ts, 50) * 1e3:.3f}ms "
+              f"(first-call {compile_s:.0f}s)", flush=True)
+
+    def bf16_run(i):
+        qq = q_dev * (1.0 + jnp.float32(i) * 1e-7)
+        v, _ = dense_topk_pallas(qq, emb_bf, nv, k)
+        return v.sum()
+
+    timeit("bf16 asc k=8     ", bf16_run)
+
+    for m, cn in ((16, None), (32, None), (32, 512)):
+        def q8_run(i, m=m, cn=cn):
+            v, _ = dense_topk_pallas_q8(
+                jnp.roll(q8, i, axis=0), jnp.roll(qs, i, axis=0), e8, es,
+                nv, m, chunk_n=cn)
+            return v.sum()
+
+        timeit(f"int8 asc m={m} cn={cn}", q8_run)
+
+    def full_quant(i):
+        _, ids = dense_topk_pallas_q8(
+            jnp.roll(q8, i, axis=0), jnp.roll(qs, i, axis=0), e8, es, nv,
+            32)
+        qq = q_dev * (1.0 + jnp.float32(i) * 1e-7)
+        v, _ = rescore_topk(qq, emb_bf, ids, k)
+        return v.sum()
+
+    timeit("int8 m=32 + rescore", full_quant)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Validate: gather-rescore kernel, m=16 e2e quant, k=32 auto-chunk."""
+
+from __future__ import annotations
+
+import pathlib
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpurag.kernels.dense import dense_topk_pallas
+    from tpurag.kernels.quant import (dense_topk_pallas_q8,
+                                      gather_scores_pallas, quantize_rows,
+                                      rescore_topk)
+
+    n, d, k, b = 100_000, 1024, 8, 768
+    iters = 50
+    rng = np.random.default_rng(0)
+    n_pad = -(-n // 2048) * 2048
+    emb = rng.standard_normal((n_pad, d)).astype(np.float32)
+    emb[n:] = 0
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    emb_bf = jnp.asarray(emb, jnp.bfloat16)
+    e8, es = quantize_rows(jnp.asarray(emb))
+    q_dev = jnp.asarray(q)
+    q8, qs = quantize_rows(q_dev)
+    nv = jnp.int32(n)
+    print(f"b={b} n={n} d={d}", flush=True)
+
+    def timeit(name, fn, args):
+        t0 = time.perf_counter()
+        try:
+            out0 = jax.block_until_ready(fn(0, *args))
+        except Exception as exc:
+            print(f"{name}: FAILED {type(exc).__name__}: {str(exc)[:150]}",
+                  flush=True)
+            return None
+        compile_s = time.perf_counter() - t0
+
+        @jax.jit
+        def chained(x0, *args):
+            return jax.lax.fori_loop(
+                0, iters, lambda i, acc: acc + fn(i, *args), x0)
+
+        jax.block_until_ready(chained(jnp.float32(0.0), *args))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(chained(jnp.float32(0.0), *args))
+            ts.append((time.perf_counter() - t0) / iters)
+        print(f"{name}: p50={np.percentile(ts, 50) * 1e3:.3f}ms "
+              f"(first-call {compile_s:.0f}s)", flush=True)
+        return out0
+
+    # 1) standalone gather kernel, m=16 and 32.
+    for m in (16, 32):
+        ids_fix = jnp.asarray(rng.integers(0, n, (b, m)).astype(np.int32))
+
+        def g_run(i, ids_fix, q_dev, emb_bf, m=m):
+            s = gather_scores_pallas(q_dev, emb_bf, jnp.roll(ids_fix, i, 0))
+            return s.sum()
+
+        timeit(f"pallas gather m={m}   ", g_run, (ids_fix, q_dev, emb_bf))
+
+    # Gather correctness on-chip.
+    ids_c = jnp.asarray(rng.integers(0, n, (b, 16)).astype(np.int32))
+    out = np.asarray(gather_scores_pallas(q_dev, emb_bf, ids_c))
+    exp = np.take_along_axis(
+        q @ emb[:n].astype(np.float32).T, np.asarray(ids_c), axis=1)
+    err = np.abs(out - exp).max()
+    print(f"gather max abs err vs fp32 (bf16 rows): {err:.4f}", flush=True)
+
+    # 2) e2e quant: int8 m=16 scan + pallas rescore to k=8.
+    def e2e(i, q8, qs, q_dev, e8, es, emb_bf):
+        _, ids = dense_topk_pallas_q8(
+            jnp.roll(q8, i, 0), jnp.roll(qs, i, 0), e8, es, nv, 2 * k)
+        qq = q_dev * (1.0 + jnp.float32(i) * 1e-7)
+        v, _ = rescore_topk(qq, emb_bf, ids, k)
+        return v.sum()
+
+    timeit("int8 m=16 + rescore ", e2e, (q8, qs, q_dev, e8, es, emb_bf))
+
+    # Recall of the full path vs exact.
+    _, cand = dense_topk_pallas_q8(q8, qs, e8, es, nv, 2 * k)
+    _, ids = rescore_topk(q_dev, emb_bf, cand, k)
+    exact = np.argsort(-(q @ emb[:n].T), axis=1)[:, :k]
+    hits = sum(len(set(np.asarray(ids)[i].tolist()) & set(exact[i].tolist()))
+               for i in range(b))
+    print(f"quant(m=16, rescore) recall@{k}: {hits / (b * k):.4f}",
+          flush=True)
+
+    # 3) bf16 k=32 (tombstone-overfetch shape) with auto chunking.
+    def bf32(i, q_dev, emb_bf):
+        qq = q_dev * (1.0 + jnp.float32(i) * 1e-7)
+        v, _ = dense_topk_pallas(qq, emb_bf, nv, 32)
+        return v.sum()
+
+    timeit("bf16 k=32 auto-chunk", bf32, (q_dev, emb_bf))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""int8 vs bf16 dense scan at 2M x 1024 (the read-bound regime).
+
+The corpus is generated ON DEVICE (jax.random) — a host-side 8GB build +
+relay transfer takes tens of minutes; the device build takes seconds.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
+    from tpurag.kernels.quant import (dense_topk_pallas_q8,
+                                      dense_topk_xla_q8, quantize_rows)
+
+    n, d, k = 2_000_000, 1024, 10
+    n_pad = -(-n // 2048) * 2048
+    key = jax.random.PRNGKey(0)
+
+    n_blocks = 16
+    rows = n_pad // n_blocks
+
+    @jax.jit
+    def build(key):
+        # Blockwise: full-matrix fp32 temporaries would not fit HBM
+        # (8GB fp32 + 4GB bf16 + 2GB int8); per-block peak is ~1GB.
+        def one(bi):
+            kb_ = jax.random.fold_in(key, bi)
+            ef = jax.random.normal(kb_, (rows, d), jnp.float32)
+            norm = jnp.sqrt(jnp.sum(ef * ef, axis=1, keepdims=True))
+            ef = ef / jnp.maximum(norm, 1e-9)
+            gid = bi * rows + jnp.arange(rows)
+            ef = jnp.where((gid < n)[:, None], ef, 0.0)
+            q8, qs = quantize_rows(ef)
+            return ef.astype(jnp.bfloat16), q8, qs
+
+        bf, q8, qs = jax.lax.map(one, jnp.arange(n_blocks))
+        return (bf.reshape(n_pad, d), q8.reshape(n_pad, d),
+                qs.reshape(n_pad))
+
+    print("building 2M corpus on device ...", flush=True)
+    emb_bf, e8, es = jax.block_until_ready(build(key))
+    nv = jnp.int32(n)
+    print("built.", flush=True)
+
+    for b, iters in ((512, 10), (8, 30)):
+        kq = jax.random.PRNGKey(b)
+        q = jax.random.normal(kq, (b, d), jnp.float32)
+        q = q / jnp.sqrt(jnp.sum(q * q, axis=1, keepdims=True))
+        q_dev = jax.block_until_ready(q)
+        q8, qs = quantize_rows(q_dev)
+
+        def timeit(name, fn, args, iters=iters):
+            # The big arrays are explicit jit ARGUMENTS: closing over a
+            # 4GB device array captures it as a lowering constant, and
+            # the remote-compile tunnel dies shipping it.
+            t0 = time.perf_counter()
+            try:
+                jax.block_until_ready(fn(0, *args))
+            except Exception as exc:
+                print(f"b={b} {name}: FAILED {type(exc).__name__}: "
+                      f"{str(exc)[:150]}", flush=True)
+                return
+
+            @jax.jit
+            def chained(x0, *args):
+                return jax.lax.fori_loop(
+                    0, iters, lambda i, acc: acc + fn(i, *args), x0)
+
+            jax.block_until_ready(chained(jnp.float32(0.0), *args))
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(chained(jnp.float32(0.0), *args))
+                ts.append((time.perf_counter() - t0) / iters)
+            print(f"b={b} {name}: p50={np.percentile(ts, 50) * 1e3:.2f}ms",
+                  flush=True)
+
+        def bf16_run(i, q_dev, emb_bf):
+            qq = q_dev * (1.0 + jnp.float32(i) * 1e-7)
+            v, _ = dense_topk_pallas(qq, emb_bf, nv, k)
+            return v.sum()
+
+        def q8_run(i, q8, qs, e8, es):
+            v, _ = dense_topk_pallas_q8(
+                jnp.roll(q8, i, axis=0), jnp.roll(qs, i, axis=0), e8, es,
+                nv, k)
+            return v.sum()
+
+        timeit("bf16", bf16_run, (q_dev, emb_bf))
+        timeit("int8", q8_run, (q8, qs, e8, es))
+
+        if b == 8:
+            # Recall vs the bf16 exact oracle, all on device.
+            _, ids = dense_topk_pallas_q8(q8, qs, e8, es, nv, k)
+            _, xids = dense_topk_xla(q_dev, emb_bf, nv, k)
+            ids, xids = np.asarray(ids), np.asarray(xids)
+            hits = sum(len(set(ids[i].tolist()) & set(xids[i].tolist()))
+                       for i in range(b))
+            print(f"int8 recall@{k} vs exact at 2M: {hits / (b * k):.4f}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -98,3 +98,36 @@ def test_indivisible_corpus_raises(rng):
     mesh = make_mesh([("data", 8)])
     with pytest.raises(ValueError):
         sharded_dense_topk(q, emb, jnp.int32(500), 4, mesh=mesh)
+
+
+class TestShardedQuant:
+    def test_q8_rescore_matches_exact(self, rng):
+        from tpurag.kernels.quant import quantize_rows
+        from tpurag.shard.search import sharded_dense_topk_q8
+
+        q, emb = make_data(rng, n=2048, d=256, b=4)
+        mesh = make_mesh([("data", 8)])
+        e8, es = quantize_rows(emb)
+        sv, si = sharded_dense_topk_q8(
+            q, shard_corpus(e8, mesh),
+            jax.device_put(es, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data"))),
+            shard_corpus(emb, mesh), jnp.int32(2048), 10, mesh=mesh)
+        xv, xi = dense_topk_xla(q, emb, jnp.int32(2048), 10)
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(xi))
+        np.testing.assert_allclose(np.asarray(sv), np.asarray(xv), atol=1e-4)
+
+    def test_dense_index_mesh_quant(self, rng):
+        from tpurag.index.dense import DenseIndex
+
+        mesh = make_mesh([("data", 8)])
+        emb = rng.standard_normal((900, 64)).astype(np.float32)
+        idx = DenseIndex(dim=64, dtype=jnp.float32, mesh=mesh, quant=True)
+        idx.add(emb)
+        ex = DenseIndex(dim=64, dtype=jnp.float32)
+        ex.add(emb)
+        qv = rng.standard_normal((3, 64)).astype(np.float32)
+        sq, iq = idx.search(qv, k=6)
+        se, ie = ex.search(qv, k=6)
+        np.testing.assert_array_equal(np.asarray(iq), np.asarray(ie))
+        np.testing.assert_allclose(np.asarray(sq), np.asarray(se), atol=1e-4)

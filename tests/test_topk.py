@@ -86,3 +86,20 @@ def test_select_topk_all_neg_inf():
     ids = np.tile(np.arange(8, dtype=np.int32), (2, 1))
     vals, out = select_topk(jnp.asarray(scores), jnp.asarray(ids), 3)
     assert np.all(np.asarray(vals) <= NEG_INF / 2)
+
+
+def test_merge_topk_cols_asc_matches_desc(rng):
+    from tpurag.kernels.topk import merge_topk_cols_asc
+
+    k, b = 8, 5
+    av, ai = _sorted_cols(rng, k, b, id_base=0)       # desc (K, B)
+    bv, bi = _sorted_cols(rng, k, b, id_base=100)
+    # Ascending running set = row-reversed descending set.
+    mv, mi = merge_topk_cols_asc(jnp.asarray(av[::-1].copy()),
+                                 jnp.asarray(ai[::-1].copy()),
+                                 jnp.asarray(bv), jnp.asarray(bi))
+    allv = np.concatenate([av, bv], axis=0).T
+    alli = np.concatenate([ai, bi], axis=0).T
+    ev, ei = np_topk(allv, alli, k)
+    np.testing.assert_allclose(np.asarray(mv)[::-1], ev.T, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mi)[::-1], ei.T)

@@ -55,11 +55,13 @@ def cmd_ingest(args):
         from tpurag.models.encoder import EncoderEmbedder
 
         embedder = EncoderEmbedder()  # random-init on-chip encoder
-    if embedder is not None and not pathlib.Path(args.kb, "kb.json").exists():
+    quant = bool(getattr(args, "quant", False))
+    if (embedder is not None or quant) \
+            and not pathlib.Path(args.kb, "kb.json").exists():
         from tpurag import KnowledgeBase
 
         kb = KnowledgeBase(pathlib.Path(args.kb).name or "kb",
-                           embedder=embedder)
+                           embedder=embedder, quant=quant)
     else:
         kb = _load_kb(args.kb, create=True)
     docs = []
@@ -215,6 +217,9 @@ def main(argv=None):
     p.add_argument("--train-tokenizer", type=int, default=0, metavar="V",
                    help="train a BPE tokenizer (vocab size V) on the "
                         "ingested docs for the encoder")
+    p.add_argument("--quant", action="store_true",
+                   help="int8-sidecar dense scans with exact rescoring "
+                        "(new KBs only; persisted in kb.json)")
     p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("search")

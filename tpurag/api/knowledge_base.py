@@ -35,18 +35,24 @@ class KnowledgeBase:
         config: Optional[EngineConfig] = None,
         dim: Optional[int] = None,
         mesh=None,
+        quant: bool = False,
     ):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — the dense
-        corpus shards across it (per-shard top-k + ICI all-gather merge)."""
+        corpus shards across it (per-shard top-k + ICI all-gather merge).
+        quant: int8-sidecar dense scans with exact bf16 rescoring
+        (index/dense.py); under a mesh the sidecar shards with the
+        rows and rescoring stays shard-local."""
         self.name = name
         self.config = config or EngineConfig()
         self.embedder = embedder or HashEmbedder(dim or 256)
         self.dim = dim or getattr(self.embedder, "dim", self.config.device.dim)
+        self.quant = bool(quant)
         self.dense = DenseIndex(
             self.dim,
             dtype=self.config.device.dtype,
             capacity=self.config.device.min_capacity,
             mesh=mesh,
+            quant=quant,
         )
         self.inverted = InvertedIndex(self.config.bm25)
         self.chunks: list[Chunk] = []
@@ -280,6 +286,7 @@ class KnowledgeBase:
         meta = {
             "name": self.name,
             "dim": self.dim,
+            "quant": self.quant,
             "embedder": emb_info,
             "ivf": ivf_kind,
             "ivf_built_at": self._ivf_built_at,
@@ -318,9 +325,10 @@ class KnowledgeBase:
                 embedder = EncoderEmbedder.load(
                     d / "encoder", seq_len=info.get("seq_len", 128),
                     tokenizer=tok)
+        quant = bool(meta.get("quant", False))
         kb = cls(meta["name"], embedder=embedder, config=config,
-                 dim=meta["dim"], mesh=mesh)
-        kb.dense = DenseIndex.load(d / "dense", mesh=mesh)
+                 dim=meta["dim"], mesh=mesh, quant=quant)
+        kb.dense = DenseIndex.load(d / "dense", mesh=mesh, quant=quant)
         kb.inverted = InvertedIndex.load(d / "inverted", kb.config.bm25)
         kb.chunks = [Chunk(**c) for c in meta["chunks"]]
         kb._doc_chunks = {k: [int(x) for x in v] for k, v in meta["doc_chunks"].items()}

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpurag.kernels.dense import dense_topk
+from tpurag.kernels.quant import dense_topk_q8, quantize_rows
 from tpurag.kernels.runtime import NEG_INF, round_up
 
 
@@ -51,14 +52,24 @@ def _zero_rows(buf, ids):
 
 class DenseIndex:
     def __init__(self, dim: int, dtype=jnp.bfloat16, capacity: int = 4096,
-                 mesh=None, data_axis: str = "data"):
+                 mesh=None, data_axis: str = "data", quant: bool = False):
         """mesh: optional jax.sharding.Mesh — rows shard over `data_axis`
         and searches run per-shard top-k + ICI all-gather merge
-        (tpurag.shard.search). Single-device layout otherwise."""
+        (tpurag.shard.search). Single-device layout otherwise.
+
+        quant: keep an int8 max-abs sidecar of the corpus and scan THAT
+        (2x MXU rate, half the HBM read), then rescore the 4k-overfetched
+        candidates against the full-precision rows — final scores stay
+        exact cosines (kernels/quant.py). Under a mesh the sidecar shards
+        with the rows and the rescore stays shard-local
+        (shard.search.sharded_dense_topk_q8)."""
         self.dim = dim
         self.dtype = jnp.dtype(dtype)
         self.mesh = mesh
         self.data_axis = data_axis
+        self.quant = bool(quant)
+        self._q8 = None
+        self._qscale = None
         self._row_multiple = 128
         if mesh is not None:
             self._row_multiple = 128 * mesh.shape[data_axis]
@@ -74,6 +85,15 @@ class DenseIndex:
 
         return shard_corpus(arr, self.mesh, self.data_axis)
 
+    def _place1(self, arr):
+        """Row-shard a 1-D per-row array (the quant scales)."""
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            arr, NamedSharding(self.mesh, P(self.data_axis)))
+
     # -- mutation ----------------------------------------------------------
 
     def _grow_to(self, need: int) -> None:
@@ -83,6 +103,14 @@ class DenseIndex:
         if new_cap != self.capacity:
             pad = jnp.zeros((new_cap - self.capacity, self.dim), self.dtype)
             self._emb = self._place(jnp.concatenate([self._emb, pad], axis=0))
+            if self.quant and self._q8 is not None:
+                grow = new_cap - self.capacity
+                self._q8 = self._place(jnp.concatenate(
+                    [self._q8, jnp.zeros((grow, self.dim), jnp.int8)],
+                    axis=0))
+                self._qscale = self._place1(jnp.concatenate(
+                    [self._qscale, jnp.zeros((grow,), jnp.float32)],
+                    axis=0))
             self.capacity = new_cap
 
     def add(self, vectors) -> np.ndarray:
@@ -93,6 +121,17 @@ class DenseIndex:
             raise ValueError(f"dim mismatch: {vecs.shape[1]} != {self.dim}")
         self._grow_to(self.n_active + m)
         self._emb = _write_rows(self._emb, vecs, self.n_active)
+        if self.quant:
+            if self._q8 is None:
+                self._q8 = self._place(
+                    jnp.zeros((self.capacity, self.dim), jnp.int8))
+                self._qscale = self._place1(
+                    jnp.zeros((self.capacity,), jnp.float32))
+            r8, rs = quantize_rows(vecs)
+            self._q8 = jax.lax.dynamic_update_slice(
+                self._q8, r8, (self.n_active, 0))
+            self._qscale = jax.lax.dynamic_update_slice(
+                self._qscale, rs, (self.n_active,))
         ids = np.arange(self.n_active, self.n_active + m, dtype=np.int32)
         self.n_active += m
         return ids
@@ -107,6 +146,10 @@ class DenseIndex:
         padded = np.full(m, live[0], np.int32)
         padded[: len(live)] = sorted(live)
         self._emb = _zero_rows(self._emb, jnp.asarray(padded))
+        if self.quant and self._q8 is not None:
+            ids_dev = jnp.asarray(padded)
+            self._q8 = _zero_rows(self._q8, ids_dev)
+            self._qscale = self._qscale.at[ids_dev].set(0.0)
 
     # -- query -------------------------------------------------------------
 
@@ -127,12 +170,25 @@ class DenseIndex:
         kk = min(k + extra, self.n_active)
         if self.mesh is not None:
             from tpurag.kernels.runtime import interpret_mode
-            from tpurag.shard.search import sharded_dense_topk
+            from tpurag.shard.search import (sharded_dense_topk,
+                                             sharded_dense_topk_q8)
 
-            scores, ids = sharded_dense_topk(
-                q.astype(self.dtype), self._emb, jnp.int32(self.n_active),
-                kk, mesh=self.mesh, data_axis=self.data_axis,
-                use_pallas=not interpret_mode())
+            if self.quant and self._q8 is not None:
+                scores, ids = sharded_dense_topk_q8(
+                    q, self._q8, self._qscale, self._emb,
+                    jnp.int32(self.n_active), kk, mesh=self.mesh,
+                    data_axis=self.data_axis,
+                    use_pallas=not interpret_mode())
+            else:
+                scores, ids = sharded_dense_topk(
+                    q.astype(self.dtype), self._emb,
+                    jnp.int32(self.n_active), kk, mesh=self.mesh,
+                    data_axis=self.data_axis,
+                    use_pallas=not interpret_mode())
+        elif self.quant and self._q8 is not None:
+            scores, ids = dense_topk_q8(
+                q, self._q8, self._qscale, jnp.int32(self.n_active), kk,
+                rescore_emb=self._emb)
         else:
             scores, ids = dense_topk(q, self._emb, jnp.int32(self.n_active), kk)
         if self._deleted:
@@ -197,8 +253,18 @@ class DenseIndex:
             np.save(path.parent / (path.name + f".emb.shard{s:03d}.npy"),
                     self._storage_view(rows))
 
+    def _rebuild_quant(self) -> None:
+        """(Re)quantize the whole live matrix into the int8 sidecar —
+        one pass at load time; zero rows (padding/tombstones) get scale 0
+        so they can never outrank a live row."""
+        q8, qs = quantize_rows(self._emb)
+        self._q8, self._qscale = self._place(q8), self._place1(qs)
+
     @classmethod
-    def load(cls, path, mesh=None, data_axis: str = "data") -> "DenseIndex":
+    def load(cls, path, mesh=None, data_axis: str = "data",
+             quant: bool = False) -> "DenseIndex":
+        """quant: rebuild the int8 scan sidecar after the rows load (the
+        sidecar is derived data — never persisted)."""
         path = pathlib.Path(path)
         meta_file = path.parent / (path.name + ".meta.json")
         if not meta_file.exists():  # legacy round-1 .npz (fp32)
@@ -206,17 +272,19 @@ class DenseIndex:
             meta = json.loads(str(data["meta"]))
             idx = cls(meta["dim"], dtype=meta["dtype"],
                       capacity=max(meta["n_active"], 128),
-                      mesh=mesh, data_axis=data_axis)
+                      mesh=mesh, data_axis=data_axis, quant=quant)
             if meta["n_active"]:
                 idx._grow_to(meta["n_active"])
                 idx._emb = _write_rows(idx._emb, jnp.asarray(data["emb"]), 0)
                 idx.n_active = meta["n_active"]
             idx._deleted = set(meta["deleted"])
+            if idx.quant:
+                idx._rebuild_quant()
             return idx
         meta = json.loads(meta_file.read_text())
         idx = cls(meta["dim"], dtype=meta["dtype"],
                   capacity=max(meta["n_active"], 128),
-                  mesh=mesh, data_axis=data_axis)
+                  mesh=mesh, data_axis=data_axis, quant=quant)
 
         def as_storage(arr):
             if idx.dtype == jnp.bfloat16:
@@ -242,4 +310,6 @@ class DenseIndex:
             pos += len(mm)
         idx.n_active = meta["n_active"]
         idx._deleted = set(meta["deleted"])
+        if idx.quant:
+            idx._rebuild_quant()
         return idx

@@ -26,7 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpurag.kernels.runtime import NEG_INF, interpret_mode, pad_axis, round_up
-from tpurag.kernels.topk import merge_topk_cols, select_topk
+from tpurag.kernels.topk import (emit_desc, fold_candidates_asc,
+                                 init_run_asc)
 
 _BIG_ID = 2**30
 
@@ -67,16 +68,18 @@ def _dense_topk_kernel(nvalid_ref, q_ref, e_ref, out_v_ref, out_i_ref,
     """Running top-k lives TRANSPOSED in scratch as (k_pad, tile_b):
     queries on the lane axis, so every merge compare-exchange runs at
     full vreg utilization. (The row-layout (tile_b, 2k) merge was the
-    kernel's dominant cost — ~12% lane use across 8 select passes.)"""
+    kernel's dominant cost — ~12% lane use across 8 select passes.)
+    It is kept ASCENDING so the bitonic merge needs no row reversal
+    (kernels/topk.py:merge_topk_cols_asc)."""
     j = pl.program_id(1)
     nn = pl.num_programs(1)
     kp = run_v.shape[0]  # k padded to a power of two
 
     @pl.when(j == 0)
     def _init():
-        run_v[:] = jnp.full_like(run_v, NEG_INF)
-        # Unique huge sentinel ids so ties in the merge never collide.
-        run_i[:] = _BIG_ID + jax.lax.broadcasted_iota(jnp.int32, run_i.shape, 0)
+        rv, ri = init_run_asc(run_v[:], run_i[:], _BIG_ID)
+        run_v[:] = rv
+        run_i[:] = ri
 
     n_valid = nvalid_ref[0]
 
@@ -110,31 +113,23 @@ def _dense_topk_kernel(nvalid_ref, q_ref, e_ref, out_v_ref, out_i_ref,
         )
 
         # Skip the k-pass extraction when this chunk cannot improve the
-        # running top-k (common once the running set is warm). Row k-1
-        # holds each query's current k-th best (sorted desc).
+        # running top-k (common once the running set is warm). Ascending
+        # layout: row kp-k holds each query's current k-th best.
         chunk_max = jnp.max(s)
-        run_min = jnp.min(run_v[k - 1, :])
+        run_min = jnp.min(run_v[kp - k, :])
 
         @pl.when(((j == 0) & (c == 0)) | (chunk_max > run_min))
         def _merge(s=s, col=col):
-            tv, ti = select_topk(s, col, k)          # (tb, k) sorted desc
-            tvt = tv.T                               # (k, tb)
-            tit = ti.T
-            if kp > k:
-                pad_v = jnp.full((kp - k,) + tvt.shape[1:], NEG_INF,
-                                 tvt.dtype)
-                pad_i = _BIG_ID + jax.lax.broadcasted_iota(
-                    jnp.int32, (kp - k,) + tit.shape[1:], 0)
-                tvt = jnp.concatenate([tvt, pad_v], axis=0)
-                tit = jnp.concatenate([tit, pad_i], axis=0)
-            rv, ri = merge_topk_cols(run_v[:], run_i[:], tvt, tit)
+            rv, ri = fold_candidates_asc(run_v[:], run_i[:], s, col, k,
+                                         _BIG_ID)
             run_v[:] = rv
             run_i[:] = ri
 
     @pl.when(j == nn - 1)
     def _emit():
-        out_v_ref[:] = run_v[:k, :].T
-        out_i_ref[:] = run_i[:k, :].T
+        ov, oi = emit_desc(run_v[:], run_i[:], k)
+        out_v_ref[:] = ov
+        out_i_ref[:] = oi
 
 
 @functools.partial(
@@ -167,7 +162,13 @@ def dense_topk_pallas(queries, emb, n_valid, k: int,
     tile_b = min(tile_b, round_up(b, 8))
     tile_n = min(tile_n, round_up(n, 128))
     if chunk_n is None:
-        chunk_n = tile_n
+        # The k-pass select allocates ~k live (tile_b, chunk_n) fp32
+        # temporaries; at full tile width and k >= 32 that blows the
+        # Mosaic compiler (reproduced on v5e: k=32 x (256, 2048) fails
+        # to compile, k=32 x (256, 512) compiles). Shrink the chunk as
+        # k grows so pressure stays ~constant.
+        kp = _next_pow2(k)
+        chunk_n = tile_n if kp <= 8 else max(256, tile_n * 8 // kp)
     chunk_n = min(chunk_n, tile_n)
     if tile_n % chunk_n:
         chunk_n = tile_n  # chunks must tile tile_n exactly

@@ -60,6 +60,84 @@ def _lex_gt(va, ia, vb, ib):
     return (va > vb) | ((va == vb) & (ia < ib))
 
 
+def init_run_asc(run_v, run_i, big_id: int):
+    """Initial ascending running-set contents: all NEG_INF, sentinel ids
+    DESCENDING down the rows (the ascending comparator orders equal
+    values by id descending, so this is a validly-sorted empty set)."""
+    kp = run_i.shape[0]
+    vals = jnp.full_like(run_v, NEG_INF)
+    ids = big_id + (kp - 1) - jax.lax.broadcasted_iota(
+        jnp.int32, run_i.shape, 0)
+    return vals, ids
+
+
+def fold_candidates_asc(run_v, run_i, s, col, k: int, big_id: int):
+    """Fold a (tb, chunk) score block into the ascending (kp, tb) running
+    top-k: row-layout select_topk (descending) -> transpose -> pad to kp
+    (still descending) -> elementwise-lexmax + bitonic merge (no reverse,
+    see merge_topk_cols_asc)."""
+    kp = run_v.shape[0]
+    tv, ti = select_topk(s, col, k)              # (tb, k) desc
+    tvt = tv.T                                   # (k, tb)
+    tit = ti.T
+    if kp > k:
+        pad_v = jnp.full((kp - k,) + tvt.shape[1:], NEG_INF, tvt.dtype)
+        pad_i = big_id + jax.lax.broadcasted_iota(
+            jnp.int32, (kp - k,) + tit.shape[1:], 0)
+        tvt = jnp.concatenate([tvt, pad_v], axis=0)
+        tit = jnp.concatenate([tit, pad_i], axis=0)
+    return merge_topk_cols_asc(run_v, run_i, tvt, tit)
+
+
+def emit_desc(run_v, run_i, k: int):
+    """Top-k rows of the ascending running set as (tb, k) descending."""
+    kp = run_v.shape[0]
+    rows_v = [run_v[j:j + 1] for j in range(kp - 1, kp - 1 - k, -1)]
+    rows_i = [run_i[j:j + 1] for j in range(kp - 1, kp - 1 - k, -1)]
+    return (jnp.concatenate(rows_v, axis=0).T,
+            jnp.concatenate(rows_i, axis=0).T)
+
+
+def merge_topk_cols_asc(av, ai, bv, bi):
+    """Merge column-layout candidates, running set kept ASCENDING.
+
+    av/ai: (K, B) running top-K sorted ASCENDING by (value, desc id) along
+    axis 0 (worst candidate in row 0). bv/bi: (K, B) new candidates sorted
+    DESCENDING (select_topk order). K must be a power of two. Returns the
+    merged top-K, ascending again.
+
+    Because one input is ascending and the other descending, they are
+    already anti-sorted: the top-K union is the elementwise
+    lexmax(a_i, b_i) — NO row reversal needed (the reversal in
+    merge_topk_cols lowered to K single-row concats, which scaled badly
+    in Mosaic as K grew) — followed by a log2(K)-stage bitonic merge
+    sorting ascending.
+    """
+    kp = av.shape[0]
+    assert kp & (kp - 1) == 0, f"K={kp} must be a power of two"
+    keep = _lex_gt(av, ai, bv, bi)
+    mv = jnp.where(keep, av, bv)
+    mi = jnp.where(keep, ai, bi)
+    stride = kp // 2
+    rest = mv.shape[1:]
+    while stride >= 1:
+        shape = (kp // (2 * stride), 2, stride) + rest
+        v2 = mv.reshape(shape)
+        i2 = mi.reshape(shape)
+        lo_v, hi_v = v2[:, 0], v2[:, 1]
+        lo_i, hi_i = i2[:, 0], i2[:, 1]
+        # Ascending: the pair's LOWER slot keeps the lex-smaller element.
+        swap = _lex_gt(lo_v, lo_i, hi_v, hi_i)
+        mv = jnp.stack([jnp.where(swap, hi_v, lo_v),
+                        jnp.where(swap, lo_v, hi_v)], axis=1).reshape(
+            (kp,) + rest)
+        mi = jnp.stack([jnp.where(swap, hi_i, lo_i),
+                        jnp.where(swap, lo_i, hi_i)], axis=1).reshape(
+            (kp,) + rest)
+        stride //= 2
+    return mv, mi
+
+
 def merge_topk_cols(av, ai, bv, bi):
     """Merge two column-layout (K, B) candidate sets into the top-K.
 

@@ -22,6 +22,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
+from tpurag.kernels.quant import (dense_topk_pallas_q8, dense_topk_xla_q8,
+                                  quantize_rows, rescore_topk)
 from tpurag.kernels.runtime import interpret_mode
 from tpurag.kernels.topk import select_topk
 
@@ -47,6 +49,74 @@ def _local_search(q, emb_local, n_valid, k, shard_rows, data_axis,
     tb = jnp.where(all_ids >= 0, all_ids, 2**30 + pos)
     vals_k, tb_k = select_topk(all_vals, tb, k)
     return vals_k, jnp.where(tb_k >= 2**30, -1, tb_k)
+
+
+def _local_search_q8(q, q8, qs, e8_local, es_local, emb_local, n_valid, k,
+                     overfetch, shard_rows, data_axis, use_pallas):
+    """Quantized per-device search: int8 scan at m = overfetch*k, then an
+    exact rescore of the m candidates against the LOCAL full-precision
+    rows — the gather never crosses shards, so the only inter-device
+    traffic stays the O(B*k*shards) candidate all-gather. Per-shard
+    results are exact local top-k (given the int8 pass captures them in
+    its top-m), so the merged global top-k matches the exact scan."""
+    shard_idx = jax.lax.axis_index(data_axis)
+    offset = shard_idx * shard_rows
+    n_local = jnp.clip(n_valid - offset, 0, shard_rows)
+    m = min(overfetch * k, shard_rows)
+    if use_pallas:
+        _, cand = dense_topk_pallas_q8(q8, qs, e8_local, es_local, n_local, m)
+    else:
+        _, cand = dense_topk_xla_q8(q8, qs, e8_local, es_local, n_local, m)
+    vals, ids = rescore_topk(q, emb_local, cand, k)
+    gids = jnp.where(ids >= 0, ids + offset, -1)
+    all_vals = jax.lax.all_gather(vals, data_axis, axis=1, tiled=True)
+    all_ids = jax.lax.all_gather(gids, data_axis, axis=1, tiled=True)
+    pos = jax.lax.broadcasted_iota(jnp.int32, all_ids.shape, 1)
+    tb = jnp.where(all_ids >= 0, all_ids, 2**30 + pos)
+    vals_k, tb_k = select_topk(all_vals, tb, k)
+    return vals_k, jnp.where(tb_k >= 2**30, -1, tb_k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "overfetch", "mesh", "data_axis", "batch_axis",
+                     "use_pallas"),
+)
+def sharded_dense_topk_q8(
+    queries: jax.Array,   # (B, D) float, L2-normalized
+    emb_i8: jax.Array,    # (N, D) int8, row-sharded over 'data'
+    e_scale: jax.Array,   # (N,) fp32, sharded like emb_i8
+    emb: jax.Array,       # (N, D) storage dtype, sharded — rescore source
+    n_valid: jax.Array,
+    k: int,
+    mesh: Mesh,
+    overfetch: int = 2,
+    data_axis: str = "data",
+    batch_axis: Optional[str] = None,
+    use_pallas: bool = False,
+):
+    """Corpus-sharded int8 scan + per-shard exact rescore (see
+    _local_search_q8). Same contract as sharded_dense_topk."""
+    n = emb_i8.shape[0]
+    n_shards = mesh.shape[data_axis]
+    if n % n_shards:
+        raise ValueError(f"corpus rows {n} not divisible by {n_shards} shards")
+    shard_rows = n // n_shards
+    q8, qs = quantize_rows(queries)
+    qspec = P(batch_axis, None)
+    fn = shard_map(
+        functools.partial(
+            _local_search_q8, k=k, overfetch=overfetch,
+            shard_rows=shard_rows, data_axis=data_axis,
+            use_pallas=use_pallas),
+        mesh=mesh,
+        in_specs=(qspec, qspec, P(batch_axis), P(data_axis, None),
+                  P(data_axis), P(data_axis, None), P()),
+        out_specs=(qspec, qspec),
+        check_vma=False,
+    )
+    return fn(queries.astype(jnp.float32), q8, qs, emb_i8, e_scale,
+              emb, jnp.asarray(n_valid, jnp.int32))
 
 
 @functools.partial(
