@@ -210,32 +210,56 @@ def dense_topk_pallas_q8(q_i8, q_scale, emb_i8, e_scale, n_valid, k: int,
 
 def _gather_scores_kernel(ids_ref, q_ref, e_ref, out_ref, rows, sems, *,
                           tile_b: int, m: int):
-    """Per-row manual DMAs: XLA's row gather on TPU runs ~25x off the
-    HBM roofline (measured 1.5ms for 50MB at 100k x 1024, b=768, m=32);
-    here each candidate row is one async HBM->VMEM copy, all tile_b*m
-    copies in flight at once, then a VPU broadcast-multiply-reduce per
-    query. e_ref stays unblocked in HBM (pl.ANY)."""
+    """Aligned-block manual DMAs: XLA's row gather on TPU runs ~25x off
+    the HBM roofline (measured 1.5ms for 50MB at 100k x 1024, b=768,
+    m=32). Mosaic rejects single-row slices of the (8,128)-tiled HBM
+    ref, so each candidate fetches its ALIGNED 8-row block (8x the
+    bytes — still tiny next to a scan), all tile_b*m copies in flight
+    at once. The wanted row is then isolated by an iota mask and the
+    per-block sums compacted to (1, m) with one tiny constant-matrix
+    matmul (no sublane reshapes). e_ref stays unblocked in HBM."""
     g = pl.program_id(0)
+
+    def block_dma(i, j):
+        row = jnp.maximum(ids_ref[g * tile_b + i, j], 0)
+        base = (row // 8) * 8
+        return pltpu.make_async_copy(
+            e_ref.at[pl.ds(base, 8), :],
+            rows.at[pl.ds((i * m + j) * 8, 8), :],
+            sems.at[i, j],
+        )
+
     for i in range(tile_b):
         for j in range(m):
-            row = jnp.maximum(ids_ref[g * tile_b + i, j], 0)
-            pltpu.make_async_copy(
-                e_ref.at[pl.ds(row, 1), :],
-                rows.at[pl.ds(i * m + j, 1), :],
-                sems.at[i, j],
-            ).start()
+            block_dma(i, j).start()
     for i in range(tile_b):
         for j in range(m):
-            row = jnp.maximum(ids_ref[g * tile_b + i, j], 0)
-            pltpu.make_async_copy(
-                e_ref.at[pl.ds(row, 1), :],
-                rows.at[pl.ds(i * m + j, 1), :],
-                sems.at[i, j],
-            ).wait()
+            block_dma(i, j).wait()
+
+    m8 = m * 8
+    # sub[c] = c % 8, grp[c] = c // 8 over the (m8, 1) column.
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (m8, 1), 0)
+    sub = jax.lax.rem(c_iota, 8)
+    grp = jax.lax.div(c_iota, 8)
+    # Compaction matrix: S[c, j] = 1 iff candidate j owns block row c.
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (m8, m), 1)
+    compact = (grp == j_iota).astype(jnp.float32)          # (m8, m)
+
     for i in range(tile_b):
-        blk = rows[i * m:(i + 1) * m, :].astype(jnp.float32)   # (m, D)
-        qi = q_ref[i:i + 1, :]                                 # (1, D)
-        out_ref[i:i + 1, :] = jnp.sum(blk * qi, axis=1)[None, :]
+        blk = rows[i * m8:(i + 1) * m8, :].astype(jnp.float32)  # (m8, D)
+        qi = q_ref[i:i + 1, :]                                  # (1, D)
+        part = jnp.sum(blk * qi, axis=1, keepdims=True)         # (m8, 1)
+        # Keep only each candidate's own sublane within its block.
+        keep = jnp.zeros((m8, 1), jnp.float32)
+        for j in range(m):
+            rm = jax.lax.rem(jnp.maximum(ids_ref[g * tile_b + i, j], 0), 8)
+            keep = keep + jnp.where((grp == j) & (sub == rm), 1.0, 0.0)
+        picked = part * keep
+        # (1, m) = picked^T @ compact, via dot_general contracting dim 0.
+        s_row = jax.lax.dot_general(
+            picked, compact, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[i:i + 1, :] = s_row
 
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
@@ -265,7 +289,7 @@ def gather_scores_pallas(queries, emb, cand_ids, tile_b: int = 8,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((tile_b * m, emb.shape[1]), emb.dtype),
+                pltpu.VMEM((tile_b * m * 8, emb.shape[1]), emb.dtype),
                 pltpu.SemaphoreType.DMA((tile_b, m)),
             ],
         ),
