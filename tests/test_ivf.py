@@ -115,3 +115,44 @@ def test_small_corpus():
     assert ivf.n_lists <= 40 // 8
     _, si = ivf.search(data[3], k=1, nprobe=ivf.n_lists)
     assert int(np.asarray(si)[0, 0]) == 3
+
+
+def test_pallas_probe_scan_matches_xla(corpus, ivf):
+    from tpurag.index.ivf import _ivf_search
+    from tpurag.kernels.ivf_scan import ivf_scan_pallas
+    from tpurag.kernels.runtime import round_up
+
+    rng = np.random.default_rng(3)
+    q = np.asarray(l2_normalize(
+        rng.standard_normal((4, 48)).astype(np.float32)))
+    c_pad = int(round_up(ivf.c_max, 8))
+    pv, pi = ivf_scan_pallas(
+        jnp.asarray(q), ivf.centroids, ivf.emb_ivf, ivf.cluster_starts,
+        ivf.cluster_counts, ivf.row_ids, k=10, nprobe=8, c_pad=c_pad,
+        interpret=True)
+    xv, xi = _ivf_search(jnp.asarray(q), ivf.centroids, ivf.emb_ivf,
+                         ivf.row_table, ivf.row_ids, k=10, nprobe=8,
+                         c_max=ivf.c_max)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), atol=1e-5)
+
+
+def test_pallas_probe_scan_empty_and_small_clusters():
+    from tpurag.kernels.ivf_scan import ivf_scan_pallas
+    from tpurag.kernels.runtime import round_up
+
+    rng = np.random.default_rng(5)
+    data = rng.standard_normal((40, 32)).astype(np.float32)
+    ivf = IVFIndex(IVFConfig(n_lists=16, n_probe=16, kmeans_iters=3)).build(
+        data, dtype=jnp.float32)
+    q = np.asarray(l2_normalize(
+        rng.standard_normal((2, 32)).astype(np.float32)))
+    c_pad = int(round_up(ivf.c_max, 8))
+    pv, pi = ivf_scan_pallas(
+        jnp.asarray(q), ivf.centroids, ivf.emb_ivf, ivf.cluster_starts,
+        ivf.cluster_counts, ivf.row_ids, k=10, nprobe=ivf.n_lists,
+        c_pad=c_pad, interpret=True)
+    # Exhaustive probe of a 40-row corpus -> top-10 == exact top-10.
+    _, ei = exact(data, jnp.asarray(q), 10)
+    np.testing.assert_array_equal(np.sort(np.asarray(pi)),
+                                  np.sort(np.asarray(ei)))

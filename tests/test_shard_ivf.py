@@ -166,3 +166,26 @@ def test_sharded_ivf_recall_gate_1m(rng, mesh):
     exact = exact_oracle(q, data_b16, k)
     nprobe = idx.tune_nprobe(q, exact, k=k, target_recall=0.95)
     assert nprobe < idx.n_lists
+
+
+def test_sharded_ivf_pallas_path_matches_xla(rng, mesh):
+    """The per-shard Pallas probe-scan (aligned cluster DMAs) must agree
+    with the XLA gather scan on the same built layout."""
+    from tpurag.shard.ivf import _sharded_ivf_search
+
+    n, d, k = 4096, 32, 8
+    data = clustered_corpus(rng, n, d, n_centers=16)
+    cfg = IVFConfig(n_lists=32, kmeans_iters=4, sample_size=4096)
+    idx = ShardedIVFIndex(cfg, mesh=mesh).build(data, dtype=jnp.float32)
+    from tpurag.index.dense import l2_normalize
+    q = jnp.asarray(l2_normalize(clustered_corpus(rng, 6, d, n_centers=16)))
+
+    common = dict(k=k, nprobe_l=4, c_max=idx.c_max, mesh=mesh)
+    pv, pi = _sharded_ivf_search(
+        q, idx.cents_g, idx.emb_g, idx.table_g, idx.ids_g, idx.starts_g,
+        idx.counts_g, use_pallas=True, **common)
+    xv, xi = _sharded_ivf_search(
+        q, idx.cents_g, idx.emb_g, idx.table_g, idx.ids_g, idx.starts_g,
+        idx.counts_g, use_pallas=False, **common)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), atol=1e-5)

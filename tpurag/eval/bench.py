@@ -404,8 +404,14 @@ def config7_ivf_latency(seed: int = 0) -> dict:
     # arguments — closing over a 4GB device array captures it as a
     # lowering constant and sinks the remote compile.
     from tpurag.index.ivf import ivf_scan
+    from tpurag.kernels.ivf_scan import ivf_scan_pallas
+    from tpurag.kernels.runtime import round_up as _ru
 
     iters = 10
+    c_pad = int(_ru(idx.c_max, 8))
+    # Pallas probe-scan on TPU (manual cluster DMAs; kernels/ivf_scan.py)
+    # when the aligned layout is present; XLA gather scan otherwise.
+    use_pallas_ivf = on_tpu and idx.cluster_starts is not None
 
     @jax.jit
     def exact_chain(x0, qd, embd):
@@ -419,11 +425,15 @@ def config7_ivf_latency(seed: int = 0) -> dict:
         return jax.lax.fori_loop(0, iters, body, x0)
 
     @jax.jit
-    def ivf_chain(x0, qd, cents, embi, table, rowids):
+    def ivf_chain(x0, qd, cents, embi, table, rowids, cst, cct):
         def body(i, acc):
             qq = qd * (1.0 + i.astype(jnp.float32) * 1e-7)
-            s, _ = ivf_scan(qq, cents, embi, table, rowids,
-                            k=k, nprobe=nprobe, c_max=idx.c_max)
+            if use_pallas_ivf:
+                s, _ = ivf_scan_pallas(qq, cents, embi, cst, cct, rowids,
+                                       k=k, nprobe=nprobe, c_pad=c_pad)
+            else:
+                s, _ = ivf_scan(qq, cents, embi, table, rowids,
+                                k=k, nprobe=nprobe, c_max=idx.c_max)
             return acc + s.sum()
         return jax.lax.fori_loop(0, iters, body, x0)
 
@@ -438,7 +448,8 @@ def config7_ivf_latency(seed: int = 0) -> dict:
 
     t_exact = timed(exact_chain, q_dev, emb_dev)
     t_ivf = timed(ivf_chain, q_dev, idx.centroids, idx.emb_ivf,
-                  idx.row_table, idx.row_ids)
+                  idx.row_table, idx.row_ids, idx.cluster_starts,
+                  idx.cluster_counts)
     return {"metric": "ivf_speedup_smallbatch",
             "value": t_exact / max(t_ivf, 1e-9), "unit": "x vs exact scan",
             "n": n, "batch": b, "nprobe": nprobe, "n_lists": idx.n_lists,

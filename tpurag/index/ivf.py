@@ -143,6 +143,8 @@ class IVFIndex:
         self.emb_ivf = None          # (Npad, D) storage dtype
         self.row_table = None        # (C, Cmax) int32 ivf-row ids, -1 pad
         self.row_ids = None          # (Npad,) int32 original ids
+        self.cluster_starts = None   # (C,) int32 8-aligned packed starts
+        self.cluster_counts = None   # (C,) int32 live rows per cluster
         self.n = 0
         self.c_max = 0
 
@@ -155,25 +157,57 @@ class IVFIndex:
         order = np.argsort(assign, kind="stable")
         counts = np.bincount(assign, minlength=n_lists)
         self.c_max = int(round_up(max(int(counts.max()), 1), 8))
-        starts = np.zeros(n_lists + 1, np.int64)
-        np.cumsum(counts, out=starts[1:])
+        # Packed cluster-major layout with every cluster start 8-ALIGNED
+        # (sublane tiling) so the Pallas probe kernel can DMA each
+        # cluster's block directly; one extra c_max tail row-block lets
+        # the fixed-size DMA overrun the last cluster safely.
+        pad_counts = (counts + 7) // 8 * 8
+        starts_pad = np.zeros(n_lists + 1, np.int64)
+        np.cumsum(pad_counts, out=starts_pad[1:])
+        total = int(starts_pad[-1]) + self.c_max + 128
+        starts_nopad = np.zeros(n_lists + 1, np.int64)
+        np.cumsum(counts, out=starts_nopad[1:])
+        cl_sorted = assign[order]
+        dest = (starts_pad[cl_sorted]
+                + (np.arange(n) - starts_nopad[cl_sorted])).astype(np.int64)
+        emb = np.zeros((total, d), np.float32)
+        emb[dest] = data[order]
+        row_ids = np.full(total, -1, np.int32)
+        row_ids[dest] = order.astype(np.int32)
         row_table = np.full((n_lists, self.c_max), -1, np.int32)
         for c in range(n_lists):
-            rows = np.arange(starts[c], starts[c + 1], dtype=np.int32)
-            row_table[c, : len(rows)] = rows
+            m = int(counts[c])
+            row_table[c, :m] = np.arange(starts_pad[c], starts_pad[c] + m,
+                                         dtype=np.int32)
         self.centroids = jnp.asarray(cents)
-        self.emb_ivf = jnp.asarray(data[order], dtype)
-        self.row_ids = jnp.asarray(order.astype(np.int32))
+        self.emb_ivf = jnp.asarray(emb, dtype)
+        self.row_ids = jnp.asarray(row_ids)
         self.row_table = jnp.asarray(row_table)
+        self.cluster_starts = jnp.asarray(starts_pad[:-1].astype(np.int32))
+        self.cluster_counts = jnp.asarray(counts.astype(np.int32))
         self.n = n
         self.n_lists = n_lists
         return self
 
     def search(self, queries, k: int, nprobe: Optional[int] = None):
+        from tpurag.kernels.runtime import interpret_mode
+
         nprobe = min(nprobe or self.config.n_probe, self.n_lists)
         q = l2_normalize(queries)
         if q.ndim == 1:
             q = q[None]
+        c_pad = int(round_up(self.c_max, 8))
+        # Pallas probe-scan when the double buffer fits VMEM comfortably
+        # and the layout carries aligned starts (post-round-3 builds).
+        if (not interpret_mode() and self.cluster_starts is not None
+                and 2 * c_pad * self.emb_ivf.shape[1]
+                * self.emb_ivf.dtype.itemsize <= 8 * 2**20):
+            from tpurag.kernels.ivf_scan import ivf_scan_pallas
+
+            return ivf_scan_pallas(
+                q, self.centroids, self.emb_ivf, self.cluster_starts,
+                self.cluster_counts, self.row_ids, k=k, nprobe=nprobe,
+                c_pad=c_pad)
         return _ivf_search(q, self.centroids, self.emb_ivf, self.row_table,
                            self.row_ids, k=k, nprobe=nprobe,
                            c_max=self.c_max)
@@ -205,6 +239,8 @@ class IVFIndex:
             emb=np.asarray(self.emb_ivf, np.float32),
             row_table=np.asarray(self.row_table),
             row_ids=np.asarray(self.row_ids),
+            cluster_starts=np.asarray(self.cluster_starts),
+            cluster_counts=np.asarray(self.cluster_counts),
             meta=json.dumps({"n": self.n, "c_max": self.c_max,
                              "n_lists": self.n_lists}),
         )
@@ -219,6 +255,9 @@ class IVFIndex:
         idx.emb_ivf = jnp.asarray(data["emb"], dtype)
         idx.row_table = jnp.asarray(data["row_table"])
         idx.row_ids = jnp.asarray(data["row_ids"])
+        if "cluster_starts" in data:  # pre-aligned-layout saves lack these
+            idx.cluster_starts = jnp.asarray(data["cluster_starts"])
+            idx.cluster_counts = jnp.asarray(data["cluster_counts"])
         idx.n = meta["n"]
         idx.c_max = meta["c_max"]
         idx.n_lists = meta["n_lists"]

@@ -1,0 +1,200 @@
+"""Pallas IVF probe-scan: per-query cluster-block DMAs + running top-k.
+
+The XLA ivf_scan (index/ivf.py) expresses each probe as a (B, Cmax, D)
+row gather + einsum; TPU lowers that gather far off the HBM roofline and
+re-materializes candidates through HBM between probes. Here the IVF
+build lays clusters out cluster-major with 8-ALIGNED starts, so each
+(query-tile, probe, sub-block) grid step manually DMAs eight queries'
+contiguous cluster sub-blocks straight into VMEM, scores them on the
+MXU, and folds winners into the same ascending column-layout running
+top-k the dense kernel uses (kernels/topk.py) — only the final (8, k)
+per-tile winners ever leave VMEM.
+
+Contract matches index/ivf.py:ivf_scan given the same probe selection:
+returns (B, k) scores + ORIGINAL row ids (-1 for empty slots).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurag.kernels.runtime import NEG_INF, pad_axis, round_up
+from tpurag.kernels.topk import (emit_desc, fold_candidates_asc,
+                                 init_run_asc, select_topk)
+
+_BIG = 2**30
+_QT = 8          # queries per grid step (sublane tile)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << (x - 1).bit_length() if x > 1 else 1
+
+
+def _ivf_probe_kernel(starts_ref, counts_ref, q_ref, e_ref, out_v_ref,
+                      out_i_ref, blk, sems, run_v, run_i, *, sub: int,
+                      n_sub: int, n_probe: int, k: int):
+    i = pl.program_id(0)   # query tile
+    p = pl.program_id(1)   # probe
+    s = pl.program_id(2)   # sub-block within the probed cluster
+    kp = run_v.shape[0]
+
+    @pl.when((p == 0) & (s == 0))
+    def _init():
+        rv, ri = init_run_asc(run_v[:], run_i[:], _BIG)
+        run_v[:] = rv
+        run_i[:] = ri
+
+    # Cluster sizes are skewed but the grid is sized for the LARGEST
+    # cluster (c_pad): skip whole sub-steps once every query in the tile
+    # is past its cluster's end (scalar test — no DMA, no score). The
+    # first step always runs so the running set is seeded.
+    left_max = counts_ref[i * _QT + 0, p] - s * sub
+    for j in range(1, _QT):
+        left_max = jnp.maximum(left_max,
+                               counts_ref[i * _QT + j, p] - s * sub)
+
+    @pl.when(((p == 0) & (s == 0)) | (left_max > 0))
+    def _work():
+        def dma(j):
+            # Starts are 8-aligned by construction; the //8*8 identity
+            # lets Mosaic PROVE the tiled-slice alignment.
+            start = (starts_ref[i * _QT + j, p] // 8) * 8 + s * sub
+            return pltpu.make_async_copy(
+                e_ref.at[pl.ds(start, sub), :],
+                blk.at[pl.ds(j * sub, sub), :],
+                sems.at[j],
+            )
+
+        for j in range(_QT):
+            dma(j).start()
+        for j in range(_QT):
+            dma(j).wait()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1)
+        srows, sids = [], []
+        for j in range(_QT):
+            qj = q_ref[j:j + 1, :]                   # (1, D) static slice
+            bj = blk[j * sub:(j + 1) * sub, :]
+            sc = jax.lax.dot_general(
+                qj.astype(bj.dtype), bj,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                        # (1, sub)
+            start = starts_ref[i * _QT + j, p]
+            left = counts_ref[i * _QT + j, p] - s * sub
+            valid = lane < left
+            sc = jnp.where(valid, sc, NEG_INF)
+            ids = jnp.where(valid, start + s * sub + lane, _BIG + lane)
+            srows.append(sc)
+            sids.append(ids)
+        s_all = jnp.concatenate(srows, axis=0)       # (_QT, sub)
+        i_all = jnp.concatenate(sids, axis=0)
+
+        chunk_max = jnp.max(s_all)
+        run_min = jnp.min(run_v[kp - k, :])
+
+        @pl.when(((p == 0) & (s == 0)) | (chunk_max > run_min))
+        def _merge():
+            rv, ri = fold_candidates_asc(run_v[:], run_i[:], s_all, i_all,
+                                         k, _BIG)
+            run_v[:] = rv
+            run_i[:] = ri
+
+    @pl.when((p == n_probe - 1) & (s == n_sub - 1))
+    def _emit():
+        ov, oi = emit_desc(run_v[:], run_i[:], k)
+        out_v_ref[:] = ov
+        out_i_ref[:] = oi
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_probe", "c_pad", "sub", "interpret"))
+def ivf_probe_topk_pallas(q, emb_ivf, starts_sel, counts_sel, k: int,
+                          n_probe: int, c_pad: int, sub: int | None = None,
+                          interpret: bool = False):
+    """Running top-k over each query's probed cluster blocks.
+
+    q (B, D) fp32; emb_ivf (Npad, D) storage dtype with Npad >= every
+    start + c_pad (the build over-allocates one c_pad tail); starts_sel /
+    counts_sel (B, n_probe) int32, starts 8-aligned. Returns (B, k)
+    fp32 scores and int32 IVF-row ids (sentinel >= 2^30 empties).
+    """
+    b, d = q.shape
+    if sub is None:
+        # ~2MB of cluster sub-blocks per step at d=1024 bf16.
+        sub = min(c_pad, 128)
+    sub = max(8, min(sub, c_pad))
+    c_pad = round_up(c_pad, sub)
+    n_sub = c_pad // sub
+    bp = round_up(b, _QT)
+    dp = round_up(d, 128)
+    qp = pad_axis(pad_axis(q.astype(jnp.float32), 0, bp), 1, dp)
+    ep = pad_axis(emb_ivf, 1, dp)
+    starts_p = pad_axis(starts_sel.astype(jnp.int32), 0, bp)
+    counts_p = pad_axis(counts_sel.astype(jnp.int32), 0, bp)
+
+    kernel = functools.partial(
+        _ivf_probe_kernel, sub=sub, n_sub=n_sub, n_probe=n_probe, k=k)
+    kp = _next_pow2(k)
+    vals, ids = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bp // _QT, n_probe, n_sub),
+            in_specs=[
+                pl.BlockSpec((_QT, dp), lambda i, p, s, st, ct: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((_QT, k), lambda i, p, s, st, ct: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_QT, k), lambda i, p, s, st, ct: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((_QT * sub, dp), emb_ivf.dtype),
+                pltpu.SemaphoreType.DMA((_QT,)),
+                pltpu.VMEM((kp, _QT), jnp.float32),
+                pltpu.VMEM((kp, _QT), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, k), jnp.float32),
+            jax.ShapeDtypeStruct((bp, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * n_probe * c_pad * dp,
+            bytes_accessed=bp * n_probe * c_pad * dp
+            * emb_ivf.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(starts_p, counts_p, qp, ep)
+    return vals[:b], ids[:b]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "c_pad", "interpret"))
+def ivf_scan_pallas(q, centroids, emb_ivf, cluster_starts, cluster_counts,
+                    row_ids, k: int, nprobe: int, c_pad: int,
+                    interpret: bool = False):
+    """Full IVF search with the Pallas probe kernel. Same contract as
+    index/ivf.py:ivf_scan (scores + original row ids, -1 empties)."""
+    cscores = jnp.dot(q.astype(jnp.float32), centroids.T,
+                      preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(cscores, nprobe)          # (B, nprobe)
+    starts_sel = cluster_starts[probe].astype(jnp.int32)
+    counts_sel = cluster_counts[probe].astype(jnp.int32)
+    vals, ids = ivf_probe_topk_pallas(
+        q.astype(jnp.float32), emb_ivf, starts_sel, counts_sel,
+        k=k, n_probe=nprobe, c_pad=c_pad, interpret=interpret)
+    empty = vals <= NEG_INF / 2
+    orig = row_ids[jnp.clip(ids, 0, row_ids.shape[0] - 1)]
+    return (jnp.where(empty, NEG_INF, vals),
+            jnp.where(empty | (ids >= _BIG), -1, orig))

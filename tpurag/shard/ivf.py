@@ -47,19 +47,33 @@ from tpurag.kernels.topk import select_topk
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe_l", "c_max", "mesh", "data_axis",
-                     "batch_axis"),
+                     "batch_axis", "use_pallas"),
 )
-def _sharded_ivf_search(q, cents_g, emb_g, table_g, ids_g,
-                        k: int, nprobe_l: int, c_max: int, mesh: Mesh,
-                        data_axis: str = "data",
-                        batch_axis: Optional[str] = None):
+def _sharded_ivf_search(q, cents_g, emb_g, table_g, ids_g, starts_g,
+                        counts_g, k: int, nprobe_l: int, c_max: int,
+                        mesh: Mesh, data_axis: str = "data",
+                        batch_axis: Optional[str] = None,
+                        use_pallas: bool = False):
     """q: (B, D) normalized. Global arrays are stacked per-shard blocks
     sharded over `data_axis`. Returns (B, k) scores + original ids,
-    replicated over 'data' (sharded over `batch_axis` if given)."""
+    replicated over 'data' (sharded over `batch_axis` if given).
 
-    def local(q_l, cents_l, emb_l, table_l, ids_l):
-        vals, orig = ivf_scan(q_l, cents_l, emb_l, table_l, ids_l,
-                              k=k, nprobe=nprobe_l, c_max=c_max)
+    use_pallas: per-shard Pallas probe-scan (kernels/ivf_scan.py —
+    double-buffered cluster DMAs) instead of the XLA gather scan; needs
+    the aligned layout (starts_g/counts_g)."""
+
+    def local(q_l, cents_l, emb_l, table_l, ids_l, starts_l, counts_l):
+        if use_pallas:
+            from tpurag.kernels.ivf_scan import ivf_scan_pallas
+            from tpurag.kernels.runtime import interpret_mode
+
+            vals, orig = ivf_scan_pallas(
+                q_l, cents_l, emb_l, starts_l, counts_l, ids_l,
+                k=k, nprobe=nprobe_l, c_pad=int(round_up(c_max, 8)),
+                interpret=interpret_mode())
+        else:
+            vals, orig = ivf_scan(q_l, cents_l, emb_l, table_l, ids_l,
+                                  k=k, nprobe=nprobe_l, c_max=c_max)
         all_vals = jax.lax.all_gather(vals, data_axis, axis=1, tiled=True)
         all_ids = jax.lax.all_gather(orig, data_axis, axis=1, tiled=True)
         # -1 empties share an id; remap to distinct sentinels so the
@@ -74,11 +88,12 @@ def _sharded_ivf_search(q, cents_g, emb_g, table_g, ids_g,
         local,
         mesh=mesh,
         in_specs=(qspec, P(data_axis, None), P(data_axis, None),
-                  P(data_axis, None), P(data_axis)),
+                  P(data_axis, None), P(data_axis), P(data_axis),
+                  P(data_axis)),
         out_specs=(qspec, qspec),
         check_vma=False,
     )
-    return fn(q, cents_g, emb_g, table_g, ids_g)
+    return fn(q, cents_g, emb_g, table_g, ids_g, starts_g, counts_g)
 
 
 def partition_clusters(counts: np.ndarray, n_shards: int) -> list[list[int]]:
@@ -112,6 +127,8 @@ class ShardedIVFIndex:
         self.emb_g = None      # (S*Nl, D) storage dtype, data-sharded
         self.table_g = None    # (S*Cl, Cmax) int32 LOCAL row ids, -1 pad
         self.ids_g = None      # (S*Nl,) int32 original global ids, -1 pad
+        self.starts_g = None   # (S*Cl,) int32 8-aligned LOCAL starts
+        self.counts_g = None   # (S*Cl,) int32 live rows per cluster
         self.n = 0
         self.c_max = 0
         self.c_local = 0       # clusters per shard (padded)
@@ -137,8 +154,12 @@ class ShardedIVFIndex:
 
         self.c_local = max(
             int(round_up(max((len(b) for b in bins), default=1), 8)), 8)
-        n_local = max(int(round_up(
-            max(int(counts[b].sum()) for b in bins) if n else 1, 8)), 8)
+        # Per-shard rows with every cluster start 8-ALIGNED (Pallas DMA
+        # tiling) + one c_pad tail block for safe DMA overrun.
+        c_pad = int(round_up(self.c_max, 8))
+        pad_load = max((int(sum((int(counts[c]) + 7) // 8 * 8
+                               for c in b)) for b in bins), default=0)
+        n_local = max(int(round_up(max(pad_load, 1), 8)) + c_pad + 128, 8)
 
         # Rows grouped cluster-major once; then sliced per shard.
         order = np.argsort(assign, kind="stable")
@@ -149,6 +170,8 @@ class ShardedIVFIndex:
         emb_g = np.zeros((s_count * n_local, d), np.float32)
         table_g = np.full((s_count * self.c_local, self.c_max), -1, np.int32)
         ids_g = np.full((s_count * n_local,), -1, np.int32)
+        starts_g = np.zeros((s_count * self.c_local,), np.int32)
+        counts_g = np.zeros((s_count * self.c_local,), np.int32)
         for s, clusters in enumerate(bins):
             pos = 0
             for li, c in enumerate(clusters):
@@ -159,7 +182,9 @@ class ShardedIVFIndex:
                 table_g[s * self.c_local + li, :m] = np.arange(
                     pos, pos + m, dtype=np.int32)
                 cents_g[s * self.c_local + li] = cents[c]
-                pos += m
+                starts_g[s * self.c_local + li] = pos
+                counts_g[s * self.c_local + li] = m
+                pos += (m + 7) // 8 * 8
 
         sh2 = NamedSharding(self.mesh, P(self.data_axis, None))
         sh1 = NamedSharding(self.mesh, P(self.data_axis))
@@ -167,6 +192,8 @@ class ShardedIVFIndex:
         self.emb_g = jax.device_put(jnp.asarray(emb_g, dtype), sh2)
         self.table_g = jax.device_put(jnp.asarray(table_g), sh2)
         self.ids_g = jax.device_put(jnp.asarray(ids_g), sh1)
+        self.starts_g = jax.device_put(jnp.asarray(starts_g), sh1)
+        self.counts_g = jax.device_put(jnp.asarray(counts_g), sh1)
         self.n = n
         self.n_lists = n_lists
         return self
@@ -177,14 +204,22 @@ class ShardedIVFIndex:
 
     def search(self, queries, k: int, nprobe: Optional[int] = None,
                batch_axis: Optional[str] = None):
+        from tpurag.kernels.runtime import interpret_mode
+
         nprobe = nprobe or self.config.n_probe
         q = l2_normalize(queries)
         if q.ndim == 1:
             q = q[None]
+        c_pad = int(round_up(self.c_max, 8))
+        use_pallas = (not interpret_mode() and self.starts_g is not None
+                      and 2 * c_pad * self.emb_g.shape[1]
+                      * self.emb_g.dtype.itemsize <= 8 * 2**20)
         return _sharded_ivf_search(
             q, self.cents_g, self.emb_g, self.table_g, self.ids_g,
+            self.starts_g, self.counts_g,
             k=k, nprobe_l=self._nprobe_local(nprobe), c_max=self.c_max,
-            mesh=self.mesh, data_axis=self.data_axis, batch_axis=batch_axis)
+            mesh=self.mesh, data_axis=self.data_axis, batch_axis=batch_axis,
+            use_pallas=use_pallas)
 
     def tune_nprobe(self, queries, exact_ids, k: int = 10,
                     target_recall: float = 0.95) -> int:
@@ -220,6 +255,8 @@ class ShardedIVFIndex:
                                np.float32).astype(np.float32),
                 table=np.asarray(self.table_g[s * cl:(s + 1) * cl]),
                 ids=np.asarray(self.ids_g[s * nl:(s + 1) * nl]),
+                starts=np.asarray(self.starts_g[s * cl:(s + 1) * cl]),
+                counts=np.asarray(self.counts_g[s * cl:(s + 1) * cl]),
             )
         (d / "ivf_meta.json").write_text(json.dumps({
             "n": self.n, "c_max": self.c_max, "c_local": self.c_local,
@@ -251,6 +288,13 @@ class ShardedIVFIndex:
             jnp.asarray(np.concatenate([p["table"] for p in parts])), sh2)
         idx.ids_g = jax.device_put(
             jnp.asarray(np.concatenate([p["ids"] for p in parts])), sh1)
+        if "starts" in parts[0]:  # pre-aligned-layout saves lack these
+            idx.starts_g = jax.device_put(
+                jnp.asarray(np.concatenate([p["starts"] for p in parts])),
+                sh1)
+            idx.counts_g = jax.device_put(
+                jnp.asarray(np.concatenate([p["counts"] for p in parts])),
+                sh1)
         idx.n = meta["n"]
         idx.c_max = meta["c_max"]
         idx.c_local = meta["c_local"]
