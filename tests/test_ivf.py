@@ -156,3 +156,71 @@ def test_pallas_probe_scan_empty_and_small_clusters():
     _, ei = exact(data, jnp.asarray(q), 10)
     np.testing.assert_array_equal(np.sort(np.asarray(pi)),
                                   np.sort(np.asarray(ei)))
+
+
+def test_quant_build_scan_recall(corpus):
+    from tpurag.kernels.ivf_scan import ivf_scan_pallas
+    from tpurag.kernels.runtime import round_up
+
+    ivf = IVFIndex(IVFConfig(n_lists=64, n_probe=8, kmeans_iters=5)).build(
+        corpus, dtype=jnp.float32, quant=True)
+    assert ivf.emb_ivf_q8 is not None
+    assert ivf.cluster_scales.shape == (ivf.n_lists,)
+    rng = np.random.default_rng(9)
+    q = np.asarray(l2_normalize(
+        rng.standard_normal((4, 48)).astype(np.float32)))
+    c_pad = int(round_up(ivf.c_max, 8))
+    qv, qi = ivf_scan_pallas(
+        jnp.asarray(q), ivf.centroids, ivf.emb_ivf_q8, ivf.cluster_starts,
+        ivf.cluster_counts, ivf.row_ids, k=10, nprobe=ivf.n_lists,
+        c_pad=c_pad, cluster_scales=ivf.cluster_scales, interpret=True)
+    # Full probe == exhaustive: int8 ranking must recover >= 0.9 of the
+    # exact top-10, and surviving scores must be near the exact cosines.
+    _, ei = exact(corpus, jnp.asarray(q), 10)
+    ei = np.asarray(ei)
+    qi = np.asarray(qi)
+    hits = sum(len(set(qi[i].tolist()) & set(ei[i].tolist()))
+               for i in range(4))
+    assert hits / 40 >= 0.9, hits / 40
+    emb = np.asarray(l2_normalize(corpus))
+    qn = q
+    exact_scores = np.take_along_axis(qn @ emb.T, qi, axis=1)
+    np.testing.assert_allclose(np.asarray(qv), exact_scores, atol=0.03)
+
+
+def test_quant_save_load(corpus, tmp_path):
+    ivf = IVFIndex(IVFConfig(n_lists=32, kmeans_iters=3)).build(
+        corpus, dtype=jnp.float32, quant=True)
+    ivf.save(tmp_path / "q")
+    ivf2 = IVFIndex.load(tmp_path / "q", dtype=jnp.float32)
+    assert ivf2.emb_ivf_q8 is not None
+    np.testing.assert_array_equal(np.asarray(ivf.emb_ivf_q8),
+                                  np.asarray(ivf2.emb_ivf_q8))
+    np.testing.assert_allclose(np.asarray(ivf.cluster_scales),
+                               np.asarray(ivf2.cluster_scales))
+
+
+def test_quant_scan_with_rescore_matches_float(corpus):
+    from tpurag.kernels.ivf_scan import ivf_scan_pallas
+    from tpurag.kernels.runtime import round_up
+
+    ivf = IVFIndex(IVFConfig(n_lists=64, n_probe=8, kmeans_iters=5)).build(
+        corpus, dtype=jnp.float32, quant=True)
+    rng = np.random.default_rng(11)
+    q = np.asarray(l2_normalize(
+        rng.standard_normal((4, 48)).astype(np.float32)))
+    c_pad = int(round_up(ivf.c_max, 8))
+    qv, qi = ivf_scan_pallas(
+        jnp.asarray(q), ivf.centroids, ivf.emb_ivf_q8, ivf.cluster_starts,
+        ivf.cluster_counts, ivf.row_ids, k=10, nprobe=ivf.n_lists,
+        c_pad=c_pad, cluster_scales=ivf.cluster_scales,
+        rescore_emb=ivf.emb_ivf, interpret=True)
+    _, ei = exact(corpus, jnp.asarray(q), 10)
+    ei, qi = np.asarray(ei), np.asarray(qi)
+    hits = sum(len(set(qi[i].tolist()) & set(ei[i].tolist()))
+               for i in range(4))
+    assert hits / 40 >= 0.975, hits / 40
+    # Rescored scores are exact (fp32 storage here).
+    emb = np.asarray(l2_normalize(corpus))
+    exp = np.take_along_axis(q @ emb.T, qi, axis=1)
+    np.testing.assert_allclose(np.asarray(qv), exp, atol=1e-4)

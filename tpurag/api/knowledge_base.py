@@ -245,7 +245,7 @@ class KnowledgeBase:
             from tpurag.index.ivf import IVFIndex
 
             self._ivf = IVFIndex(self.config.ivf).build(
-                vecs, dtype=self.dense.dtype, seed=seed)
+                vecs, dtype=self.dense.dtype, seed=seed, quant=self.quant)
         self._ivf_built_at = n
         return self._ivf
 

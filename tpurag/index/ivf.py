@@ -145,11 +145,17 @@ class IVFIndex:
         self.row_ids = None          # (Npad,) int32 original ids
         self.cluster_starts = None   # (C,) int32 8-aligned packed starts
         self.cluster_counts = None   # (C,) int32 live rows per cluster
+        self.emb_ivf_q8 = None       # (Npad, D) int8 (quant builds)
+        self.cluster_scales = None   # (C,) fp32 per-cluster dequant scale
         self.n = 0
         self.c_max = 0
 
     def build(self, vectors, dtype=jnp.bfloat16,
-              seed: int = 0) -> "IVFIndex":
+              seed: int = 0, quant: bool = False) -> "IVFIndex":
+        """quant: also store a per-CLUSTER max-abs int8 copy of the
+        packed rows — the Pallas probe-scan then runs on the MXU's int8
+        path with half the block reads (kernels/ivf_scan.py); one scale
+        per cluster keeps the dequant a scalar multiply."""
         cfg = self.config
         data = _host_normalize(vectors)
         n, d = data.shape
@@ -185,6 +191,17 @@ class IVFIndex:
         self.row_table = jnp.asarray(row_table)
         self.cluster_starts = jnp.asarray(starts_pad[:-1].astype(np.int32))
         self.cluster_counts = jnp.asarray(counts.astype(np.int32))
+        if quant:
+            rowmax = np.abs(data).max(axis=1)
+            cl_max = np.zeros(n_lists, np.float32)
+            np.maximum.at(cl_max, assign, rowmax)
+            scales = np.where(cl_max > 0, cl_max / 127.0, 1.0)
+            e8 = np.zeros((total, d), np.int8)
+            e8[dest] = np.clip(
+                np.round(data[order] / scales[cl_sorted][:, None]),
+                -127, 127).astype(np.int8)
+            self.emb_ivf_q8 = jnp.asarray(e8)
+            self.cluster_scales = jnp.asarray(scales.astype(np.float32))
         self.n = n
         self.n_lists = n_lists
         return self
@@ -204,6 +221,13 @@ class IVFIndex:
                 * self.emb_ivf.dtype.itemsize <= 8 * 2**20):
             from tpurag.kernels.ivf_scan import ivf_scan_pallas
 
+            if self.emb_ivf_q8 is not None:
+                return ivf_scan_pallas(
+                    q, self.centroids, self.emb_ivf_q8,
+                    self.cluster_starts, self.cluster_counts, self.row_ids,
+                    k=k, nprobe=nprobe, c_pad=c_pad,
+                    cluster_scales=self.cluster_scales,
+                    rescore_emb=self.emb_ivf)
             return ivf_scan_pallas(
                 q, self.centroids, self.emb_ivf, self.cluster_starts,
                 self.cluster_counts, self.row_ids, k=k, nprobe=nprobe,
@@ -242,7 +266,11 @@ class IVFIndex:
             cluster_starts=np.asarray(self.cluster_starts),
             cluster_counts=np.asarray(self.cluster_counts),
             meta=json.dumps({"n": self.n, "c_max": self.c_max,
-                             "n_lists": self.n_lists}),
+                             "n_lists": self.n_lists,
+                             "quant": self.emb_ivf_q8 is not None}),
+            **({"emb_q8": np.asarray(self.emb_ivf_q8),
+                "cluster_scales": np.asarray(self.cluster_scales)}
+               if self.emb_ivf_q8 is not None else {}),
         )
 
     @classmethod
@@ -258,6 +286,9 @@ class IVFIndex:
         if "cluster_starts" in data:  # pre-aligned-layout saves lack these
             idx.cluster_starts = jnp.asarray(data["cluster_starts"])
             idx.cluster_counts = jnp.asarray(data["cluster_counts"])
+        if meta.get("quant"):
+            idx.emb_ivf_q8 = jnp.asarray(data["emb_q8"])
+            idx.cluster_scales = jnp.asarray(data["cluster_scales"])
         idx.n = meta["n"]
         idx.c_max = meta["c_max"]
         idx.n_lists = meta["n_lists"]

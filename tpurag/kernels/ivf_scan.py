@@ -35,9 +35,20 @@ def _next_pow2(x: int) -> int:
     return 1 << (x - 1).bit_length() if x > 1 else 1
 
 
-def _ivf_probe_kernel(starts_ref, counts_ref, q_ref, e_ref, out_v_ref,
-                      out_i_ref, blk, sems, run_v, run_i, *, sub: int,
-                      n_sub: int, n_probe: int, k: int):
+def _ivf_probe_kernel(*refs, sub: int, n_sub: int, n_probe: int, k: int,
+                      quant: bool):
+    """Shared body for the bf16 and int8 probe scans. In quant mode an
+    extra (B, n_probe) fp32 per-CLUSTER scale rides the scalar prefetch
+    (one max-abs scale per cluster keeps the dequant a single scalar
+    multiply; query scales are per-row constants applied by the
+    wrapper)."""
+    if quant:
+        (starts_ref, counts_ref, scales_ref, q_ref, e_ref,
+         out_v_ref, out_i_ref, blk, sems, run_v, run_i) = refs
+    else:
+        (starts_ref, counts_ref, q_ref, e_ref,
+         out_v_ref, out_i_ref, blk, sems, run_v, run_i) = refs
+        scales_ref = None
     i = pl.program_id(0)   # query tile
     p = pl.program_id(1)   # probe
     s = pl.program_id(2)   # sub-block within the probed cluster
@@ -80,11 +91,19 @@ def _ivf_probe_kernel(starts_ref, counts_ref, q_ref, e_ref, out_v_ref,
         for j in range(_QT):
             qj = q_ref[j:j + 1, :]                   # (1, D) static slice
             bj = blk[j * sub:(j + 1) * sub, :]
-            sc = jax.lax.dot_general(
-                qj.astype(bj.dtype), bj,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                        # (1, sub)
+            if quant:
+                dots = jax.lax.dot_general(
+                    qj, bj,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                sc = dots.astype(jnp.float32) * scales_ref[i * _QT + j, p]
+            else:
+                sc = jax.lax.dot_general(
+                    qj.astype(bj.dtype), bj,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                    # (1, sub)
             start = starts_ref[i * _QT + j, p]
             left = counts_ref[i * _QT + j, p] - s * sub
             valid = lane < left
@@ -116,15 +135,18 @@ def _ivf_probe_kernel(starts_ref, counts_ref, q_ref, e_ref, out_v_ref,
     jax.jit, static_argnames=("k", "n_probe", "c_pad", "sub", "interpret"))
 def ivf_probe_topk_pallas(q, emb_ivf, starts_sel, counts_sel, k: int,
                           n_probe: int, c_pad: int, sub: int | None = None,
-                          interpret: bool = False):
+                          scales_sel=None, interpret: bool = False):
     """Running top-k over each query's probed cluster blocks.
 
-    q (B, D) fp32; emb_ivf (Npad, D) storage dtype with Npad >= every
-    start + c_pad (the build over-allocates one c_pad tail); starts_sel /
-    counts_sel (B, n_probe) int32, starts 8-aligned. Returns (B, k)
+    q (B, D) fp32 (or int8 when scales_sel is given — quant mode);
+    emb_ivf (Npad, D) storage dtype with Npad >= every start + c_pad
+    (the build over-allocates one c_pad tail); starts_sel / counts_sel
+    (B, n_probe) int32, starts 8-aligned; scales_sel (B, n_probe) fp32
+    per-cluster dequant scales for an int8 emb_ivf. Returns (B, k)
     fp32 scores and int32 IVF-row ids (sentinel >= 2^30 empties).
     """
     b, d = q.shape
+    quant = scales_sel is not None
     if sub is None:
         # ~2MB of cluster sub-blocks per step at d=1024 bf16.
         sub = min(c_pad, 128)
@@ -133,29 +155,34 @@ def ivf_probe_topk_pallas(q, emb_ivf, starts_sel, counts_sel, k: int,
     n_sub = c_pad // sub
     bp = round_up(b, _QT)
     dp = round_up(d, 128)
-    qp = pad_axis(pad_axis(q.astype(jnp.float32), 0, bp), 1, dp)
+    qp = pad_axis(pad_axis(q, 0, bp), 1, dp)
     ep = pad_axis(emb_ivf, 1, dp)
     starts_p = pad_axis(starts_sel.astype(jnp.int32), 0, bp)
     counts_p = pad_axis(counts_sel.astype(jnp.int32), 0, bp)
+    prefetch = [starts_p, counts_p]
+    if quant:
+        prefetch.append(pad_axis(scales_sel.astype(jnp.float32), 0, bp))
+    npf = len(prefetch)
+
+    def imap_q(i, p, s, *_pref):
+        return (i, 0)
 
     kernel = functools.partial(
-        _ivf_probe_kernel, sub=sub, n_sub=n_sub, n_probe=n_probe, k=k)
+        _ivf_probe_kernel, sub=sub, n_sub=n_sub, n_probe=n_probe, k=k,
+        quant=quant)
     kp = _next_pow2(k)
     vals, ids = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=npf,
             grid=(bp // _QT, n_probe, n_sub),
             in_specs=[
-                pl.BlockSpec((_QT, dp), lambda i, p, s, st, ct: (i, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_QT, dp), imap_q, memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=[
-                pl.BlockSpec((_QT, k), lambda i, p, s, st, ct: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((_QT, k), lambda i, p, s, st, ct: (i, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_QT, k), imap_q, memory_space=pltpu.VMEM),
+                pl.BlockSpec((_QT, k), imap_q, memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
                 pltpu.VMEM((_QT * sub, dp), emb_ivf.dtype),
@@ -175,25 +202,57 @@ def ivf_probe_topk_pallas(q, emb_ivf, starts_sel, counts_sel, k: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(starts_p, counts_p, qp, ep)
+    )(*prefetch, qp, ep)
     return vals[:b], ids[:b]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nprobe", "c_pad", "interpret"))
+    jax.jit,
+    static_argnames=("k", "nprobe", "c_pad", "overfetch", "interpret"))
 def ivf_scan_pallas(q, centroids, emb_ivf, cluster_starts, cluster_counts,
                     row_ids, k: int, nprobe: int, c_pad: int,
-                    interpret: bool = False):
+                    cluster_scales=None, rescore_emb=None,
+                    overfetch: int = 2, interpret: bool = False):
     """Full IVF search with the Pallas probe kernel. Same contract as
-    index/ivf.py:ivf_scan (scores + original row ids, -1 empties)."""
+    index/ivf.py:ivf_scan (scores + original row ids, -1 empties).
+
+    cluster_scales: optional (C,) fp32 — emb_ivf is then the int8
+    per-cluster-quantized matrix (2x MXU rate, half the block reads);
+    queries are row-quantized here and their scales folded back into the
+    returned values (a per-row constant cannot reorder that row's
+    top-k). IVF clusters hold SIMILAR rows, so int8 near-tie reordering
+    costs more recall here than on a full corpus — pass rescore_emb
+    (the full-precision packed matrix) to overfetch the int8 candidates
+    and re-rank them exactly (a k-row gather per query: trivial next to
+    the scan)."""
     cscores = jnp.dot(q.astype(jnp.float32), centroids.T,
                       preferred_element_type=jnp.float32)
     _, probe = jax.lax.top_k(cscores, nprobe)          # (B, nprobe)
     starts_sel = cluster_starts[probe].astype(jnp.int32)
     counts_sel = cluster_counts[probe].astype(jnp.int32)
-    vals, ids = ivf_probe_topk_pallas(
-        q.astype(jnp.float32), emb_ivf, starts_sel, counts_sel,
-        k=k, n_probe=nprobe, c_pad=c_pad, interpret=interpret)
+    if cluster_scales is not None:
+        from tpurag.kernels.quant import quantize_rows, rescore_topk
+
+        q8, qs = quantize_rows(q)
+        m = overfetch * k if rescore_emb is not None else k
+        vals, ids = ivf_probe_topk_pallas(
+            q8, emb_ivf, starts_sel, counts_sel,
+            k=m, n_probe=nprobe, c_pad=c_pad,
+            scales_sel=cluster_scales[probe], interpret=interpret)
+        if rescore_emb is not None:
+            cand = jnp.where(ids >= _BIG, -1, ids)
+            vals, ids = rescore_topk(q.astype(jnp.float32), rescore_emb,
+                                     cand, k)
+            ids = jnp.where(ids < 0, _BIG, ids)
+        else:
+            # Scale only live entries: NEG_INF * qs would drift above
+            # the empty-detection threshold.
+            vals = jnp.where(vals <= NEG_INF / 2, NEG_INF,
+                             vals * qs[:, None])
+    else:
+        vals, ids = ivf_probe_topk_pallas(
+            q.astype(jnp.float32), emb_ivf, starts_sel, counts_sel,
+            k=k, n_probe=nprobe, c_pad=c_pad, interpret=interpret)
     empty = vals <= NEG_INF / 2
     orig = row_ids[jnp.clip(ids, 0, row_ids.shape[0] - 1)]
     return (jnp.where(empty, NEG_INF, vals),
