@@ -174,3 +174,41 @@ def test_gather_scores_pallas_interpret(rng):
                                jnp.asarray(ids), tile_b=4, interpret=True)
     exp = np.take_along_axis(q @ emb.T, ids, axis=1)
     np.testing.assert_allclose(np.asarray(out), exp, atol=1e-5)
+
+
+def test_rescore_never_resurrects_padding_rows(rng):
+    # m > n_valid: padding columns surface as NEG_INF candidates with
+    # REAL in-range ids (they beat the init sentinels on the id
+    # tie-break); the rescore must not turn those zero rows into 0.0
+    # hits ranked above live rows with negative cosine.
+    d, n_valid, k = 32, 5, 6
+    emb = np.zeros((128, d), np.float32)
+    # 5 live rows, all with NEGATIVE cosine to the query.
+    q = np.ones((1, d), np.float32) / np.sqrt(d)
+    emb[:n_valid] = -q + 0.01 * rng.standard_normal((n_valid, d))
+    emb[:n_valid] /= np.linalg.norm(emb[:n_valid], axis=1, keepdims=True)
+    embj = jnp.asarray(emb)
+    e8, es = quantize_rows(embj)
+    vals, ids = dense_topk_q8(jnp.asarray(q), e8, es, n_valid, k,
+                              rescore_emb=embj, interpret=True)
+    ids = np.asarray(ids)[0]
+    vals = np.asarray(vals)[0]
+    live = ids[ids >= 0]
+    assert (live < n_valid).all(), f"padding rows resurfaced: {ids}"
+    assert (vals[ids >= 0] < 0).all(), vals
+
+
+def test_sharded_q8_partial_last_shard(rng):
+    # n_active far below capacity: every shard's n_local < m.
+    from tpurag.shard.mesh import make_mesh
+    from tpurag.index.dense import DenseIndex
+
+    mesh = make_mesh([("data", 8)])
+    idx = DenseIndex(dim=32, dtype=jnp.float32, mesh=mesh, quant=True,
+                     capacity=1024)
+    emb = rng.standard_normal((9, 32)).astype(np.float32)
+    idx.add(emb)
+    s, ids = idx.search(emb[:2], k=4)
+    ids = np.asarray(ids)
+    assert ids.max() < 9
+    assert int(ids[0, 0]) == 0 and int(ids[1, 0]) == 1

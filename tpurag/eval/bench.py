@@ -384,14 +384,23 @@ def config7_ivf_latency(seed: int = 0) -> dict:
     npad = emb_dev.shape[0]
 
     def exact_once():
+        # The aligned layout interleaves zero padding rows (row_ids -1)
+        # that score exactly 0.0 — overfetch and drop them so the oracle
+        # only ever contains live rows.
+        kk = 4 * k
         if on_tpu:
-            s, i = dense_topk_pallas(q_dev, emb_dev, jnp.int32(npad), k)
+            s, i = dense_topk_pallas(q_dev, emb_dev, jnp.int32(npad), kk)
         else:
-            s, i = dense_topk_xla(q_dev, emb_dev, jnp.int32(npad), k)
+            s, i = dense_topk_xla(q_dev, emb_dev, jnp.int32(npad), kk)
         return np.asarray(i)
 
     exact_rows = exact_once()
-    exact_ids = np.asarray(idx.row_ids)[exact_rows]
+    rid = np.asarray(idx.row_ids)
+    exact_ids = np.empty((b, k), np.int32)
+    for bi in range(b):
+        live = exact_rows[bi][rid[exact_rows[bi]] >= 0]
+        assert len(live) >= k, "oracle overfetch exhausted by padding"
+        exact_ids[bi] = rid[live[:k]]
     nprobe = idx.tune_nprobe(q, exact_ids, k=k, target_recall=0.95)
     _, ids = idx.search(q, k=k, nprobe=nprobe)
     recall = float(np.mean([

@@ -58,7 +58,7 @@ class DenseIndex:
         (tpurag.shard.search). Single-device layout otherwise.
 
         quant: keep an int8 max-abs sidecar of the corpus and scan THAT
-        (2x MXU rate, half the HBM read), then rescore the 4k-overfetched
+        (2x MXU rate, half the HBM read), then rescore the 2k-overfetched
         candidates against the full-precision rows — final scores stay
         exact cosines (kernels/quant.py). Under a mesh the sidecar shards
         with the rows and the rescore stays shard-local

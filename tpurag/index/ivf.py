@@ -214,11 +214,10 @@ class IVFIndex:
         if q.ndim == 1:
             q = q[None]
         c_pad = int(round_up(self.c_max, 8))
-        # Pallas probe-scan when the double buffer fits VMEM comfortably
-        # and the layout carries aligned starts (post-round-3 builds).
-        if (not interpret_mode() and self.cluster_starts is not None
-                and 2 * c_pad * self.emb_ivf.shape[1]
-                * self.emb_ivf.dtype.itemsize <= 8 * 2**20):
+        # Pallas probe-scan whenever the layout carries aligned starts
+        # (post-round-3 builds): the kernel streams fixed sub<=128-row
+        # blocks, so its VMEM footprint is independent of c_pad.
+        if not interpret_mode() and self.cluster_starts is not None:
             from tpurag.kernels.ivf_scan import ivf_scan_pallas
 
             if self.emb_ivf_q8 is not None:
@@ -257,20 +256,23 @@ class IVFIndex:
     def save(self, path) -> None:
         path = pathlib.Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
+        extra = {}
+        if self.cluster_starts is not None:  # legacy loads lack these
+            extra["cluster_starts"] = np.asarray(self.cluster_starts)
+            extra["cluster_counts"] = np.asarray(self.cluster_counts)
+        if self.emb_ivf_q8 is not None:
+            extra["emb_q8"] = np.asarray(self.emb_ivf_q8)
+            extra["cluster_scales"] = np.asarray(self.cluster_scales)
         np.savez(
             path,
             centroids=np.asarray(self.centroids, np.float32),
             emb=np.asarray(self.emb_ivf, np.float32),
             row_table=np.asarray(self.row_table),
             row_ids=np.asarray(self.row_ids),
-            cluster_starts=np.asarray(self.cluster_starts),
-            cluster_counts=np.asarray(self.cluster_counts),
             meta=json.dumps({"n": self.n, "c_max": self.c_max,
                              "n_lists": self.n_lists,
                              "quant": self.emb_ivf_q8 is not None}),
-            **({"emb_q8": np.asarray(self.emb_ivf_q8),
-                "cluster_scales": np.asarray(self.cluster_scales)}
-               if self.emb_ivf_q8 is not None else {}),
+            **extra,
         )
 
     @classmethod

@@ -25,15 +25,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpurag.kernels.runtime import NEG_INF, interpret_mode, pad_axis, round_up
+from tpurag.kernels.runtime import (NEG_INF, auto_chunk, interpret_mode,
+                                    next_pow2, pad_axis, round_up)
 from tpurag.kernels.topk import (emit_desc, fold_candidates_asc,
                                  init_run_asc)
 
 _BIG_ID = 2**30
-
-
-def _next_pow2(x: int) -> int:
-    return 1 << (x - 1).bit_length() if x > 1 else 1
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -62,15 +59,26 @@ def dense_topk_xla(queries: jax.Array, emb: jax.Array, n_valid: jax.Array, k: in
     return vals, ids.astype(jnp.int32)
 
 
-def _dense_topk_kernel(nvalid_ref, q_ref, e_ref, out_v_ref, out_i_ref,
-                       run_v, run_i, *, k: int, tile_n: int, chunk_n: int,
-                       precision):
+def _dense_topk_kernel(*refs, k: int, tile_n: int, chunk_n: int,
+                       precision, quant: bool = False):
     """Running top-k lives TRANSPOSED in scratch as (k_pad, tile_b):
     queries on the lane axis, so every merge compare-exchange runs at
     full vreg utilization. (The row-layout (tile_b, 2k) merge was the
     kernel's dominant cost — ~12% lane use across 8 select passes.)
     It is kept ASCENDING so the bitonic merge needs no row reversal
-    (kernels/topk.py:merge_topk_cols_asc)."""
+    (kernels/topk.py:merge_topk_cols_asc).
+
+    quant mode (dense_topk_pallas_q8): int8 operands on the MXU's int8
+    path with exact int32 accumulation, plus a (1, tile_n) per-row scale
+    block dequantized once per chunk on the VPU. Query scales are applied
+    by the wrapper — per-row constants cannot reorder a row's top-k."""
+    if quant:
+        (nvalid_ref, q_ref, e_ref, es_ref, out_v_ref, out_i_ref,
+         run_v, run_i) = refs
+    else:
+        (nvalid_ref, q_ref, e_ref, out_v_ref, out_i_ref,
+         run_v, run_i) = refs
+        es_ref = None
     j = pl.program_id(1)
     nn = pl.num_programs(1)
     kp = run_v.shape[0]  # k padded to a power of two
@@ -89,18 +97,28 @@ def _dense_topk_kernel(nvalid_ref, q_ref, e_ref, out_v_ref, out_i_ref,
     # materialize chunk_n wide, which keeps VMEM pressure independent of
     # tile_n and lets tile_b grow (fewer corpus re-reads per query batch).
     for c in range(tile_n // chunk_n):
-        # (TB, D) x (chunk, D)^T on the MXU, fp32 accumulation.
-        # bf16 operands on the MXU with fp32 accumulation. On TPU the
-        # precision stays default (Mosaic rejects fp32 contract precision
-        # for bf16 vectors on v5e); in interpret mode HIGHEST is forced
-        # because this CPU build's default matmul precision is lossy
-        # (~1e-1 abs) and tests compare bit-level against the XLA oracle.
-        s = jax.lax.dot_general(
-            q_ref[:], e_ref[c * chunk_n:(c + 1) * chunk_n, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        if quant:
+            dots = jax.lax.dot_general(
+                q_ref[:], e_ref[c * chunk_n:(c + 1) * chunk_n, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            es = es_ref[0, c * chunk_n:(c + 1) * chunk_n]
+            s = dots.astype(jnp.float32) * es[None, :]
+        else:
+            # (TB, D) x (chunk, D)^T on the MXU, fp32 accumulation.
+            # bf16 operands on the MXU with fp32 accumulation. On TPU the
+            # precision stays default (Mosaic rejects fp32 contract
+            # precision for bf16 vectors on v5e); in interpret mode
+            # HIGHEST is forced because this CPU build's default matmul
+            # precision is lossy (~1e-1 abs) and tests compare bit-level
+            # against the XLA oracle.
+            s = jax.lax.dot_general(
+                q_ref[:], e_ref[c * chunk_n:(c + 1) * chunk_n, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
         base = j * tile_n + c * chunk_n
         col = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         # Only the boundary chunk needs validity masking (fully-valid
@@ -162,16 +180,10 @@ def dense_topk_pallas(queries, emb, n_valid, k: int,
     tile_b = min(tile_b, round_up(b, 8))
     tile_n = min(tile_n, round_up(n, 128))
     if chunk_n is None:
-        # The k-pass select allocates ~k live (tile_b, chunk_n) fp32
-        # temporaries; at full tile width and k >= 32 that blows the
-        # Mosaic compiler (reproduced on v5e: k=32 x (256, 2048) fails
-        # to compile, k=32 x (256, 512) compiles). Shrink the chunk as
-        # k grows so pressure stays ~constant.
-        kp = _next_pow2(k)
-        chunk_n = tile_n if kp <= 8 else max(256, tile_n * 8 // kp)
+        chunk_n = auto_chunk(tile_n, k)  # Mosaic-pressure cap, see runtime
     chunk_n = min(chunk_n, tile_n)
     if tile_n % chunk_n:
-        chunk_n = tile_n  # chunks must tile tile_n exactly
+        chunk_n = auto_chunk(tile_n, k)  # must divide tile_n
     bp = round_up(b, tile_b)
     np_ = round_up(n, tile_n)
     dp = round_up(d, 128)
@@ -201,8 +213,8 @@ def dense_topk_pallas(queries, emb, n_valid, k: int,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((_next_pow2(k), tile_b), jnp.float32),
-                pltpu.VMEM((_next_pow2(k), tile_b), jnp.int32),
+                pltpu.VMEM((next_pow2(k), tile_b), jnp.float32),
+                pltpu.VMEM((next_pow2(k), tile_b), jnp.int32),
             ],
         ),
         out_shape=[

@@ -23,16 +23,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpurag.kernels.runtime import NEG_INF, pad_axis, round_up
+from tpurag.kernels.runtime import NEG_INF, next_pow2, pad_axis, round_up
 from tpurag.kernels.topk import (emit_desc, fold_candidates_asc,
-                                 init_run_asc, select_topk)
+                                 init_run_asc)
 
 _BIG = 2**30
 _QT = 8          # queries per grid step (sublane tile)
-
-
-def _next_pow2(x: int) -> int:
-    return 1 << (x - 1).bit_length() if x > 1 else 1
 
 
 def _ivf_probe_kernel(*refs, sub: int, n_sub: int, n_probe: int, k: int,
@@ -170,7 +166,7 @@ def ivf_probe_topk_pallas(q, emb_ivf, starts_sel, counts_sel, k: int,
     kernel = functools.partial(
         _ivf_probe_kernel, sub=sub, n_sub=n_sub, n_probe=n_probe, k=k,
         quant=quant)
-    kp = _next_pow2(k)
+    kp = next_pow2(k)
     vals, ids = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -240,7 +236,9 @@ def ivf_scan_pallas(q, centroids, emb_ivf, cluster_starts, cluster_counts,
             k=m, n_probe=nprobe, c_pad=c_pad,
             scales_sel=cluster_scales[probe], interpret=interpret)
         if rescore_emb is not None:
-            cand = jnp.where(ids >= _BIG, -1, ids)
+            # Sentinel ids AND any NEG_INF-valued slot (belt-and-braces:
+            # a zero padding row must never rescore as a 0.0 hit).
+            cand = jnp.where((ids >= _BIG) | (vals < -1e10), -1, ids)
             vals, ids = rescore_topk(q.astype(jnp.float32), rescore_emb,
                                      cand, k)
             ids = jnp.where(ids < 0, _BIG, ids)

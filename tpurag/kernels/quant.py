@@ -16,8 +16,8 @@ resources that bound the scan. This module adds the quantized path:
 - an exact bf16 **rescore** stage: scan int8 at overfetched m >= k,
   gather the m candidate rows, rescore with the full-precision corpus,
   re-rank to k. Final scores are then exact cosines; the int8 pass only
-  has to get the *candidate set* right, which it does at recall ~1.0
-  with 4x overfetch (gated in tests/test_quant.py).
+  has to get the *candidate set* right, which it does at recall >=0.99
+  with the default 2x overfetch (gated in tests/test_quant.py).
 
 Quantization error bound: normalized rows of dim D have |e_j| <~ 5/sqrt(D);
 max-abs int8 keeps relative dot error ~ 1/127 per operand — far below
@@ -33,15 +33,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpurag.kernels.runtime import NEG_INF, interpret_mode, pad_axis, round_up
-from tpurag.kernels.topk import (emit_desc, fold_candidates_asc,
-                                 init_run_asc)
+from tpurag.kernels.dense import _dense_topk_kernel
+from tpurag.kernels.runtime import (NEG_INF, auto_chunk, interpret_mode,
+                                    next_pow2, pad_axis, round_up)
 
 _BIG_ID = 2**30
-
-
-def _next_pow2(x: int) -> int:
-    return 1 << (x - 1).bit_length() if x > 1 else 1
 
 
 @jax.jit
@@ -73,62 +69,6 @@ def dense_topk_xla_q8(q_i8, q_scale, emb_i8, e_scale, n_valid, k: int):
     return vals * q_scale[:, None], ids.astype(jnp.int32)
 
 
-def _dense_topk_q8_kernel(nvalid_ref, q_ref, e_ref, es_ref, out_v_ref,
-                          out_i_ref, run_v, run_i, *, k: int, tile_n: int,
-                          chunk_n: int):
-    """Same shape as kernels/dense.py:_dense_topk_kernel, int8 operands.
-
-    es_ref: (1, tile_n) fp32 per-row corpus scales; the matmul accumulates
-    exact int32 on the MXU and the scale multiply runs once per chunk on
-    the VPU. Query scales are applied by the wrapper (per-row constants
-    cannot reorder that row's top-k).
-    """
-    j = pl.program_id(1)
-    nn = pl.num_programs(1)
-    kp = run_v.shape[0]
-
-    @pl.when(j == 0)
-    def _init():
-        rv, ri = init_run_asc(run_v[:], run_i[:], _BIG_ID)
-        run_v[:] = rv
-        run_i[:] = ri
-
-    n_valid = nvalid_ref[0]
-
-    for c in range(tile_n // chunk_n):
-        dots = jax.lax.dot_general(
-            q_ref[:], e_ref[c * chunk_n:(c + 1) * chunk_n, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        es = es_ref[0, c * chunk_n:(c + 1) * chunk_n]
-        s = dots.astype(jnp.float32) * es[None, :]
-        base = j * tile_n + c * chunk_n
-        col = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jax.lax.cond(
-            base + chunk_n <= n_valid,
-            lambda s: s,
-            lambda s: jnp.where(col < n_valid, s, NEG_INF),
-            s,
-        )
-
-        chunk_max = jnp.max(s)
-        run_min = jnp.min(run_v[kp - k, :])
-
-        @pl.when(((j == 0) & (c == 0)) | (chunk_max > run_min))
-        def _merge(s=s, col=col):
-            rv, ri = fold_candidates_asc(run_v[:], run_i[:], s, col, k,
-                                         _BIG_ID)
-            run_v[:] = rv
-            run_i[:] = ri
-
-    @pl.when(j == nn - 1)
-    def _emit():
-        ov, oi = emit_desc(run_v[:], run_i[:], k)
-        out_v_ref[:] = ov
-        out_i_ref[:] = oi
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tile_b", "tile_n", "chunk_n", "interpret"),
@@ -150,13 +90,10 @@ def dense_topk_pallas_q8(q_i8, q_scale, emb_i8, e_scale, n_valid, k: int,
     tile_b = min(tile_b, round_up(b, 8))
     tile_n = min(tile_n, round_up(n, 128))
     if chunk_n is None:
-        # Same Mosaic-pressure cap as dense_topk_pallas: k unrolled
-        # select passes need narrower chunks as k grows.
-        kp = _next_pow2(k)
-        chunk_n = tile_n if kp <= 8 else max(256, tile_n * 8 // kp)
+        chunk_n = auto_chunk(tile_n, k)  # Mosaic-pressure cap, see runtime
     chunk_n = min(chunk_n, tile_n)
     if tile_n % chunk_n:
-        chunk_n = tile_n
+        chunk_n = auto_chunk(tile_n, k)  # must divide tile_n
     bp = round_up(b, tile_b)
     np_ = round_up(n, tile_n)
     dp = round_up(d, 128)
@@ -167,7 +104,8 @@ def dense_topk_pallas_q8(q_i8, q_scale, emb_i8, e_scale, n_valid, k: int,
 
     grid = (bp // tile_b, np_ // tile_n)
     kernel = functools.partial(
-        _dense_topk_q8_kernel, k=k, tile_n=tile_n, chunk_n=chunk_n)
+        _dense_topk_kernel, k=k, tile_n=tile_n, chunk_n=chunk_n,
+        precision=None, quant=True)
     vals, ids = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -188,8 +126,8 @@ def dense_topk_pallas_q8(q_i8, q_scale, emb_i8, e_scale, n_valid, k: int,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((_next_pow2(k), tile_b), jnp.float32),
-                pltpu.VMEM((_next_pow2(k), tile_b), jnp.int32),
+                pltpu.VMEM((next_pow2(k), tile_b), jnp.float32),
+                pltpu.VMEM((next_pow2(k), tile_b), jnp.int32),
             ],
         ),
         out_shape=[
@@ -367,5 +305,12 @@ def dense_topk_q8(queries, emb_i8, e_scale, n_valid, k: int, *,
                                          jnp.int32(n_valid), m)
     if rescore_emb is None:
         return vals, ids
+    # When m > n_valid, NEG_INF-masked padding columns can surface with
+    # REAL in-range ids (they beat the >=2^30 sentinels on the id
+    # tie-break) — rescoring would resurrect those zero rows as 0.0
+    # hits. Mask by value; the threshold must survive the wrapper's
+    # q_scale multiply (NEG_INF * small scale is still << -1e10,
+    # real cosines are within +-1).
+    cand = jnp.where(vals < -1e10, -1, ids)
     return rescore_topk(jnp.asarray(queries, jnp.float32), rescore_emb,
-                        ids, k)
+                        cand, k)

@@ -30,6 +30,29 @@ def round_up(x: int, m: int) -> int:
     return cdiv(x, m) * m
 
 
+def next_pow2(x: int) -> int:
+    return 1 << (x - 1).bit_length() if x > 1 else 1
+
+
+def auto_chunk(tile_n: int, k: int) -> int:
+    """Column-chunk width for the k-pass select inside a corpus tile.
+
+    The select allocates ~k live (tile_b, chunk) fp32 temporaries; at
+    full tile width and k >= 32 that blows the Mosaic compiler
+    (reproduced on v5e: k=32 x (256, 2048) fails, k=32 x (256, 512)
+    compiles). Shrink the chunk as k grows — and when the target does
+    not divide tile_n, step DOWN to a divisor (falling back to the full
+    tile would reinstate the exact pressure this guards against)."""
+    kp = next_pow2(k)
+    if kp <= 8:
+        return tile_n
+    chunk = max(256, tile_n * 8 // kp)
+    chunk = min(chunk, tile_n)
+    while tile_n % chunk:
+        chunk -= 8  # tile_n is a multiple of 128, so 8 always divides it
+    return max(chunk, 8)
+
+
 def pad_axis(x: jax.Array, axis: int, size: int, value=0) -> jax.Array:
     """Pad `axis` of x up to `size` with `value` (no-op if already there)."""
     cur = x.shape[axis]

@@ -210,10 +210,10 @@ class ShardedIVFIndex:
         q = l2_normalize(queries)
         if q.ndim == 1:
             q = q[None]
-        c_pad = int(round_up(self.c_max, 8))
-        use_pallas = (not interpret_mode() and self.starts_g is not None
-                      and 2 * c_pad * self.emb_g.shape[1]
-                      * self.emb_g.dtype.itemsize <= 8 * 2**20)
+        # The probe kernel streams fixed sub<=128-row blocks, so its VMEM
+        # footprint is independent of c_max — only the aligned layout
+        # (post-round-3 builds) is required.
+        use_pallas = not interpret_mode() and self.starts_g is not None
         return _sharded_ivf_search(
             q, self.cents_g, self.emb_g, self.table_g, self.ids_g,
             self.starts_g, self.counts_g,
@@ -247,6 +247,10 @@ class ShardedIVFIndex:
         s_count = self.n_shards
         cl, nl = self.c_local, self.emb_g.shape[0] // s_count
         for s in range(s_count):
+            extra = {}
+            if self.starts_g is not None:  # legacy loads lack these
+                extra["starts"] = np.asarray(self.starts_g[s * cl:(s + 1) * cl])
+                extra["counts"] = np.asarray(self.counts_g[s * cl:(s + 1) * cl])
             np.savez(
                 d / f"ivf_shard_{s:03d}",
                 cents=np.asarray(self.cents_g[s * cl:(s + 1) * cl],
@@ -255,8 +259,7 @@ class ShardedIVFIndex:
                                np.float32).astype(np.float32),
                 table=np.asarray(self.table_g[s * cl:(s + 1) * cl]),
                 ids=np.asarray(self.ids_g[s * nl:(s + 1) * nl]),
-                starts=np.asarray(self.starts_g[s * cl:(s + 1) * cl]),
-                counts=np.asarray(self.counts_g[s * cl:(s + 1) * cl]),
+                **extra,
             )
         (d / "ivf_meta.json").write_text(json.dumps({
             "n": self.n, "c_max": self.c_max, "c_local": self.c_local,

@@ -64,9 +64,14 @@ def _local_search_q8(q, q8, qs, e8_local, es_local, emb_local, n_valid, k,
     n_local = jnp.clip(n_valid - offset, 0, shard_rows)
     m = min(overfetch * k, shard_rows)
     if use_pallas:
-        _, cand = dense_topk_pallas_q8(q8, qs, e8_local, es_local, n_local, m)
+        cv, cand = dense_topk_pallas_q8(q8, qs, e8_local, es_local,
+                                        n_local, m)
     else:
-        _, cand = dense_topk_xla_q8(q8, qs, e8_local, es_local, n_local, m)
+        cv, cand = dense_topk_xla_q8(q8, qs, e8_local, es_local, n_local, m)
+    # Padding columns past n_local can surface with real in-range ids on
+    # NEG_INF values (id tie-break vs the init sentinels) — mask by
+    # value before the rescore resurrects those zero rows as 0.0 hits.
+    cand = jnp.where(cv < -1e10, -1, cand)
     vals, ids = rescore_topk(q, emb_local, cand, k)
     gids = jnp.where(ids >= 0, ids + offset, -1)
     all_vals = jax.lax.all_gather(vals, data_axis, axis=1, tiled=True)
