@@ -93,7 +93,7 @@ def main():
 
     k, t_query, df_max = 8, 8, 2048
 
-    from tpurag.index.inverted import _bucket_score
+    from tpurag.index.inverted import _bucket_score, packed_cbits
     from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
     from tpurag.kernels.fusion import rrf_fuse
 
@@ -201,7 +201,7 @@ def main():
                     jnp.roll(bw_g, i, axis=0), jnp.roll(row_g, i, axis=0),
                     jnp.roll(idf_g, i, axis=0), mats_arg,
                     k=k, p_max=p_max, t=t_query, widths=widths,
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas, cbits=packed_cbits(n))
                 k_i_full = k_i_full.at[sel].set(k_i[:n_real])
             s, ids, bits = rrf_fuse((v_i, k_i_full), weights=(1.0, 1.0),
                                     final_k=k)

@@ -153,3 +153,36 @@ def test_max_df_ratio_drops_stopwords():
     # 'the' and 'document' appear in every doc -> dropped; 'number' too.
     s, i = idx.search(["the document 3"], k=3)
     assert int(i[0][0]) == 3  # only the distinctive term scores
+
+
+def test_packed_merge_matches_unpacked(rng):
+    """Packed-key merge (cbits=19 at a tiny corpus -> ~2e-6 resolution)
+    must agree with the two-array form within quantization."""
+    from tpurag.kernels.bm25_pallas import merge_segsum_topk
+
+    b, t, p = 6, 2, 64
+    w = t * p
+    doc = np.sort(rng.integers(0, 4000, (b, t, p)).astype(np.int32), axis=2)
+    con = rng.uniform(0.1, 3.0, (b, t, p)).astype(np.float32)
+    # Flip the odd term block so each 2P window is bitonic (the
+    # bm25_topk_fused input contract).
+    doc[:, 1] = doc[:, 1, ::-1]
+    con[:, 1] = con[:, 1, ::-1]
+    dj = jnp.asarray(doc.reshape(b, w))
+    cj = jnp.asarray(con.reshape(b, w))
+    v0, i0 = merge_segsum_topk(dj, cj, k=8, p=p, t=t, interpret=True)
+    cbits = 31 - (4096).bit_length()
+    v1, i1 = merge_segsum_topk(dj, cj, k=8, p=p, t=t, cbits=cbits,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_packed_cbits_policy():
+    from tpurag.index.inverted import packed_cbits
+
+    assert packed_cbits(1000) == 31 - 1001 .bit_length() >= 12
+    assert packed_cbits(100_000) == 14
+    assert packed_cbits(1_000_000) == 0   # < 12 bits left -> unpacked
+    assert packed_cbits(100_000, enabled=False) == 0

@@ -85,6 +85,13 @@ class BM25Config:
     # Bounds the number of compiled Pallas variants on a long-lived server
     # to len(ladder) per (k, t) instead of one per pow2 width; the padding
     # cost is < 2x lanes in the worst case while compile count drops ~2x.
+    packed_merge: bool = True
+    # Pack (doc id, quantized contribution) into one int32 key so the
+    # fused merge network moves half the data (kernels/bm25_pallas.py).
+    # Contribution precision adapts to corpus size (31 - doc-id bits;
+    # >= 12 bits, else the kernel falls back to the two-array form).
+    # Exactness: contributions quantize at <= max_row/2^12 ~ 0.02%; set
+    # False for bit-exact BM25 scores.
 
 
 @dataclasses.dataclass(frozen=True)

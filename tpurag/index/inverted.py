@@ -69,10 +69,23 @@ def _next_pow2(x: int) -> int:
     return 1 << max(x - 1, 1).bit_length() if x > 2 else max(x, 1)
 
 
+def packed_cbits(n_docs: int, enabled: bool = True) -> int:
+    """Contribution bits for the packed merge (kernels/bm25_pallas.py):
+    31 - doc-id bits, 0 (= unpacked) when fewer than 12 bits remain.
+    bit_length buckets by powers of two, so a growing corpus only
+    recompiles at pow2 boundaries."""
+    if not enabled:
+        return 0
+    c = 31 - max(int(n_docs) + 1, 2).bit_length()
+    return c if c >= 12 else 0
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "p_max", "t", "widths", "use_pallas"))
+    jax.jit,
+    static_argnames=("k", "p_max", "t", "widths", "use_pallas", "cbits"))
 def _bucket_score(bucketw, rowid, idf, mats, k: int, p_max: int, t: int,
-                  widths: tuple[int, ...], use_pallas: bool):
+                  widths: tuple[int, ...], use_pallas: bool,
+                  cbits: int = 0):
     """Assemble (g, t, p_max) candidates from bucket matrices by row
     gather, apply idf, odd-term flip, and run the segsum top-k tail.
 
@@ -112,7 +125,7 @@ def _bucket_score(bucketw, rowid, idf, mats, k: int, p_max: int, t: int,
     if use_pallas:
         return merge_segsum_topk(doc, con, k=k,
                                  p=p_max if t > 1 else t * p_max, t=t,
-                                 interpret=False)
+                                 cbits=cbits, interpret=False)
     return segsum_topk_candidates(doc, con, k=k)
 
 
@@ -418,7 +431,9 @@ class InvertedIndex:
             s, i = _bucket_score(
                 jnp.asarray(bucketw), jnp.asarray(rowid), jnp.asarray(idf),
                 layout.mats, k=k_eff, p_max=p_max, t=t_max,
-                widths=layout.widths, use_pallas=use_pallas)
+                widths=layout.widths, use_pallas=use_pallas,
+                cbits=packed_cbits(len(self.doc_len),
+                                   self.config.packed_merge))
             s = np.asarray(s)
             i = np.asarray(i)
             if s.shape[1] < kk:

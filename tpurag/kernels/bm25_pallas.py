@@ -32,11 +32,24 @@ from tpurag.kernels.topk import select_topk
 _BIG = 2**30
 
 
-def _merge_segsum_kernel(doc_ref, con_ref, out_v_ref, out_i_ref,
-                         *, k: int, p: int, w: int, t: int):
-    doc = doc_ref[:]
-    con = con_ref[:]
-    lane = jax.lax.broadcasted_iota(jnp.int32, doc.shape, 1)
+def _merge_segsum_kernel(*refs, k: int, p: int, w: int, t: int,
+                         cbits: int = 0):
+    """cbits == 0: classic two-array (doc int32, contrib f32) form.
+
+    cbits > 0 (packed form): one int32 KEY array, key = doc << cbits |
+    quantized contribution — the ~30-40 stage bitonic network then moves
+    HALF the vregs per stage (sorting by key is sorting by (doc, q):
+    same doc grouping). The wrapper quantizes contributions to cbits
+    with a per-row scale (adaptive precision: small corpora leave more
+    bits for the contribution); the kernel dequantizes after the sort."""
+    if cbits:
+        key_ref, scale_ref, out_v_ref, out_i_ref = refs
+        key = key_ref[:]
+        arrays = (key,)
+    else:
+        doc_ref, con_ref, out_v_ref, out_i_ref = refs
+        arrays = (doc_ref[:], con_ref[:])
+    lane = jax.lax.broadcasted_iota(jnp.int32, arrays[0].shape, 1)
 
     # Bitonic merge network starting at block size 2P, expressed as
     # in-kernel loops with dynamic roll shifts (an unrolled network at
@@ -45,20 +58,18 @@ def _merge_segsum_kernel(doc_ref, con_ref, out_v_ref, out_i_ref,
     # Direction mask: lane's kk-block sorts ascending iff (lane & kk) == 0;
     # the lane takes the pair-min iff ascending XOR it is the pair's upper
     # lane.
-    log_2p = (2 * p).bit_length() - 1
 
     def stage(c, kk, s):
-        doc, con = c
+        cmp = c[0]
         upper = (lane & s) != 0
         # pltpu.roll needs non-negative shifts: -s == w - s (circular).
-        nbr_doc = jnp.where(upper, pltpu.roll(doc, s, axis=1),
-                            pltpu.roll(doc, w - s, axis=1))
-        nbr_con = jnp.where(upper, pltpu.roll(con, s, axis=1),
-                            pltpu.roll(con, w - s, axis=1))
+        nbrs = tuple(
+            jnp.where(upper, pltpu.roll(x, s, axis=1),
+                      pltpu.roll(x, w - s, axis=1)) for x in c)
         want_min = ((lane & kk) == 0) ^ upper
         # Logical form (select over i1 vectors is unsupported in Mosaic).
-        take = (want_min & (nbr_doc < doc)) | (~want_min & (nbr_doc > doc))
-        return (jnp.where(take, nbr_doc, doc), jnp.where(take, nbr_con, con))
+        take = (want_min & (nbrs[0] < cmp)) | (~want_min & (nbrs[0] > cmp))
+        return tuple(jnp.where(take, nx, x) for nx, x in zip(nbrs, c))
 
     # Levels unroll in Python (static, <= ~4); the per-level stage loop is a
     # fori_loop with a STATIC trip count and partial unroll — sequential
@@ -76,9 +87,19 @@ def _merge_segsum_kernel(doc_ref, con_ref, out_v_ref, out_i_ref,
         # Mosaic supports only unroll=1 or full unroll; full unroll of one
         # level (9-14 stages) trades a little compile time for removing
         # sequential scalar-core loop iterations.
-        doc, con = jax.lax.fori_loop(0, n_stages, inner, (doc, con),
-                                     unroll=n_stages)
+        arrays = jax.lax.fori_loop(0, n_stages, inner, arrays,
+                                   unroll=n_stages)
         kk_py *= 2
+
+    if cbits:
+        key = arrays[0]
+        doc = jax.lax.shift_right_logical(key, cbits)
+        qv = key & ((1 << cbits) - 1)
+        con = qv.astype(jnp.float32) * scale_ref[:]      # (tb, 1) bcast
+        big = (2**31 - 1) >> cbits                       # packed pad doc
+    else:
+        doc, con = arrays
+        big = _BIG
 
     # Segment sums: a doc appears at most once per term, so after the merge
     # all duplicates of a doc sit within a window of T lanes — T-1
@@ -93,40 +114,72 @@ def _merge_segsum_kernel(doc_ref, con_ref, out_v_ref, out_i_ref,
         cj = pltpu.roll(con, j, axis=1)
         total = total + jnp.where((dj == doc) & (lane >= j), cj, 0.0)
 
-    seg = jnp.where(is_end & (doc < _BIG), total, NEG_INF)
+    seg = jnp.where(is_end & (doc < big), total, NEG_INF)
     vals, ids = select_topk(seg, doc, k)
     out_v_ref[:] = vals
     out_i_ref[:] = ids
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "p", "t", "tile_b", "interpret"))
+                   static_argnames=("k", "p", "t", "tile_b", "cbits",
+                                    "interpret"))
 def merge_segsum_topk(doc: jax.Array, con: jax.Array, k: int, p: int,
-                      t: int = 1, tile_b: int = 0, interpret: bool = False):
+                      t: int = 1, tile_b: int = 0, cbits: int = 0,
+                      interpret: bool = False):
     """doc/con: (B, W) per the module contract; t = query-term slot count
     (bounds duplicate multiplicity). Returns (B, k) (vals, ids), empties
-    as (-inf, -1)."""
+    as (-inf, -1).
+
+    cbits > 0: packed-key form — contributions quantized to cbits with a
+    per-row max scale and packed beside the doc id in one int32, so the
+    merge network moves half the data. Requires every valid doc id
+    < (2^31 - 1) >> cbits; contribution resolution is max_row / 2^cbits
+    (callers pick cbits = 31 - doc_bits, so small corpora quantize at
+    ~1e-6 relative and a 512k-doc corpus still gets 12 bits)."""
     b, w = doc.shape
     if tile_b <= 0:
-        # Adaptive row tile: fill ~1MB of VMEM with the two candidate
-        # arrays (fewer grid steps amortize loop overhead; the unrolled
-        # merge level roughly doubles live temporaries, so staying at
-        # ~1MB keeps the scoped-VMEM stack under the 16MB limit).
-        tile_b = max(8, min(128, (1024 * 1024) // (w * 8)))
+        # Adaptive row tile: fill ~1MB of VMEM with the candidate arrays
+        # (fewer grid steps amortize loop overhead; the unrolled merge
+        # level roughly doubles live temporaries, so staying at ~1MB
+        # keeps the scoped-VMEM stack under the 16MB limit). The packed
+        # form carries one array instead of two.
+        per_row = w * (4 if cbits else 8)
+        tile_b = max(8, min(128, (1024 * 1024) // per_row))
     bp = round_up(b, tile_b)
     if bp != b:
         doc = jnp.pad(doc, ((0, bp - b), (0, 0)), constant_values=_BIG)
         con = jnp.pad(con, ((0, bp - b), (0, 0)))
-    kernel = functools.partial(_merge_segsum_kernel, k=k, p=p, w=w, t=t)
+    kernel = functools.partial(_merge_segsum_kernel, k=k, p=p, w=w, t=t,
+                               cbits=cbits)
+    if cbits:
+        qmax = (1 << cbits) - 1
+        pad_doc = (2**31 - 1) >> cbits
+        scale = jnp.max(con, axis=1, keepdims=True)          # (B, 1)
+        safe = jnp.maximum(scale, 1e-30)
+        qv = jnp.clip(jnp.round(con / safe * qmax), 0, qmax).astype(
+            jnp.int32)
+        key = jnp.where(doc < pad_doc,
+                        jnp.left_shift(doc, cbits) | qv,
+                        jnp.int32(2**31 - 1))
+        inputs = (key, safe / qmax)
+        in_specs = [
+            pl.BlockSpec((tile_b, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        inputs = (doc, con)
+        in_specs = [
+            pl.BlockSpec((tile_b, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     vals, ids = pl.pallas_call(
         kernel,
         grid=(bp // tile_b,),
-        in_specs=[
-            pl.BlockSpec((tile_b, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tile_b, k), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -138,15 +191,15 @@ def merge_segsum_topk(doc: jax.Array, con: jax.Array, k: int, p: int,
             jax.ShapeDtypeStruct((bp, k), jnp.int32),
         ],
         interpret=interpret,
-    )(doc, con)
+    )(*inputs)
     vals, ids = vals[:b], ids[:b]
     empty = vals <= 0.0
     return jnp.where(empty, NEG_INF, vals), jnp.where(empty, -1, ids)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "p_max"))
+@functools.partial(jax.jit, static_argnames=("k", "p_max", "cbits"))
 def bm25_topk_fused(starts, lens, idf, post_doc, post_impact, n_valid,
-                    k: int, p_max: int):
+                    k: int, p_max: int, cbits: int = 0):
     """Full BM25 top-k with the fused Pallas tail. Same contract as
     bm25_topk_segsum (kernels/bm25.py); T and p_max must be powers of 2."""
     from tpurag.kernels.bm25 import _gather_candidates
@@ -170,4 +223,4 @@ def bm25_topk_fused(starts, lens, idf, post_doc, post_impact, n_valid,
     return merge_segsum_topk(doc.reshape(b, t * p_max),
                              contrib.reshape(b, t * p_max),
                              k=k, p=p_max if t > 1 else t * p_max, t=t,
-                             interpret=interpret_mode())
+                             cbits=cbits, interpret=interpret_mode())
