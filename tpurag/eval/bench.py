@@ -104,6 +104,7 @@ def config2_hybrid(seed: int = 0, n: Optional[int] = None) -> dict:
     """Hybrid top-8 dense+BM25+RRF. The headline config (see /bench.py)."""
     import jax.numpy as jnp
 
+    from tpurag.index.inverted import packed_cbits
     from tpurag.kernels.bm25_pallas import bm25_topk_fused
     from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
     from tpurag.kernels.fusion import rrf_fuse
@@ -139,7 +140,8 @@ def config2_hybrid(seed: int = 0, n: Optional[int] = None) -> dict:
             v_s, v_i = dense_topk_xla(qq, emb_dev, nv, k)
         k_s, k_i = bm25_topk_fused(
             jnp.roll(qs, i, axis=0), jnp.roll(ql, i, axis=0),
-            jnp.roll(qi, i, axis=0), pd, pi, nv, k=k, p_max=p_max)
+            jnp.roll(qi, i, axis=0), pd, pi, nv, k=k, p_max=p_max,
+            cbits=packed_cbits(n))
         s, ids, bits = rrf_fuse((v_i, k_i), weights=(1.0, 1.0), final_k=k)
         return s.sum()
 
