@@ -179,6 +179,49 @@ def test_packed_merge_matches_unpacked(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_packed_merge_cbits12_parity(rng):
+    """CI gate at the MINIMUM packing resolution the policy allows:
+    cbits=12 (a ~512k-doc corpus). packed_merge defaults to True, so the
+    coarsest quantization the default path can ever run at must keep
+    top-k id parity with the exact two-array merge wherever exact
+    scores are separated by more than the quantization error bound
+    (t contributions, each off by <= scale/2 = max_row / (2*(2^12-1)))."""
+    from tpurag.index.inverted import packed_cbits
+    from tpurag.kernels.bm25_pallas import merge_segsum_topk
+
+    n_docs = 520_000                       # doc_bits = 19 -> cbits = 12
+    cbits = packed_cbits(n_docs)
+    assert cbits == 12
+    b, t, p, k = 8, 4, 64, 8
+    w = t * p
+    doc = np.sort(rng.integers(0, n_docs, (b, t, p)).astype(np.int32),
+                  axis=2)
+    con = rng.uniform(0.1, 3.0, (b, t, p)).astype(np.float32)
+    # Flip odd term blocks so each 2P window is bitonic (the
+    # bm25_topk_fused input contract).
+    for j in range(1, t, 2):
+        doc[:, j] = doc[:, j, ::-1]
+        con[:, j] = con[:, j, ::-1]
+    dj = jnp.asarray(doc.reshape(b, w))
+    cj = jnp.asarray(con.reshape(b, w))
+    v0, i0 = merge_segsum_topk(dj, cj, k=k, p=p, t=t, interpret=True)
+    v1, i1 = merge_segsum_topk(dj, cj, k=k, p=p, t=t, cbits=cbits,
+                               interpret=True)
+    v0, i0 = np.asarray(v0), np.asarray(i0)
+    v1, i1 = np.asarray(v1), np.asarray(i1)
+    qmax = (1 << cbits) - 1
+    bound = t * con.reshape(b, w).max(axis=1) / (2 * qmax)      # (B,)
+    np.testing.assert_allclose(v1, v0, atol=float(bound.max()) + 1e-5)
+    # Id parity at every rank whose exact score is separated from BOTH
+    # neighbours by > 2*bound (the last rank is skipped: it can swap
+    # with the unseen k+1-th candidate within quantization).
+    gap_lo = v0[:, :-1] - v0[:, 1:] > 2 * bound[:, None]        # (B, k-1)
+    stable = gap_lo.copy()
+    stable[:, 1:] &= gap_lo[:, :-1]
+    assert stable.sum() > b * 2, "fixture too tie-heavy to gate anything"
+    np.testing.assert_array_equal(i0[:, :-1][stable], i1[:, :-1][stable])
+
+
 def test_packed_cbits_policy():
     from tpurag.index.inverted import packed_cbits
 

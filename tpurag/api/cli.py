@@ -64,6 +64,10 @@ def cmd_ingest(args):
                            embedder=embedder, quant=quant)
     else:
         kb = _load_kb(args.kb, create=True)
+        if quant and not getattr(kb, "quant", False):
+            print("warning: --quant ignored — KB at %s already exists "
+                  "without quantization (rebuild the KB to enable it)"
+                  % args.kb, file=sys.stderr)
     docs = []
     for src in args.paths:
         p = pathlib.Path(src)

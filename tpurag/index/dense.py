@@ -127,7 +127,12 @@ class DenseIndex:
                     jnp.zeros((self.capacity, self.dim), jnp.int8))
                 self._qscale = self._place1(
                     jnp.zeros((self.capacity,), jnp.float32))
-            r8, rs = quantize_rows(vecs)
+            # Quantize from the STORAGE-dtype rows (not the fp32 input):
+            # load() rebuilds the sidecar from self._emb, so quantizing
+            # the same source keeps int8 codes — and therefore the
+            # candidate set near the recall boundary — bit-identical
+            # across a save/load round-trip.
+            r8, rs = quantize_rows(vecs.astype(self.dtype))
             self._q8 = jax.lax.dynamic_update_slice(
                 self._q8, r8, (self.n_active, 0))
             self._qscale = jax.lax.dynamic_update_slice(

@@ -228,8 +228,10 @@ def dense_topk_pallas(queries, emb, n_valid, k: int,
         ),
         interpret=interpret,
     )(nv, q, e)
-    # Sentinel ids (no real candidate) -> -1.
-    ids = jnp.where(ids >= _BIG_ID, -1, ids)
+    # Sentinel ids (no real candidate) -> -1. NEG_INF-valued slots can
+    # also carry real in-range ids when k > n_valid (padding columns
+    # beat the 2^30 sentinels on the id tie-break) — mask those too.
+    ids = jnp.where((ids >= _BIG_ID) | (vals <= NEG_INF / 2), -1, ids)
     return vals[:b], ids[:b]
 
 

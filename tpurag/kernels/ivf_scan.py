@@ -174,7 +174,7 @@ def ivf_probe_topk_pallas(q, emb_ivf, starts_sel, counts_sel, k: int,
             grid=(bp // _QT, n_probe, n_sub),
             in_specs=[
                 pl.BlockSpec((_QT, dp), imap_q, memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
                 pl.BlockSpec((_QT, k), imap_q, memory_space=pltpu.VMEM),
@@ -237,8 +237,10 @@ def ivf_scan_pallas(q, centroids, emb_ivf, cluster_starts, cluster_counts,
             scales_sel=cluster_scales[probe], interpret=interpret)
         if rescore_emb is not None:
             # Sentinel ids AND any NEG_INF-valued slot (belt-and-braces:
-            # a zero padding row must never rescore as a 0.0 hit).
-            cand = jnp.where((ids >= _BIG) | (vals < -1e10), -1, ids)
+            # a zero padding row must never rescore as a 0.0 hit). vals
+            # here are raw kernel output — no q_scale multiply yet — so
+            # the NEG_INF/2 threshold is exact, not a magic constant.
+            cand = jnp.where((ids >= _BIG) | (vals <= NEG_INF / 2), -1, ids)
             vals, ids = rescore_topk(q.astype(jnp.float32), rescore_emb,
                                      cand, k)
             ids = jnp.where(ids < 0, _BIG, ids)

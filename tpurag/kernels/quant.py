@@ -66,7 +66,11 @@ def dense_topk_xla_q8(q_i8, q_scale, emb_i8, e_scale, n_valid, k: int):
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(col < n_valid, scores, NEG_INF)
     vals, ids = jax.lax.top_k(scores, k)
-    return vals * q_scale[:, None], ids.astype(jnp.int32)
+    # Mask by value BEFORE the q_scale multiply: when k > n_valid the
+    # NEG_INF padding columns surface with real in-range ids, and the
+    # scaled value is q_scale-dependent (0 for a zero query).
+    ids = jnp.where(vals <= NEG_INF / 2, -1, ids.astype(jnp.int32))
+    return vals * q_scale[:, None], ids
 
 
 @functools.partial(
@@ -141,7 +145,12 @@ def dense_topk_pallas_q8(q_i8, q_scale, emb_i8, e_scale, n_valid, k: int,
         ),
         interpret=interpret,
     )(nv, q, e, es)
-    ids = jnp.where(ids >= _BIG_ID, -1, ids)
+    # Sentinel ids AND NEG_INF-valued slots both mean "no candidate".
+    # When m > n_valid the masked padding columns can surface with REAL
+    # in-range column ids (they beat the 2^30 sentinels on the id
+    # tie-break) — mask by the pre-scale value so callers can rely on
+    # ids == -1 regardless of q_scale.
+    ids = jnp.where((ids >= _BIG_ID) | (vals <= NEG_INF / 2), -1, ids)
     qs = pad_axis(q_scale.astype(jnp.float32), 0, bp)
     return (vals * qs[:, None])[:b], ids[:b]
 
@@ -220,7 +229,7 @@ def gather_scores_pallas(queries, emb, cand_ids, tile_b: int = 8,
             in_specs=[
                 pl.BlockSpec((tile_b, d), lambda i, ids: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
                 pl.BlockSpec((tile_b, m), lambda i, ids: (i, 0),
@@ -305,12 +314,8 @@ def dense_topk_q8(queries, emb_i8, e_scale, n_valid, k: int, *,
                                          jnp.int32(n_valid), m)
     if rescore_emb is None:
         return vals, ids
-    # When m > n_valid, NEG_INF-masked padding columns can surface with
-    # REAL in-range ids (they beat the >=2^30 sentinels on the id
-    # tie-break) — rescoring would resurrect those zero rows as 0.0
-    # hits. Mask by value; the threshold must survive the wrapper's
-    # q_scale multiply (NEG_INF * small scale is still << -1e10,
-    # real cosines are within +-1).
-    cand = jnp.where(vals < -1e10, -1, ids)
+    # Both scan wrappers guarantee ids == -1 for padding/no-candidate
+    # slots (masked by pre-scale value inside the wrapper), so the ids
+    # feed the rescore directly.
     return rescore_topk(jnp.asarray(queries, jnp.float32), rescore_emb,
-                        cand, k)
+                        ids, k)

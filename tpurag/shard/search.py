@@ -68,10 +68,7 @@ def _local_search_q8(q, q8, qs, e8_local, es_local, emb_local, n_valid, k,
                                         n_local, m)
     else:
         cv, cand = dense_topk_xla_q8(q8, qs, e8_local, es_local, n_local, m)
-    # Padding columns past n_local can surface with real in-range ids on
-    # NEG_INF values (id tie-break vs the init sentinels) — mask by
-    # value before the rescore resurrects those zero rows as 0.0 hits.
-    cand = jnp.where(cv < -1e10, -1, cand)
+    del cv  # both q8 wrappers return ids == -1 for padding/no-candidate
     vals, ids = rescore_topk(q, emb_local, cand, k)
     gids = jnp.where(ids >= 0, ids + offset, -1)
     all_vals = jax.lax.all_gather(vals, data_axis, axis=1, tiled=True)
