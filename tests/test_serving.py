@@ -364,3 +364,29 @@ class TestMultiKBAndAuth:
                 assert json.loads(r.read())["results"]
         finally:
             srv.shutdown()
+
+    def test_token_signing_expiry_revocation(self):
+        """Reference security properties (auth.ts JWT strategy): signed
+        claims, 30-day default expiry, per-token revocation."""
+        from tpurag.api.sessions import TokenAuth
+
+        auth = TokenAuth()
+        tok = auth.issue("alice", now=1000.0)
+        assert auth.verify(tok, now=1000.0 + 86400) == "alice"
+        # expiry: next-auth default 30 days
+        assert auth.verify(tok, now=1000.0 + 31 * 86400) is None
+        # tampering: flip a payload byte -> signature mismatch
+        bad = ("A" if tok[0] != "A" else "B") + tok[1:]
+        assert auth.verify(bad, now=1000.0) is None
+        # a different key cannot validate the token
+        assert TokenAuth().verify(tok, now=1000.0) is None
+        # revocation is per-token
+        tok2 = auth.issue("alice", now=1000.0)
+        assert auth.revoke(tok) and not auth.revoke(tok)
+        assert auth.verify(tok, now=1000.0) is None
+        assert auth.verify(tok2, now=1000.0) == "alice"
+        # custom ttl
+        short = auth.issue("bob", ttl_s=10, now=0.0)
+        assert auth.verify(short, now=5.0) == "bob"
+        assert auth.verify(short, now=11.0) is None
+        assert auth.verify("garbage") is None and auth.verify(None) is None

@@ -1,0 +1,128 @@
+"""Default web fetchers (agent/web.py) + remote repo acquisition
+(code/fetcher.py) — offline tests with injected transports.
+
+Reference behaviors: src/lib/llm/tools/web-tools.ts:64-240 (SearXNG
+failover, HTML strip, caps), src/lib/github/repo-fetcher.ts:185-300
+(zip-then-clone order, URL parsing)."""
+
+import json
+import pathlib
+import subprocess
+
+import pytest
+
+from tpurag.agent.tools import ToolContext, create_all_tools
+from tpurag.agent.web import (default_fetchers, format_searx_results,
+                              make_searx_fetcher, strip_html, web_enabled)
+from tpurag.code.fetcher import fetch_repo, parse_github_url
+
+
+def test_strip_html_entities_and_cap():
+    raw = ("<html><script>var x=1;</script><style>.a{}</style>"
+           "<body><h1>Qu&eacute;ry &amp; Results</h1><p>body  text</p>")
+    out = strip_html(raw)
+    assert "var x" not in out and ".a{}" not in out
+    assert "Quéry & Results" in out and "body text" in out
+    long = strip_html("<p>" + "word " * 2000)
+    assert len(long) <= 3000 + len("...(truncated)")
+    assert long.endswith("...(truncated)")
+
+
+def test_format_searx_results_top3():
+    data = {"results": [
+        {"title": f"T{i}", "content": f"C{i}", "url": f"http://x/{i}"}
+        for i in range(5)]}
+    out = format_searx_results(data)
+    assert "[1] T0" in out and "[3] T2" in out and "[4]" not in out
+    assert "source: http://x/1" in out
+    with pytest.raises(RuntimeError):
+        format_searx_results({"results": []})
+
+
+def test_searx_fetcher_search_and_page():
+    calls = []
+
+    def fake_get(url, timeout, accept):
+        calls.append((url, timeout, accept))
+        if "format=json" in url:
+            return json.dumps({"results": [
+                {"title": "A", "content": "B", "url": "http://a"}]})
+        return "<p>page body</p>"
+
+    fetch = make_searx_fetcher("http://searx.local/", http_get=fake_get)
+    out = fetch("search://jax pallas")
+    assert "[1] A" in out
+    url, timeout, accept = calls[0]
+    assert url.startswith("http://searx.local/search?")
+    assert "q=jax+pallas" in url and timeout == 8.0          # 8s search
+    assert "json" in accept
+    page = fetch("http://example.com/doc")
+    assert page == "<p>page body</p>" and calls[1][1] == 10.0  # 10s fetch
+
+
+def test_default_fetchers_flag_gated():
+    assert default_fetchers(env={}) == []
+    assert not web_enabled(env={})
+    got = default_fetchers(env={"TPURAG_WEB_FETCH": "1",
+                               "TPURAG_SEARX_INSTANCES":
+                               "http://a.local, http://b.local"})
+    assert len(got) == 2 and all(callable(f) for f in got)
+
+
+def test_web_search_tool_failover_uses_second_instance():
+    def bad(url):
+        raise RuntimeError("down")
+
+    def good(url):
+        assert url.startswith("search://")
+        return "[1] hit\nbody\nsource: http://x"
+
+    ctx = ToolContext(kb=None, fetchers=[bad, good])
+    out = create_all_tools(ctx)["web_search"](query="anything at all")
+    assert "[1] hit" in out and ctx.web_failures == 0
+
+
+def test_fetch_webpage_tool_strips_html():
+    ctx = ToolContext(kb=None,
+                      fetcher=lambda url: "<b>bold&nbsp;move</b><script>x")
+    out = create_all_tools(ctx)["fetch_webpage"](url="http://e.com")
+    assert out.startswith("bold") and "move" in out and "<b>" not in out
+
+
+def test_parse_github_url_forms():
+    for u in ("https://github.com/o-wn.er/re.po",
+              "https://www.github.com/o-wn.er/re.po/",
+              "git@github.com:o-wn.er/re.po.git",
+              "o-wn.er/re.po"):
+        assert parse_github_url(u) == ("o-wn.er", "re.po"), u
+    assert parse_github_url("https://gitlab.com/a/b") is None
+    assert parse_github_url("/some/local/path") is None
+
+
+def test_fetch_repo_local_passthrough(tmp_path):
+    assert fetch_repo(str(tmp_path), env={}) == tmp_path
+
+
+def test_fetch_repo_remote_requires_flag(tmp_path):
+    with pytest.raises(PermissionError):
+        fetch_repo("https://github.com/a/b", str(tmp_path / "d"), env={})
+
+
+def test_fetch_repo_git_fallback_local_remote(tmp_path):
+    """Non-GitHub URL -> shallow git clone; exercised with a local
+    'remote' so the path runs offline."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f.py").write_text("x = 1\n")
+    subprocess.run(["git", "init", "-q"], cwd=src, check=True)
+    subprocess.run(["git", "add", "-A"], cwd=src, check=True)
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t",
+         "commit", "-qm", "init"], cwd=src, check=True)
+    dest = tmp_path / "clone"
+    branch = subprocess.run(
+        ["git", "rev-parse", "--abbrev-ref", "HEAD"], cwd=src,
+        capture_output=True, text=True, check=True).stdout.strip()
+    got = fetch_repo("file://" + str(src), str(dest), branch=branch,
+                     env={"TPURAG_WEB_FETCH": "1"})
+    assert pathlib.Path(got, "f.py").read_text() == "x = 1\n"

@@ -63,6 +63,15 @@ class Agent:
         self.memory = memory
         self.llm = llm
         self.config = config or EngineConfig()
+        if fetcher is None:
+            # Flag-gated stdlib SearXNG client (TPURAG_WEB_FETCH=1);
+            # injection always wins (agent/web.py).
+            from tpurag.agent.web import default_fetchers
+
+            self.fetchers = default_fetchers()
+            fetcher = self.fetchers[0] if self.fetchers else None
+        else:
+            self.fetchers = []
         self.fetcher = fetcher
         self.engine = ContextEngine(kb, memory_service=memory,
                                     config=self.config, llm=llm)
@@ -76,7 +85,7 @@ class Agent:
         trace = ctx.trace
 
         tool_ctx = ToolContext(kb=self.kb, graph=self.graph, llm=self.llm,
-                               fetcher=self.fetcher)
+                               fetcher=self.fetcher, fetchers=self.fetchers)
         tools = create_all_tools(tool_ctx)
 
         if ctx.intent.skip_agent:

@@ -226,12 +226,11 @@ def create_fetch_webpage_tool(ctx: ToolContext) -> Tool:
         if ctx.fetcher is None:
             return "Webpage fetching is not configured in this deployment."
         try:
-            import re
-            html = ctx.fetcher(url)
-            text = re.sub(r"<script.*?</script>|<style.*?</style>", "", html,
-                          flags=re.DOTALL | re.IGNORECASE)
-            text = re.sub(r"<[^>]+>", " ", text)
-            return re.sub(r"\s+", " ", text)[:3000]  # web-tools.ts 3000 cap
+            from tpurag.agent.web import strip_html
+
+            # script/style strip + entity unescape + 3000-char cap
+            # (web-tools.ts:200-218).
+            return strip_html(ctx.fetcher(url))
         except Exception as e:
             return f"Fetch failed: {e}"
     return Tool("fetch_webpage", "Fetch and strip a webpage to text.", fn)

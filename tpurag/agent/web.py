@@ -1,0 +1,109 @@
+"""Default stdlib HTTP fetchers for the web_search / fetch_webpage tools.
+
+Reference behavior: src/lib/llm/tools/web-tools.ts:64-138 (SearXNG JSON
+search with per-instance failover, 8 s search timeout), :163-240 (page
+fetch with 10 s timeout, script/style strip, entity unescape, 3000-char
+cap) and tools/types.ts:45-53 (instance list from env, default single
+instance).
+
+Flag-gated OFF by default: this build targets zero-egress environments
+and the test suite injects fakes, so the tools stay inert unless
+``TPURAG_WEB_FETCH=1`` is set (then ``TPURAG_SEARX_INSTANCES`` — a
+comma-separated base-URL list, reference env SEARXNG_URL — selects the
+search backends). An explicitly injected ``fetcher`` always wins over
+these defaults.
+"""
+
+from __future__ import annotations
+
+import html
+import json
+import os
+import re
+import urllib.parse
+import urllib.request
+
+SEARCH_SCHEME = "search://"       # fetcher protocol: search vs page GET
+SEARCH_TIMEOUT_S = 8.0            # web-tools.ts timeout: 8000 ms
+FETCH_TIMEOUT_S = 10.0            # web-tools.ts:181: 10 000 ms
+TEXT_CAP = 3000                   # web-tools.ts:215 content cap
+_UA = ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) "
+       "AppleWebKit/537.36 (KHTML, like Gecko) Safari/537.36")
+
+
+def web_enabled(env=os.environ) -> bool:
+    return env.get("TPURAG_WEB_FETCH", "") == "1"
+
+
+def strip_html(raw: str, cap: int = TEXT_CAP) -> str:
+    """Script/style removal + tag strip + entity unescape + whitespace
+    collapse + length cap — the reference's extraction pipeline
+    (web-tools.ts:200-218)."""
+    text = re.sub(r"<script[^>]*>[\s\S]*?</script>", " ", raw,
+                  flags=re.IGNORECASE)
+    text = re.sub(r"<style[^>]*>[\s\S]*?</style>", " ", text,
+                  flags=re.IGNORECASE)
+    text = re.sub(r"<[^>]+>", " ", text)
+    text = html.unescape(text)
+    text = re.sub(r"\s+", " ", text).strip()
+    if len(text) > cap:
+        text = text[:cap] + "...(truncated)"
+    return text
+
+
+def _http_get(url: str, timeout: float, accept: str) -> str:
+    if urllib.parse.urlsplit(url).scheme not in ("http", "https"):
+        raise ValueError(f"unsupported URL scheme: {url!r}")
+    req = urllib.request.Request(
+        url, headers={"User-Agent": _UA, "Accept": accept})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        status = getattr(resp, "status", 200)
+        if status >= 400:
+            raise RuntimeError(f"HTTP {status}")
+        charset = resp.headers.get_content_charset() or "utf-8"
+        return resp.read().decode(charset, errors="replace")
+
+
+def format_searx_results(data: dict, n: int = 3) -> str:
+    """Top-n result block: ``[i] title / content / source: url``
+    (web-tools.ts:93-96)."""
+    results = (data.get("results") or [])[:n]
+    if not results:
+        raise RuntimeError("no results")
+    return "\n\n".join(
+        f"[{i + 1}] {r.get('title') or 'untitled'}\n"
+        f"{r.get('content') or r.get('description') or ''}\n"
+        f"source: {r.get('url') or ''}"
+        for i, r in enumerate(results))
+
+
+def make_searx_fetcher(instance: str, http_get=_http_get):
+    """A ``fetcher(url) -> str`` bound to one SearXNG instance.
+
+    ``search://<query>`` runs the instance's JSON search API and returns
+    the formatted top-3 block (raising on empty so the tool's failover
+    tries the next instance); any other URL is a page GET returning the
+    raw body (the fetch_webpage tool strips it)."""
+    instance = instance.rstrip("/")
+
+    def fetch(url: str) -> str:
+        if url.startswith(SEARCH_SCHEME):
+            query = url[len(SEARCH_SCHEME):]
+            q = urllib.parse.urlencode({"q": query, "format": "json"})
+            body = http_get(f"{instance}/search?{q}", SEARCH_TIMEOUT_S,
+                            "application/json")
+            return format_searx_results(json.loads(body))
+        return http_get(url, FETCH_TIMEOUT_S,
+                        "text/html,application/xhtml+xml,*/*;q=0.8")
+
+    return fetch
+
+
+def default_fetchers(env=os.environ):
+    """Per-instance fetcher list for ToolContext.fetchers — empty unless
+    the TPURAG_WEB_FETCH flag opts in (injection always overrides)."""
+    if not web_enabled(env):
+        return []
+    raw = env.get("TPURAG_SEARX_INSTANCES", "")
+    instances = [i.strip() for i in raw.split(",") if i.strip()]
+    return [make_searx_fetcher(i) for i in instances]

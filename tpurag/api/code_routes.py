@@ -61,7 +61,7 @@ class CodebaseManager:
 
         from tpurag.api.knowledge_base import KnowledgeBase
         from tpurag.code.chunks import create_code_chunks
-        from tpurag.code.fetcher import clone_repo, walk_code_files
+        from tpurag.code.fetcher import fetch_repo, walk_code_files
         from tpurag.code.modules import build_module_graph
         from tpurag.code.structure import analyze_repo_structure
         from tpurag.code.symbols import SymbolTable
@@ -73,8 +73,10 @@ class CodebaseManager:
         import tempfile
 
         root = pathlib.Path(cb.path)
-        if not root.exists():  # URL: shallow clone (repo-fetcher.ts:185)
-            root = clone_repo(cb.path, tempfile.mkdtemp(prefix="tpurag_cb_"))
+        if not root.exists():
+            # URL: GitHub archive zip, then shallow-clone fallback —
+            # flag-gated behind TPURAG_WEB_FETCH (repo-fetcher.ts:185).
+            root = fetch_repo(cb.path, tempfile.mkdtemp(prefix="tpurag_cb_"))
         cb.files = walk_code_files(root)
         progress(20, "structure")
         cb.structure = analyze_repo_structure(root, cb.files)

@@ -2,14 +2,17 @@
 
 Reference: Prisma ChatSession/ChatHistory rows + next-auth credentials
 (SURVEY.md §2.8, prisma/schema.prisma). Equivalent host-side store:
-sessions with history persistence to JSON, and token-based auth for the
-HTTP shim (bcrypt-JWT replaced by salted-hash API tokens — the framework
-is a service core, not a user-facing web app)."""
+sessions with history persistence to JSON, plus the reference's auth
+security properties in stdlib form — scrypt password hashing (bcrypt
+peer) and HMAC-signed expiring API tokens with revocation (next-auth
+JWT strategy, src/lib/auth.ts:6-65)."""
 
 from __future__ import annotations
 
+import base64
 import dataclasses
 import hashlib
+import hmac
 import json
 import pathlib
 import secrets
@@ -80,9 +83,9 @@ class SessionStore:
 
 class UserStore:
     """Credentials store (next-auth register/login parity,
-    src/app/api/auth/register/route.ts:11, src/lib/auth.ts:6-65): salted
-    password hashes (blake2b standing in for bcrypt in this service
-    core), login issues API tokens through a TokenAuth."""
+    src/app/api/auth/register/route.ts:11, src/lib/auth.ts:6-65):
+    salted scrypt password hashes (stdlib bcrypt peer), login issues
+    signed expiring tokens through a TokenAuth."""
 
     def __init__(self, auth: "TokenAuth"):
         self.auth = auth
@@ -90,8 +93,11 @@ class UserStore:
 
     @staticmethod
     def _pw_hash(password: str, salt: str) -> str:
-        return hashlib.blake2b((salt + password).encode(),
-                               digest_size=24).hexdigest()
+        # scrypt: memory-hard KDF, the stdlib peer of the reference's
+        # bcrypt (auth.ts:27 bcrypt.compare). n=2^14/r=8/p=1 is the
+        # OWASP-recommended interactive-login cost.
+        return hashlib.scrypt(password.encode(), salt=salt.encode(),
+                              n=1 << 14, r=8, p=1, dklen=32).hex()
 
     def register(self, username: str, password: str) -> bool:
         if not username or not password or username in self._users:
@@ -110,27 +116,74 @@ class UserStore:
         return None
 
 
+def _b64url(data: bytes) -> str:
+    return base64.urlsafe_b64encode(data).rstrip(b"=").decode()
+
+
+def _b64url_dec(s: str) -> bytes:
+    return base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+
+
 class TokenAuth:
-    """Salted-hash API-token auth (replaces next-auth credentials+bcrypt,
-    src/lib/auth.ts:6-65, for a service deployment)."""
+    """Signed, expiring API tokens (the reference's next-auth JWT
+    session strategy, src/lib/auth.ts:43-63: HS256-signed claims with
+    the next-auth default 30-day lifetime).
 
-    def __init__(self):
-        self._tokens: dict[str, str] = {}  # hash -> principal
+    Token = ``payload.signature`` where payload is base64url JSON
+    ``{sub, exp, jti}`` and signature is HMAC-SHA256 under a per-process
+    (or injected) secret. verify() checks signature THEN expiry THEN a
+    revocation denylist, so tokens are stateless to validate but still
+    individually revocable."""
 
-    @staticmethod
-    def _hash(token: str) -> str:
-        return hashlib.blake2b(token.encode(), digest_size=16,
-                               person=b"tpuragTK").hexdigest()
+    DEFAULT_TTL_S = 30 * 24 * 3600   # next-auth default session maxAge
 
-    def issue(self, principal: str) -> str:
-        token = secrets.token_urlsafe(24)
-        self._tokens[self._hash(token)] = principal
-        return token
+    def __init__(self, secret: Optional[bytes] = None,
+                 ttl_s: float = DEFAULT_TTL_S):
+        self._secret = secret or secrets.token_bytes(32)
+        self.ttl_s = ttl_s
+        self._revoked: set[str] = set()   # jti denylist
 
-    def verify(self, token: Optional[str]) -> Optional[str]:
+    def _sign(self, payload: str) -> str:
+        return _b64url(hmac.new(self._secret, payload.encode(),
+                                hashlib.sha256).digest())
+
+    def issue(self, principal: str, ttl_s: Optional[float] = None,
+              now: Optional[float] = None) -> str:
+        now = time.time() if now is None else now
+        payload = _b64url(json.dumps({
+            "sub": principal,
+            "exp": now + (self.ttl_s if ttl_s is None else ttl_s),
+            "jti": secrets.token_hex(8),
+        }, separators=(",", ":")).encode())
+        return f"{payload}.{self._sign(payload)}"
+
+    def _claims(self, token: str) -> Optional[dict]:
+        try:
+            payload, sig = token.rsplit(".", 1)
+        except ValueError:
+            return None
+        if not hmac.compare_digest(self._sign(payload), sig):
+            return None
+        try:
+            return json.loads(_b64url_dec(payload))
+        except (ValueError, UnicodeDecodeError):
+            return None
+
+    def verify(self, token: Optional[str],
+               now: Optional[float] = None) -> Optional[str]:
         if not token:
             return None
-        return self._tokens.get(self._hash(token))
+        claims = self._claims(token)
+        if claims is None:
+            return None
+        now = time.time() if now is None else now
+        if claims.get("exp", 0) <= now or claims.get("jti") in self._revoked:
+            return None
+        return claims.get("sub")
 
     def revoke(self, token: str) -> bool:
-        return self._tokens.pop(self._hash(token), None) is not None
+        claims = self._claims(token)
+        if claims is None or claims.get("jti") in self._revoked:
+            return False
+        self._revoked.add(claims["jti"])
+        return True

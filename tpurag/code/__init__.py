@@ -1,4 +1,5 @@
-from tpurag.code.fetcher import walk_code_files, clone_repo  # noqa: F401
+from tpurag.code.fetcher import (walk_code_files, clone_repo,  # noqa: F401
+                                 fetch_repo, parse_github_url)
 from tpurag.code.structure import analyze_repo_structure  # noqa: F401
 from tpurag.code.chunks import create_code_chunks  # noqa: F401
 from tpurag.code.modules import build_module_graph  # noqa: F401

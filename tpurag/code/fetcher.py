@@ -2,14 +2,19 @@
 
 Reference: src/lib/github/repo-fetcher.ts — GitHub zip download with
 `git clone --depth 1` fallback (:185-300) and a file walker with ignore
-lists (:31-50,327-372). This environment is zero-egress, so clone_repo
-shells out to git (works for local/mirrored remotes) and local paths are
-first-class."""
+lists (:31-50,327-372). Local paths are first-class; remote acquisition
+(fetch_repo: GitHub archive zip, then shallow git clone) is flag-gated
+behind TPURAG_WEB_FETCH=1 for zero-egress deployments."""
 
 from __future__ import annotations
 
+import os
 import pathlib
+import re
+import shutil
 import subprocess
+import tempfile
+import zipfile
 
 IGNORE_DIRS = {
     ".git", "node_modules", "dist", "build", "out", ".next", "coverage",
@@ -38,6 +43,85 @@ def clone_repo(url_or_path: str, dest: str, depth: int = 1) -> pathlib.Path:
     subprocess.run(
         ["git", "clone", "--depth", str(depth), url_or_path, str(dest_p)],
         check=True, capture_output=True, timeout=300)
+    return dest_p
+
+
+def parse_github_url(url: str):
+    """(owner, repo) from https/ssh/shorthand GitHub forms, else None
+    (repo-fetcher.ts parseGitHubUrl semantics)."""
+    m = re.match(
+        r"^(?:https?://(?:www\.)?github\.com/|git@github\.com:)"
+        r"([\w.-]+)/([\w.-]+?)(?:\.git)?/?$", url)
+    if not m:
+        m = re.match(r"^([\w.-]+)/([\w.-]+)$", url)
+    return (m.group(1), m.group(2)) if m else None
+
+
+def _download_github_zip(owner: str, repo: str, branch: str,
+                         dest: pathlib.Path,
+                         progress=None) -> pathlib.Path:
+    """Download + extract a GitHub branch archive into dest
+    (repo-fetcher.ts:236-300: archive zip, extract, hoist the
+    `repo-branch/` top directory)."""
+    import urllib.request
+
+    url = (f"https://github.com/{owner}/{repo}"
+           f"/archive/refs/heads/{branch}.zip")
+    if progress:
+        progress("Downloading", 10)
+    req = urllib.request.Request(url, headers={"User-Agent": "tpurag/1.0"})
+    with tempfile.TemporaryDirectory(prefix="tpurag_zip_") as td:
+        zip_path = pathlib.Path(td, "repo.zip")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            zip_path.write_bytes(resp.read())
+        if progress:
+            progress("Extracting", 70)
+        with zipfile.ZipFile(zip_path) as zf:
+            zf.extractall(td)
+        inner = [p for p in pathlib.Path(td).iterdir()
+                 if p.is_dir() and p.name.startswith(f"{repo}-")]
+        if not inner:
+            raise RuntimeError("archive had no repo directory")
+        dest.mkdir(parents=True, exist_ok=True)
+        for item in inner[0].iterdir():
+            shutil.move(str(item), str(dest / item.name))
+    if progress:
+        progress("Complete", 100)
+    return dest
+
+
+def fetch_repo(url_or_path: str, dest: str | None = None,
+               branch: str = "main", progress=None,
+               env=os.environ) -> pathlib.Path:
+    """Acquire a repository: local directories pass through; remote URLs
+    need TPURAG_WEB_FETCH=1 and try the GitHub archive zip first, then
+    fall back to `git clone --depth 1 --single-branch`
+    (repo-fetcher.ts:185-232 order)."""
+    p = pathlib.Path(url_or_path)
+    if p.exists() and p.is_dir():
+        return p
+    if env.get("TPURAG_WEB_FETCH", "") != "1":
+        raise PermissionError(
+            "remote repo acquisition is disabled (set TPURAG_WEB_FETCH=1); "
+            f"{url_or_path!r} is not a local directory")
+    dest_p = pathlib.Path(dest or tempfile.mkdtemp(prefix="tpurag_repo_"))
+    gh = parse_github_url(url_or_path)
+    if gh is not None:
+        try:
+            return _download_github_zip(gh[0], gh[1], branch, dest_p,
+                                        progress)
+        except Exception:
+            pass  # fall back to git (repo-fetcher.ts:214)
+    if progress:
+        progress("Cloning", 10)
+    url = (f"https://github.com/{gh[0]}/{gh[1]}.git" if gh
+           else url_or_path)
+    subprocess.run(
+        ["git", "clone", "--depth", "1", "--single-branch",
+         "--branch", branch, url, str(dest_p)],
+        check=True, capture_output=True, timeout=300)
+    if progress:
+        progress("Cloning", 100)
     return dest_p
 
 

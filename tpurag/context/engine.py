@@ -105,11 +105,17 @@ class ContextEngine:
                 PRESETS["unified"], final_top_k=decision.top_k + 10)
             resp = self.kb.search(query, preset=preset, mode="hybrid")
             results = process_results(resp.results, query, cfg)
+            # RRF fused scores live in (0, rrf_max]; dividing by the
+            # preset's theoretical maximum (rank 0 in both sources +
+            # both-bonus) maps them onto [0, 1] exactly — downstream
+            # memory/document confidences compare on that scale.
+            inv_max = 1.0 / preset.rrf_max
             for r in results:
+                conf = min(max(r.score * inv_max, 0.0), 1.0)
                 if r.source == "memory":
-                    memories.append((r.text, min(max(r.score * 50, 0.0), 1.0)))
+                    memories.append((r.text, conf))
                 else:
-                    documents.append((r.text, min(max(r.score * 50, 0.0), 1.0)))
+                    documents.append((r.text, conf))
             documents = documents[: decision.top_k]
             trace.record("retrieval", time.perf_counter() - t1)
             trace.retrieved = results

@@ -36,6 +36,14 @@ class HybridPreset:
     keyword_top_k: int = 8
     min_vector_score: float = 0.3
     both_bonus: float = 0.1
+
+    @property
+    def rrf_max(self) -> float:
+        """Theoretical maximum fused score under this preset: rank 0 in
+        every source (w/(rrf_k+1) each) plus the both-sources bonus.
+        The exact normalizer for mapping RRF scores onto [0, 1]."""
+        return ((self.vector_weight + self.keyword_weight)
+                / (self.rrf_k + 1) + self.both_bonus)
     final_top_k: int = 8
 
 
