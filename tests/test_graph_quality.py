@@ -1,0 +1,112 @@
+"""Graph-extraction quality gate: labeled fixture + search relevance.
+
+The rule extractor (graph/extract.py) replaces LightRAG's LLM extraction
+(lightrag-service/main.py:311-336); this fixture pins its entity and
+relation recall/precision against hand-labeled gold so graph mode cannot
+silently degrade into plausible-but-wrong neighborhoods, and asserts
+end-to-end graph-search relevance on the same corpus."""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from tpurag.graph.extract import extract_rules  # noqa: E402
+from tpurag.graph.index import GraphIndex       # noqa: E402
+from tpurag.ingest.embedder import HashEmbedder  # noqa: E402
+
+# Each chunk: (text, gold entity names, gold relation pairs). Gold
+# relations are the semantically meaningful same-sentence pairs.
+FIXTURE = [
+    ("Mercury Labs was founded by Alice Chen in Geneva. The company "
+     "builds retrieval systems.",
+     {"mercury labs", "alice chen", "geneva"},
+     {("mercury labs", "alice chen"), ("mercury labs", "geneva")}),
+    ("Alice Chen previously led the Indexing team at Borealis Search.",
+     {"alice chen", "indexing", "borealis search"},
+     {("alice chen", "borealis search")}),
+    ("Borealis Search acquired Quickset Analytics in 2019.",
+     {"borealis search", "quickset analytics"},
+     {("borealis search", "quickset analytics")}),
+    ("The TPU v5e accelerator powers Mercury Labs' ranking stack.",
+     {"tpu", "mercury labs"},
+     {("tpu", "mercury labs")}),
+    ("Daniel Okafor joined Mercury Labs as head of infrastructure.",
+     {"daniel okafor", "mercury labs"},
+     {("daniel okafor", "mercury labs")}),
+    ("Geneva hosts the annual Retrieval Summit, chaired by Daniel "
+     "Okafor.",
+     {"geneva", "retrieval summit", "daniel okafor"},
+     {("geneva", "retrieval summit"), ("retrieval summit",
+                                       "daniel okafor")}),
+    ("Quickset Analytics shipped a BM25 engine called Falcon Rank.",
+     {"quickset analytics", "bm25", "falcon rank"},
+     {("quickset analytics", "falcon rank")}),
+    ("Falcon Rank lost market share to the open-source Vespa project.",
+     {"falcon rank", "vespa"},
+     {("falcon rank", "vespa")}),
+]
+
+
+def _norm_pair(a: str, b: str) -> tuple[str, str]:
+    return tuple(sorted((a.lower(), b.lower())))
+
+
+def _extract_all():
+    ents, rels = set(), set()
+    for cid, (text, _, _) in enumerate(FIXTURE):
+        es, rs = extract_rules(text, chunk_id=cid)
+        ents |= {e.name.lower() for e in es}
+        rels |= {_norm_pair(r.src, r.dst) for r in rs}
+    return ents, rels
+
+
+def test_entity_extraction_precision_recall():
+    gold = set().union(*(g for _, g, _ in FIXTURE))
+    got, _ = _extract_all()
+    hit = {e for e in got if e in gold}
+    recall = len(hit) / len(gold)
+    precision = len(hit) / max(len(got), 1)
+    assert recall >= 0.85, f"entity recall {recall:.2f} (got {sorted(got)})"
+    assert precision >= 0.75, (
+        f"entity precision {precision:.2f} (got {sorted(got)})")
+
+
+def test_relation_extraction_recall():
+    gold = set()
+    for _, _, rs in FIXTURE:
+        gold |= {_norm_pair(*r) for r in rs}
+    _, got = _extract_all()
+    hit = gold & got
+    recall = len(hit) / len(gold)
+    assert recall >= 0.75, (
+        f"relation recall {recall:.2f}; missed {sorted(gold - got)}")
+
+
+def test_graph_search_relevance():
+    """Entity-anchored queries must surface the chunks that mention the
+    entity (LightRAG query parity, lightrag-service/main.py:375-419)."""
+    g = GraphIndex(HashEmbedder(dim=256))
+    for cid, (text, _, _) in enumerate(FIXTURE):
+        g.ingest_chunk(cid, text)
+    cases = [
+        ("Who founded Mercury Labs?", 0),
+        ("What did Quickset Analytics ship?", 6),
+        ("Retrieval Summit chair", 5),
+    ]
+    for query, want_cid in cases:
+        hits = g.search_chunks(query, k=3)
+        got = [cid for cid, _ in hits]
+        assert want_cid in got, (
+            f"{query!r}: wanted chunk {want_cid}, got {got}")
+
+
+def test_graph_one_hop_neighborhood():
+    """1-hop expansion: a query about one entity should also pull chunks
+    of directly-related entities (local mode semantics)."""
+    g = GraphIndex(HashEmbedder(dim=256))
+    for cid, (text, _, _) in enumerate(FIXTURE):
+        g.ingest_chunk(cid, text)
+    hits = g.search_chunks("Falcon Rank engine", mode="local", k=4)
+    got = {cid for cid, _ in hits}
+    # Falcon Rank appears in chunks 6 and 7; at least one must surface.
+    assert got & {6, 7}, f"local mode missed Falcon Rank chunks: {got}"
