@@ -10,6 +10,7 @@ the per-dispatch relay round-trip (see bench.py for why)."""
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Optional
 
@@ -302,20 +303,33 @@ def config5_sharded(seed: int = 0) -> dict:
             "n_lists": idx.n_lists}
 
 
-def config6_ingest(seed: int = 0) -> dict:
+def config6_ingest(seed: int = 0, shape: str = "small") -> dict:
     """Ingest throughput: chunk -> tokenize -> on-chip encode -> index
     (chunks/sec), double-buffered host feed (ingest/pipeline.py).
-    The BASELINE 'one on-chip pipeline' north star, measured."""
+    The BASELINE 'one on-chip pipeline' north star, measured.
+
+    shape="base" swaps in the production BERT-base encoder
+    (EncoderConfig.base(): 12L/768/512-token, ~110M params) so the
+    recorded chunks/s reflects a real embedding model, not the 4L toy
+    (VERDICT round-1 item 7)."""
     from tpurag.api.knowledge_base import KnowledgeBase
     from tpurag.ingest.pipeline import ingest_documents
     from tpurag.models.encoder import EncoderConfig, EncoderEmbedder
 
     on_tpu = _on_tpu()
     rng = np.random.default_rng(seed)
-    if on_tpu:
+    if on_tpu and shape == "base":
+        cfg = EncoderConfig.base(max_len=512)
+        n_docs, words = 48, 3000
+    elif on_tpu:
         cfg = EncoderConfig(dim=512, n_layers=4, n_heads=8, out_dim=1024,
                             max_len=128, dtype="bfloat16")
         n_docs, words = 64, 3000
+    elif shape == "base":
+        # CPU smoke of the base-shape path: same layer count, tiny width.
+        cfg = EncoderConfig.base(dim=128, n_heads=4, max_len=32,
+                                 out_dim=128, dtype="float32")
+        n_docs, words = 4, 200
     else:
         cfg = EncoderConfig(dim=128, n_layers=2, n_heads=4, out_dim=128,
                             max_len=64, dtype="float32")
@@ -475,6 +489,7 @@ CONFIGS = {
     "graph": config4_graph,
     "sharded": config5_sharded,
     "ingest": config6_ingest,
+    "ingest_base": functools.partial(config6_ingest, shape="base"),
     "ivf_latency": config7_ivf_latency,
 }
 

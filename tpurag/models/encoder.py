@@ -40,6 +40,18 @@ class EncoderConfig:
     out_dim: int = 1024         # embedding dim parity (main.py:188)
     dtype: str = "bfloat16"
 
+    @classmethod
+    def base(cls, **overrides) -> "EncoderConfig":
+        """Production shape: BERT-base (12L / dim 768 / 12 heads /
+        512-token context, ~110M params) projecting to the dim-1024
+        embedding space — the scale class of the reference's remote
+        embedding model (config.ts:31 text-embedding-v4), vs. the
+        4L/512 default that exists for fast tests."""
+        kw = dict(dim=768, n_layers=12, n_heads=12, max_len=512,
+                  out_dim=1024, dtype="bfloat16")
+        kw.update(overrides)
+        return cls(**kw)
+
 
 def init_params(cfg: EncoderConfig, seed: int = 0) -> dict:
     rng = np.random.default_rng(seed)
