@@ -54,7 +54,16 @@ def _ladder_width(p: int) -> int:
 
 
 def main():
+    import os
     import pathlib
+
+    # Canonicalize the compile environment BEFORE jax imports: XLA_FLAGS
+    # hashes into the persistent-cache key, so a caller-exported flag
+    # (e.g. the driver's --xla_force_host_platform_device_count for the
+    # multichip dryrun) silently invalidates every warm entry and costs
+    # a 300-900s remote recompile through the tunnel. None of those
+    # flags affect this single-chip bench; drop them.
+    os.environ.pop("XLA_FLAGS", None)
 
     import jax
     import jax.numpy as jnp
@@ -80,6 +89,10 @@ def main():
     if on_tpu:
         n, d, vocab = 100_000, 1024, 50_000
         batches = (1024, 768, 512)
+        import os as _os
+        if _os.environ.get("TPURAG_BENCH_BATCHES"):  # diagnostics
+            batches = tuple(int(x) for x in
+                            _os.environ["TPURAG_BENCH_BATCHES"].split(","))
         # 100 chained device iterations per launch: the dev-relay costs
         # ~24ms per blocking host round-trip REGARDLESS of device work
         # (measured: total launch time is constant in iters), so at
@@ -225,12 +238,47 @@ def main():
     for b in batches:
         chained0 = build_point(b)
         chained = lambda x0: chained0(x0, emb_arg=emb_dev)  # noqa: E731
+        if "--key-probe" in sys.argv:
+            # Print the canonicalized-computation hash (no compile):
+            # diagnosing cross-process cache-key stability.
+            import hashlib
+
+            from jax._src import cache_key as _ck
+
+            inner, kw = chained0.func, dict(chained0.keywords)
+            low = inner.lower(jnp.float32(0.0), emb_arg=emb_dev, **kw)
+            module = low.compiler_ir(dialect="stablehlo")
+            ir_bytes = _ck._canonicalize_ir(module, _ck.IgnoreCallbacks.NO)
+            log(f"b={b} canonical-IR bytes={len(ir_bytes)} "
+                f"hash={hashlib.sha256(ir_bytes).hexdigest()[:16]}")
+            return
         log(f"b={b}: compiling ...")
         t0 = time.perf_counter()
-        float(chained(jnp.float32(0.0)))  # host read forces completion
-        #                                   through the remote-relay backend
+        inner, kw = chained0.func, dict(chained0.keywords)
+        low = inner.lower(jnp.float32(0.0), emb_arg=emb_dev, **kw)
+        t1 = time.perf_counter()
+        comp = low.compile()
+        t2 = time.perf_counter()
+        float(comp(jnp.float32(0.0), emb_arg=emb_dev, **kw).block_until_ready())
         compile_s = time.perf_counter() - t0
-        log(f"b={b}: first call (compile+run): {compile_s:.1f}s")
+        log(f"b={b}: first call (compile+run): {compile_s:.1f}s "
+            f"[trace+lower {t1 - t0:.1f}s, compile/cache-load {t2 - t1:.1f}s,"
+            f" first-exec {compile_s - (t2 - t0):.1f}s]")
+        if "--stages" in sys.argv:  # diagnose where the first call goes
+            import jax as _jax
+
+            inner = chained0.func  # the jitted chained
+            kw = dict(chained0.keywords)
+            t0 = time.perf_counter()
+            low = inner.lower(jnp.float32(0.0), emb_arg=emb_dev, **kw)
+            t1 = time.perf_counter()
+            comp = low.compile()
+            t2 = time.perf_counter()
+            _jax.block_until_ready(
+                comp(jnp.float32(0.0), emb_arg=emb_dev, **kw))
+            t3 = time.perf_counter()
+            log(f"b={b} stages: lower={t1 - t0:.1f}s "
+                f"compile(cached)={t2 - t1:.1f}s exec1={t3 - t2:.1f}s")
 
         ts = []
         for _ in range(4):
