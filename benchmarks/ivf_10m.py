@@ -1,0 +1,260 @@
+"""10M x 1024 IVF recall@10 + latency on ONE chip (VERDICT r1 item 2a).
+
+BASELINE config 5 targets recall@10 >= 0.95 at 10M chunks. The sharded
+gate runs at 1M on the virtual mesh; this benchmark runs the REAL 10M
+corpus on the single v5e chip, which it fits in int8 (10.3 GB HBM of
+16 GB): the per-cluster-quantized Pallas probe-scan
+(kernels/ivf_scan.py) against a full-probe oracle over the SAME
+quantized matrix (nprobe = n_lists scans every cluster — "recall at
+equal memory", the same accounting as tests/test_shard_ivf.py's 1M
+gate; a second full-precision device copy cannot fit).
+
+Memory-lean build (host ~21 GB, no 40 GB f32 materialization):
+  1. generate the clustered corpus directly as per-row int8 + scale;
+  2. k-means on an f32 sample; assign ALL rows on-device from the int8
+     rows (a per-row scale cannot change that row's argmax);
+  3. reorder into the aligned cluster-major layout, re-quantized to
+     per-CLUSTER scales (cluster scale = max row scale in the cluster).
+
+Usage: python benchmarks/ivf_10m.py [--n 10000000] [--lists 4096]
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    log(f"backend={jax.default_backend()}")
+
+    n = 10_000_000 if on_tpu else 100_000
+    n_lists = 4096 if on_tpu else 128
+    if "--n" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--n") + 1])
+    if "--lists" in sys.argv:
+        n_lists = int(sys.argv[sys.argv.index("--lists") + 1])
+    d, k, b = 1024, 10, 32
+    n_centers = 1024 if on_tpu else 64   # latent structure != n_lists
+    noise = 0.3
+    rng = np.random.default_rng(0)
+
+    from tpurag.kernels.ivf_scan import ivf_probe_topk_pallas
+    from tpurag.kernels.runtime import round_up
+
+    # The host-side build (int8 corpus gen + k-means + layout) costs
+    # ~45 min at 10M on this single-core box; cache it across runs.
+    cache = pathlib.Path(f"/tmp/ivf10m_{n}_{n_lists}.npz")
+    if cache.exists():
+        log(f"loading cached build from {cache} ...")
+        z = np.load(cache)
+        return _run_device(
+            n=n, d=d, k=k, b=b, n_lists=n_lists,
+            c_max=int(z["c_max"]), total=int(z["e8"].shape[0]),
+            e8=z["e8"], starts_pad=z["starts_pad"], counts=z["counts"],
+            cl_scale=z["cl_scale"], row_ids=z["row_ids"],
+            cents=z["cents"], qv=z["qv"])
+
+    # -- 1. corpus straight to int8 (chunked) -----------------------------
+    t0 = time.time()
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    q8 = np.empty((n, d), np.int8)
+    rscale = np.empty(n, np.float32)
+    which = rng.integers(0, n_centers, n)
+    step = 1 << 19
+    sample_rows = []
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        # f32 draws + analytic gaussian-norm scale (||g|| ~ sqrt(d) to
+        # +-3% at d=1024): ~4x faster than f64 + per-row normalize on
+        # this single-core host.
+        blk = rng.standard_normal((e - s, d), dtype=np.float32)
+        blk *= np.float32(noise / np.sqrt(d))
+        blk += centers[which[s:e]]
+        norms = np.sqrt(np.einsum("nd,nd->n", blk, blk))
+        blk /= np.maximum(norms, 1e-30)[:, None]
+        m = np.abs(blk).max(axis=1)
+        sc = m / 127.0
+        q8[s:e] = np.clip(np.round(blk / sc[:, None]), -127, 127)
+        rscale[s:e] = sc
+        if len(sample_rows) * step < (1 << 18):
+            sample_rows.append(blk[:: max((e - s) // 4096, 1)].copy())
+    sample = np.concatenate(sample_rows)[: 1 << 18]
+    log(f"corpus int8 built in {time.time() - t0:.0f}s "
+        f"({q8.nbytes / 1e9:.1f} GB host)")
+
+    # -- 2. k-means + on-device assignment from int8 ----------------------
+    t0 = time.time()
+    from tpurag.index.ivf import _kmeans
+
+    init = sample[rng.choice(len(sample), n_lists, replace=False)]
+    cents = np.asarray(_kmeans(jnp.asarray(sample), jnp.asarray(init), 8),
+                       np.float32)
+
+    @jax.jit
+    def assign_blk(q8_blk, cents_dev):
+        sc = jax.lax.dot_general(
+            q8_blk.astype(jnp.bfloat16), cents_dev.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jnp.argmax(sc, axis=1).astype(jnp.int32)
+
+    cents_dev = jnp.asarray(cents)
+    assign = np.empty(n, np.int32)
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        assign[s:e] = np.asarray(assign_blk(jnp.asarray(q8[s:e]), cents_dev))
+    log(f"kmeans+assign in {time.time() - t0:.0f}s")
+
+    # -- 3. aligned cluster-major layout, per-cluster scales --------------
+    t0 = time.time()
+    counts = np.bincount(assign, minlength=n_lists)
+    c_max = int(round_up(max(int(counts.max()), 1), 8))
+    pad_counts = (counts + 7) // 8 * 8
+    starts_pad = np.zeros(n_lists + 1, np.int64)
+    np.cumsum(pad_counts, out=starts_pad[1:])
+    total = int(starts_pad[-1]) + c_max + 128
+    order = np.argsort(assign, kind="stable")
+    starts_nopad = np.zeros(n_lists + 1, np.int64)
+    np.cumsum(counts, out=starts_nopad[1:])
+    cl_sorted = assign[order]
+    dest = (starts_pad[cl_sorted]
+            + (np.arange(n) - starts_nopad[cl_sorted])).astype(np.int64)
+    cl_scale = np.zeros(n_lists, np.float32)
+    np.maximum.at(cl_scale, assign, rscale)
+    cl_scale = np.where(cl_scale > 0, cl_scale, 1.0)
+    e8 = np.zeros((total, d), np.int8)
+    # requantize row->cluster scale chunk-wise: ratio <= 1 by definition
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        rows = order[s:e]
+        ratio = (rscale[rows] / cl_scale[cl_sorted[s:e]])[:, None]
+        e8[dest[s:e]] = np.clip(
+            np.round(q8[rows].astype(np.float32) * ratio), -127, 127)
+    row_ids = np.full(total, -1, np.int32)
+    row_ids[dest] = order.astype(np.int32)
+    log(f"layout in {time.time() - t0:.0f}s (device matrix "
+        f"{e8.nbytes / 1e9:.1f} GB)")
+
+    # queries: perturbed corpus rows (the RAG regime)
+    qi = rng.choice(n, b, replace=False)
+    qv = q8[qi].astype(np.float32) * rscale[qi][:, None]
+    qn = rng.standard_normal((b, d)).astype(np.float32)
+    qn /= np.linalg.norm(qn, axis=1, keepdims=True)
+    qv = qv + 0.1 * qn
+    qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+    del q8, rscale
+
+    t0 = time.time()
+    np.savez(cache, e8=e8, starts_pad=starts_pad, counts=counts,
+             cl_scale=cl_scale, row_ids=row_ids, cents=cents, qv=qv,
+             c_max=np.int64(c_max))
+    log(f"build cached to {cache} in {time.time() - t0:.0f}s")
+    return _run_device(
+        n=n, d=d, k=k, b=b, n_lists=n_lists, c_max=c_max, total=total,
+        e8=e8, starts_pad=starts_pad, counts=counts, cl_scale=cl_scale,
+        row_ids=row_ids, cents=cents, qv=qv)
+
+
+def _run_device(*, n, d, k, b, n_lists, c_max, total, e8, starts_pad,
+                counts, cl_scale, row_ids, cents, qv):
+    import jax
+    import jax.numpy as jnp
+
+    from tpurag.kernels.ivf_scan import ivf_probe_topk_pallas
+    from tpurag.kernels.runtime import round_up
+
+    # -- 4. device structures + search ------------------------------------
+    t0 = time.time()
+    cents_dev = jnp.asarray(cents)
+    emb_dev = jnp.asarray(e8)
+    del e8
+    starts_dev = jnp.asarray(starts_pad[:-1].astype(np.int32))
+    counts_dev = jnp.asarray(counts.astype(np.int32))
+    scales_dev = jnp.asarray(cl_scale)
+    rowids_dev = jnp.asarray(row_ids)
+    emb_dev.block_until_ready()
+    log(f"device upload in {time.time() - t0:.0f}s")
+
+    c_pad = int(round_up(c_max, 8))
+    from tpurag.index.dense import l2_normalize
+    from tpurag.kernels.quant import quantize_rows
+
+    qn_dev = jnp.asarray(l2_normalize(qv))
+    q8_dev, qs_dev = quantize_rows(qn_dev)
+    interp = jax.default_backend() == "cpu"
+
+    def search(nprobe: int):
+        cscores = jnp.dot(qn_dev, cents_dev.T,
+                          preferred_element_type=jnp.float32)
+        _, probe = jax.lax.top_k(cscores, nprobe)
+        t0 = time.time()
+        vals, ids = ivf_probe_topk_pallas(
+            q8_dev, emb_dev, starts_dev[probe], counts_dev[probe],
+            k=k, n_probe=nprobe, c_pad=c_pad,
+            scales_sel=scales_dev[probe], interpret=interp)
+        ids.block_until_ready()
+        compile_s = time.time() - t0
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            _, ids2 = ivf_probe_topk_pallas(
+                q8_dev, emb_dev, starts_dev[probe], counts_dev[probe],
+                k=k, n_probe=nprobe, c_pad=c_pad,
+                scales_sel=scales_dev[probe], interpret=interp)
+            got = np.asarray(rowids_dev[jnp.clip(ids2, 0, total - 1)])
+            got = np.where(np.asarray(ids2) >= 2**30, -1, got)
+            ts.append(time.time() - t0)
+        return got, min(ts), compile_s
+
+    log("full-probe oracle (scans every cluster) ...")
+    oracle, t_full, c_full = search(n_lists)
+    log(f"oracle: {t_full * 1e3:.1f}ms/batch-{b} (compile {c_full:.0f}s)")
+
+    out = {"n": n, "d": d, "k": k, "batch": b, "n_lists": n_lists,
+           "c_max": c_max, "hbm_gb": round(total * d / 1e9, 2),
+           "exhaustive_ms": round(t_full * 1e3, 2), "points": []}
+    nprobe = 32
+    while nprobe < n_lists:
+        got, t_np, c_np = search(nprobe)
+        recall = np.mean([
+            len(set(got[i]) & set(oracle[i])) / k for i in range(b)])
+        log(f"nprobe={nprobe}: recall@10={recall:.4f} "
+            f"{t_np * 1e3:.2f}ms/batch-{b} (compile {c_np:.0f}s)")
+        out["points"].append({"nprobe": nprobe,
+                              "recall_at_10": round(float(recall), 4),
+                              "p50_ms": round(t_np * 1e3, 2)})
+        if recall >= 0.95:
+            out["gate"] = {"nprobe": nprobe,
+                           "recall_at_10": round(float(recall), 4),
+                           "p50_ms": round(t_np * 1e3, 2),
+                           "speedup_vs_exhaustive":
+                               round(t_full / t_np, 1)}
+            break
+        nprobe *= 2
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -224,3 +224,36 @@ def test_quant_scan_with_rescore_matches_float(corpus):
     emb = np.asarray(l2_normalize(corpus))
     exp = np.take_along_axis(q @ emb.T, qi, axis=1)
     np.testing.assert_allclose(np.asarray(qv), exp, atol=1e-4)
+
+
+def test_probe_axis_chunking_is_exact(corpus, ivf, monkeypatch):
+    """Large probe budgets chunk the (B, n_probe) SMEM prefetch tables
+    (kernels/ivf_scan.py:_PREFETCH_CHUNK_BYTES); the per-chunk top-k
+    merge must be exact (a cluster lives in at most one chunk). Forces
+    chunking on a small case by shrinking the byte cap and calls the
+    un-jitted wrapper directly (the jitted ivf_scan_pallas would hit
+    its trace cache and never re-read the cap)."""
+    from tpurag.kernels import ivf_scan
+    from tpurag.kernels.runtime import round_up
+
+    rng = np.random.default_rng(17)
+    q = jnp.asarray(np.asarray(l2_normalize(
+        rng.standard_normal((4, 48)).astype(np.float32))))
+    c_pad = int(round_up(ivf.c_max, 8))
+    cscores = jnp.asarray(q) @ ivf.centroids.T
+    import jax
+
+    _, probe = jax.lax.top_k(cscores, ivf.n_lists)
+    starts_sel = ivf.cluster_starts[probe].astype(jnp.int32)
+    counts_sel = ivf.cluster_counts[probe].astype(jnp.int32)
+    ref_v, ref_i = ivf_scan.ivf_probe_topk_pallas(
+        q, ivf.emb_ivf, starts_sel, counts_sel, k=10,
+        n_probe=ivf.n_lists, c_pad=c_pad, interpret=True)
+    # 4 queries -> bp=8 -> cap 128 bytes = 4 probes/chunk (16 chunks).
+    monkeypatch.setattr(ivf_scan, "_PREFETCH_CHUNK_BYTES", 128)
+    chv, chi = ivf_scan.ivf_probe_topk_pallas(
+        q, ivf.emb_ivf, starts_sel, counts_sel, k=10,
+        n_probe=ivf.n_lists, c_pad=c_pad, interpret=True)
+    np.testing.assert_array_equal(np.asarray(chi), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(chv), np.asarray(ref_v),
+                               atol=1e-5)

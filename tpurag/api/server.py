@@ -44,11 +44,16 @@ _SSE_HEARTBEAT_S = 5.0  # process/route.ts heartbeat cadence
 class RagServer:
     def __init__(self, kb, agent=None, graph=None, auth=None, sessions=None,
                  max_batch: int = 64, max_wait_ms: float = 2.0,
-                 data_dir: Optional[str] = None, codebases=None):
+                 data_dir: Optional[str] = None, codebases=None,
+                 search_timeout_s: Optional[float] = None):
         """data_dir: directory that /save targets must resolve inside
         (defaults to the current working directory — an open server must
         not take arbitrary filesystem paths from request bodies) and
-        where eval runs persist."""
+        where eval runs persist.
+
+        search_timeout_s: per-request budget for a batched /search
+        (default 30s, env TPURAG_SEARCH_TIMEOUT_S) — raise it on
+        deployments where a cold compile can exceed 30s."""
         from tpurag.api.sessions import SessionStore, TokenAuth, UserStore
         from tpurag.eval.store import EvalStore
 
@@ -65,6 +70,12 @@ class RagServer:
         self.codebases = codebases    # optional CodebaseManager
         self._pending_docs: dict[str, dict] = {}
         self._lock = threading.Lock()
+        import os as _os
+
+        self.search_timeout_s = float(
+            search_timeout_s
+            if search_timeout_s is not None
+            else _os.environ.get("TPURAG_SEARCH_TIMEOUT_S", 30.0))
         self.executor = BatchingExecutor(self._run_batch, max_batch,
                                          max_wait_ms)
         self._httpd: Optional[ThreadingHTTPServer] = None
@@ -193,7 +204,7 @@ class RagServer:
         if method == "POST" and path == "/search":
             if not body.get("query"):
                 return 400, {"error": "missing 'query'"}
-            resp = self.executor.query(body)
+            resp = self.executor.query(body, timeout=self.search_timeout_s)
             return 200, {
                 "query": resp.query,
                 "results": [dataclasses.asdict(r) for r in resp.results],

@@ -376,12 +376,18 @@ class InvertedIndex:
         return self.search_tokens(bqueries, k)
 
     def _score(self, rows: list[list[int]], kk: int,
-               layout: _Layout) -> tuple[np.ndarray, np.ndarray]:
+               layout: _Layout) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Score one segment: width-class the queries against this
-        layout's buckets and run the fused scoring tail per class."""
+        layout's buckets and run the fused scoring tail per class.
+
+        Returns DEVICE arrays: per-class results scatter into one
+        (B, kk) device buffer instead of syncing to host per class —
+        a search launches every class back-to-back and the caller
+        converts once (each avoided sync is a full host round-trip,
+        ~30ms on a relay-attached chip)."""
         bsz = len(rows)
-        scores = np.full((bsz, kk), NEG_INF, np.float32)
-        ids = np.full((bsz, kk), -1, np.int32)
+        scores = jnp.full((bsz, kk), NEG_INF, jnp.float32)
+        ids = jnp.full((bsz, kk), -1, jnp.int32)
         if not layout.mats:
             return scores, ids
         ladder = tuple(sorted(self.config.width_ladder or ()))
@@ -434,15 +440,14 @@ class InvertedIndex:
                 widths=layout.widths, use_pallas=use_pallas,
                 cbits=packed_cbits(len(self.doc_len),
                                    self.config.packed_merge))
-            s = np.asarray(s)
-            i = np.asarray(i)
             if s.shape[1] < kk:
-                s = np.pad(s, ((0, 0), (0, kk - s.shape[1])),
-                           constant_values=NEG_INF)
-                i = np.pad(i, ((0, 0), (0, kk - i.shape[1])),
-                           constant_values=-1)
-            scores[members] = s[:, :kk]
-            ids[members] = i[:, :kk]
+                s = jnp.pad(s, ((0, 0), (0, kk - s.shape[1])),
+                            constant_values=NEG_INF)
+                i = jnp.pad(i, ((0, 0), (0, kk - i.shape[1])),
+                            constant_values=-1)
+            sel = jnp.asarray(np.asarray(members, np.int32))
+            scores = scores.at[sel].set(s[:, :kk])
+            ids = ids.at[sel].set(i[:, :kk])
         return scores, ids
 
     def search_tokens(self, token_lists: list[list[str]], k: int):
@@ -469,6 +474,9 @@ class InvertedIndex:
         extra = round_up(len(self._dead), 8) if self._dead else 0
         kk = min(k + extra, max(n, 1))
 
+        # Device-resident until the single final conversion: every
+        # branch below launches async and the one np.asarray pair at
+        # the bottom is the only host sync the whole search pays.
         scores, ids = self._score(rows, kk, self._main)
         if self._tail_nnz:
             s2, i2 = self._score(rows, kk, self._tail_layout())
@@ -476,27 +484,26 @@ class InvertedIndex:
             # the last compaction): plain candidate merge.
             from tpurag.kernels.topk import merge_topk
 
-            ms, mi = merge_topk(jnp.asarray(scores), jnp.asarray(ids),
-                                jnp.asarray(s2), jnp.asarray(i2), kk)
-            scores, ids = np.asarray(ms), np.asarray(mi)
-            ids = np.where(scores <= NEG_INF / 2, -1, ids)
+            scores, ids = merge_topk(scores, ids, s2, i2, kk)
+            ids = jnp.where(scores <= NEG_INF / 2, -1, ids)
         if self._dead:
-            dead = np.isin(ids, np.fromiter(self._dead, np.int32,
-                                            len(self._dead)))
-            scores = np.where(dead, np.float32(NEG_INF), scores)
-            order = np.argsort(-scores, axis=1, kind="stable")
-            scores = np.take_along_axis(scores, order, axis=1)
-            ids = np.take_along_axis(ids, order, axis=1)
-            ids = np.where(scores <= NEG_INF / 2, -1, ids)
+            dead_dev = jnp.asarray(np.fromiter(self._dead, np.int32,
+                                               len(self._dead)))
+            dead = jnp.isin(ids, dead_dev)
+            scores = jnp.where(dead, NEG_INF, scores)
+            order = jnp.argsort(-scores, axis=1, stable=True)
+            scores = jnp.take_along_axis(scores, order, axis=1)
+            ids = jnp.take_along_axis(ids, order, axis=1)
+            ids = jnp.where(scores <= NEG_INF / 2, -1, ids)
         scores, ids = scores[:, :k], ids[:, :k]
         if scores.shape[1] < k:
-            scores = np.pad(scores, ((0, 0), (0, k - scores.shape[1])),
-                            constant_values=NEG_INF)
-            ids = np.pad(ids, ((0, 0), (0, k - ids.shape[1])),
-                         constant_values=-1)
+            scores = jnp.pad(scores, ((0, 0), (0, k - scores.shape[1])),
+                             constant_values=NEG_INF)
+            ids = jnp.pad(ids, ((0, 0), (0, k - ids.shape[1])),
+                          constant_values=-1)
         if self.config.rank_compat_scores:
-            scores = np.asarray(rank_compat(jnp.asarray(scores)))
-        return scores, ids
+            scores = rank_compat(scores)
+        return np.asarray(scores), np.asarray(ids)
 
     def __len__(self) -> int:
         return self.n_docs

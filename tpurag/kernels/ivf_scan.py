@@ -29,6 +29,10 @@ from tpurag.kernels.topk import (emit_desc, fold_candidates_asc,
 
 _BIG = 2**30
 _QT = 8          # queries per grid step (sublane tile)
+# Per-array byte cap for the (B, n_probe) scalar-prefetch tables: 2-3
+# such arrays at <=128KB each stay well inside v5e's 1MB SMEM with
+# headroom for spill slots; larger probe budgets chunk the probe axis.
+_PREFETCH_CHUNK_BYTES = 128 * 1024
 
 
 def _ivf_probe_kernel(*refs, sub: int, n_sub: int, n_probe: int, k: int,
@@ -127,8 +131,6 @@ def _ivf_probe_kernel(*refs, sub: int, n_sub: int, n_probe: int, k: int,
         out_i_ref[:] = oi
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "n_probe", "c_pad", "sub", "interpret"))
 def ivf_probe_topk_pallas(q, emb_ivf, starts_sel, counts_sel, k: int,
                           n_probe: int, c_pad: int, sub: int | None = None,
                           scales_sel=None, interpret: bool = False):
@@ -140,7 +142,43 @@ def ivf_probe_topk_pallas(q, emb_ivf, starts_sel, counts_sel, k: int,
     (B, n_probe) int32, starts 8-aligned; scales_sel (B, n_probe) fp32
     per-cluster dequant scales for an int8 emb_ivf. Returns (B, k)
     fp32 scores and int32 IVF-row ids (sentinel >= 2^30 empties).
-    """
+
+    The (B, n_probe) probe tables ride the scalar prefetch into SMEM
+    (1MB on v5e): large probe budgets (e.g. an exhaustive
+    nprobe=n_lists oracle at 4096 lists) are auto-chunked along the
+    probe axis — each chunk's top-k merges via select_topk, which is
+    exact because a cluster appears in at most one chunk."""
+    from tpurag.kernels.topk import select_topk
+
+    b = q.shape[0]
+    bp = round_up(max(b, 1), _QT)
+    chunk_np = max(1, _PREFETCH_CHUNK_BYTES // (bp * 4))
+    if n_probe <= chunk_np:
+        return _ivf_probe_topk_chunk(
+            q, emb_ivf, starts_sel, counts_sel, k=k, n_probe=n_probe,
+            c_pad=c_pad, sub=sub, scales_sel=scales_sel,
+            interpret=interpret)
+    vs, is_ = [], []
+    for c0 in range(0, n_probe, chunk_np):
+        c1 = min(c0 + chunk_np, n_probe)
+        v, i = _ivf_probe_topk_chunk(
+            q, emb_ivf, starts_sel[:, c0:c1], counts_sel[:, c0:c1],
+            k=k, n_probe=c1 - c0, c_pad=c_pad, sub=sub,
+            scales_sel=None if scales_sel is None
+            else scales_sel[:, c0:c1],
+            interpret=interpret)
+        vs.append(v)
+        is_.append(i)
+    return select_topk(jnp.concatenate(vs, axis=1),
+                       jnp.concatenate(is_, axis=1), k)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_probe", "c_pad", "sub", "interpret"))
+def _ivf_probe_topk_chunk(q, emb_ivf, starts_sel, counts_sel, k: int,
+                          n_probe: int, c_pad: int, sub: int | None = None,
+                          scales_sel=None, interpret: bool = False):
+    """One probe-axis chunk of ivf_probe_topk_pallas (see its doc)."""
     b, d = q.shape
     quant = scales_sel is not None
     if sub is None:
