@@ -134,8 +134,10 @@ class KnowledgeBase:
         if mode == "hybrid":
             scores, ids, bits = hybrid_search(self.dense, self.inverted, qv, queries, p)
         elif mode == "vector":
+            import jax
+
             s, i = self.dense.search(qv, p.final_top_k)
-            scores, ids = np.asarray(s), np.asarray(i)
+            scores, ids = jax.device_get((s, i))
             keep = scores >= p.min_vector_score
             scores = np.where(keep, scores, np.float32(NEG_INF))
             ids = np.where(keep, ids, -1)

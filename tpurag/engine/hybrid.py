@@ -46,12 +46,17 @@ def hybrid_search(
     Returns (scores, ids, src_bits) — (B, final_top_k) arrays; empty slots
     are (-inf, -1, 0).
     """
+    import jax
+
     v_scores, v_ids = dense.search(query_vecs, preset.vector_top_k)
     v_scores, v_ids = apply_min_score(v_scores, v_ids, preset.min_vector_score)
 
     if inverted is not None and len(inverted) > 0:
-        k_scores, k_ids = inverted.search(query_texts, preset.keyword_top_k)
-        k_ids = jnp.asarray(k_ids)
+        # as_device: both legs + fusion stay on-device; the single
+        # device_get below is the only host sync the whole search pays
+        # (a sync is a full round-trip on a relay-attached chip).
+        k_scores, k_ids = inverted.search(query_texts, preset.keyword_top_k,
+                                          as_device=True)
     else:
         # Keyword index unavailable -> vector-only degradation
         # (reference: hybrid-search.ts:322-330).
@@ -65,7 +70,9 @@ def hybrid_search(
         rrf_k=preset.rrf_k,
         both_bonus=preset.both_bonus,
     )
-    return np.asarray(fused_scores), np.asarray(fused_ids), np.asarray(bits)
+    fused_scores, fused_ids, bits = jax.device_get(
+        (fused_scores, fused_ids, bits))
+    return fused_scores, fused_ids, bits
 
 
 def decode_bits(bits: int, names: tuple[str, ...] = SOURCE_BITS) -> tuple[str, ...]:

@@ -367,13 +367,15 @@ class InvertedIndex:
 
     # -- query ---------------------------------------------------------------
 
-    def search(self, queries: list[str], k: int):
+    def search(self, queries: list[str], k: int, as_device: bool = False):
         """BM25 top-k for a batch of text queries.
 
         Returns (scores, ids) as (B, k) float32/int32 numpy arrays;
-        empty slots are (-inf, -1)."""
+        empty slots are (-inf, -1). as_device=True skips the final
+        host transfer and returns jax arrays (for callers that fuse
+        further on-device, e.g. hybrid RRF)."""
         bqueries = [tokenize_query(q) for q in queries]
-        return self.search_tokens(bqueries, k)
+        return self.search_tokens(bqueries, k, as_device=as_device)
 
     def _score(self, rows: list[list[int]], kk: int,
                layout: _Layout) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -450,16 +452,18 @@ class InvertedIndex:
             ids = ids.at[sel].set(i[:, :kk])
         return scores, ids
 
-    def search_tokens(self, token_lists: list[list[str]], k: int):
+    def search_tokens(self, token_lists: list[list[str]], k: int,
+                      as_device: bool = False):
         bsz = len(token_lists)
         if self._needs_compact():
             self.compact()
         n = len(self.doc_len)
         if n == 0 or self.n_docs == 0:
-            return (
-                np.full((bsz, k), NEG_INF, np.float32),
-                np.full((bsz, k), -1, np.int32),
-            )
+            empty_s = np.full((bsz, k), NEG_INF, np.float32)
+            empty_i = np.full((bsz, k), -1, np.int32)
+            if as_device:
+                return jnp.asarray(empty_s), jnp.asarray(empty_i)
+            return empty_s, empty_i
         df_cap = int(self.config.max_df_ratio * max(self.n_docs, 1))
         rows = []
         for toks in token_lists:
@@ -503,6 +507,8 @@ class InvertedIndex:
                           constant_values=-1)
         if self.config.rank_compat_scores:
             scores = rank_compat(scores)
+        if as_device:
+            return scores, ids
         return np.asarray(scores), np.asarray(ids)
 
     def __len__(self) -> int:
