@@ -124,6 +124,18 @@ def main():
             [emb, np.zeros((n_pad - n, d), np.float32)], axis=0)
     emb_dev = jnp.asarray(emb, jnp.bfloat16 if on_tpu else jnp.float32)
 
+    # Opt-in experiment: int8 dense scan + exact rescore for the dense
+    # leg (TPURAG_BENCH_QUANT=1). Half the HBM traffic / double the MXU
+    # rate on the scan; recall is guarded by the 2x-overfetch exact
+    # rescore against the bf16 matrix (same guarantee as quant=True
+    # production KBs).
+    quant = bool(os.environ.get("TPURAG_BENCH_QUANT"))
+    if quant:
+        from tpurag.kernels.quant import quantize_rows
+
+        q8_dev, qscale_dev = quantize_rows(jnp.asarray(emb))
+        emb_dev = (q8_dev, qscale_dev, emb_dev)
+
     # Synthetic Zipf inverted index in the production bucket-matrix layout
     # (index/inverted.py): per-width (n_terms+1, w) doc/impact matrices,
     # doc-sorted rows, row 0 = pad, impacts precomputed.
@@ -201,7 +213,14 @@ def main():
 
         def step(i, emb_arg, q_arg, mats_arg, carrs):
             qq = q_arg * (1.0 + i.astype(jnp.float32) * 1e-7)
-            if use_pallas:
+            if quant:
+                from tpurag.kernels.quant import dense_topk_q8
+
+                q8_a, qs_a, emb_a = emb_arg
+                v_s, v_i = dense_topk_q8(qq, q8_a, qs_a, n_valid, k,
+                                         rescore_emb=emb_a,
+                                         interpret=not use_pallas)
+            elif use_pallas:
                 v_s, v_i = dense_topk_pallas(qq, emb_arg, n_valid, k)
             else:
                 v_s, v_i = dense_topk_xla(qq, emb_arg, n_valid, k)
