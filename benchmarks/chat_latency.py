@@ -266,9 +266,17 @@ def server_latency(n_docs: int, on_tpu: bool):
 
 
 def main():
+    import os
     import pathlib
 
     import jax
+
+    # The machine sitecustomize force-registers the TPU plugin and
+    # ignores JAX_PLATFORMS; honor an explicit CPU pin so a CPU parent
+    # (eval/bench.py config8 smoke run) doesn't grab the TPU chip out
+    # from under another process.
+    if os.environ.get("TPURAG_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
 
     cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
     cache_dir.mkdir(exist_ok=True)

@@ -482,6 +482,46 @@ def config7_ivf_latency(seed: int = 0) -> dict:
             "exact_p50_ms": t_exact * 1e3, "ivf_p50_ms": t_ivf * 1e3}
 
 
+def config8_chat(seed: int = 0) -> dict:
+    """Chat operating point: hybrid (dense+BM25+RRF) device p50/p99 at
+    batch 1 and 8 — the reference's actual one-query-per-request shape
+    (src/app/api/chat/query/route.ts). Delegates to
+    benchmarks/chat_latency.py --device-only in a subprocess (it owns
+    the relay-RTT accounting; see BENCHMARKS.md 'Chat operating
+    point')."""
+    import json as _json
+    import pathlib
+    import subprocess
+    import sys as _sys
+
+    script = (pathlib.Path(__file__).resolve().parents[2]
+              / "benchmarks" / "chat_latency.py")
+    import os as _os
+
+    env = dict(_os.environ)
+    if not _on_tpu():
+        # Subprocesses don't inherit jax.config platform pins; without
+        # this a CPU smoke run would attach to the TPU chip.
+        env["TPURAG_FORCE_CPU"] = "1"
+    proc = subprocess.run(
+        [_sys.executable, str(script), "--device-only"],
+        capture_output=True, text=True, timeout=1800, env=env)
+    if proc.returncode != 0:
+        return {"metric": "chat_device_p50_ms", "value": None,
+                "unit": "ms", "error": proc.stderr[-500:]}
+    dev = _json.loads(proc.stdout)["device"]
+    b1, b8 = dev["1"], dev["8"]
+    return {
+        "metric": "chat_device_p50_ms",
+        "value": round(b1["device_p50_ms"], 3),
+        "unit": "ms (hybrid top-8, batch 1, device-chained)",
+        "b1_p99_ms": round(b1["device_p99_ms"], 3),
+        "b8_p50_ms": round(b8["device_p50_ms"], 3),
+        "b8_p99_ms": round(b8["device_p99_ms"], 3),
+        "null_rtt_p50_ms": round(dev["null_rtt_p50_ms"], 2),
+    }
+
+
 CONFIGS = {
     "exact_dense": config1_exact_dense,
     "hybrid": config2_hybrid,
@@ -491,6 +531,7 @@ CONFIGS = {
     "ingest": config6_ingest,
     "ingest_base": functools.partial(config6_ingest, shape="base"),
     "ivf_latency": config7_ivf_latency,
+    "chat": config8_chat,
 }
 
 
