@@ -36,10 +36,14 @@ def log(*a):
 
 
 def main():
+    import os
     import pathlib
 
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("TPURAG_FORCE_CPU"):  # sitecustomize ignores
+        jax.config.update("jax_platforms", "cpu")  # JAX_PLATFORMS env
 
     cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
     cache_dir.mkdir(exist_ok=True)
@@ -177,6 +181,53 @@ def main():
         row_ids=row_ids, cents=cents, qv=qv)
 
 
+def _rebalance(starts_pad, counts, cl_scale, cents, e8, factor=2.0):
+    """Re-layout the cached 8-aligned build into the production shape:
+    oversized clusters split into <= cap parts (the cached equivalent
+    of index/ivf.py:split_oversized) AND every list start re-aligned to
+    IVF_ALIGN so search can use the PIPELINED probe kernel. Copies the
+    int8 matrix once on the host (~10GB)."""
+    from tpurag.kernels.ivf_scan import IVF_ALIGN
+    from tpurag.kernels.runtime import round_up
+
+    n_lists = len(counts)
+    mean = counts.sum() / max(n_lists, 1)
+    cap = int(round_up(int(np.ceil(factor * mean)), IVF_ALIGN))
+    d = e8.shape[1]
+    # Pass 1: final list table (src start, count, scale, centroid).
+    src, nc, nsc, ncent = [], [], [], []
+    for c in range(n_lists):
+        m, s = int(counts[c]), int(starts_pad[c])
+        if m <= cap:
+            src.append(s)
+            nc.append(m)
+            nsc.append(cl_scale[c])
+            ncent.append(cents[c])
+            continue
+        for a in range(0, m, cap):
+            bb = min(m, a + cap)
+            src.append(s + a)
+            nc.append(bb - a)
+            nsc.append(cl_scale[c])
+            part = (e8[s + a:s + bb].astype(np.float32).mean(axis=0)
+                    * cl_scale[c])
+            part /= max(float(np.linalg.norm(part)), 1e-30)
+            ncent.append(part.astype(np.float32))
+    # Pass 2: aligned destination layout + one host copy (rows + ids).
+    nl = len(nc)
+    dst = np.zeros(nl, np.int64)
+    pos = 0
+    for i in range(nl):
+        dst[i] = pos
+        pos += int(round_up(nc[i], IVF_ALIGN))
+    total = int(round_up(pos + int(round_up(cap, IVF_ALIGN)) + IVF_ALIGN,
+                         IVF_ALIGN))
+    new_e8 = np.zeros((total, d), np.int8)
+    return (dst, np.asarray(nc, np.int64), np.asarray(nsc, np.float32),
+            np.stack(ncent), cap, new_e8, np.asarray(src, np.int64),
+            total)
+
+
 def _run_device(*, n, d, k, b, n_lists, c_max, total, e8, starts_pad,
                 counts, cl_scale, row_ids, cents, qv):
     import jax
@@ -185,12 +236,30 @@ def _run_device(*, n, d, k, b, n_lists, c_max, total, e8, starts_pad,
     from tpurag.kernels.ivf_scan import ivf_probe_topk_pallas
     from tpurag.kernels.runtime import round_up
 
+    starts_row = starts_pad[:len(counts)]   # per-list starts
+    pipelined = "--no-rebalance" not in sys.argv
+    if pipelined:
+        t0 = time.time()
+        (dst, counts, cl_scale, cents, cap, new_e8, src,
+         total) = _rebalance(starts_row, counts, cl_scale, cents, e8)
+        new_ids = np.full(total, -1, np.int32)
+        for i in range(len(counts)):
+            m = int(counts[i])
+            new_e8[dst[i]:dst[i] + m] = e8[src[i]:src[i] + m]
+            new_ids[dst[i]:dst[i] + m] = row_ids[src[i]:src[i] + m]
+        e8, row_ids, starts_row = new_e8, new_ids, dst
+        del new_e8, new_ids
+        n_lists = len(counts)
+        c_max = int(counts.max())
+        log(f"rebalanced+aligned in {time.time() - t0:.0f}s: "
+            f"n_lists={n_lists} c_max={c_max} (cap {cap})")
+
     # -- 4. device structures + search ------------------------------------
     t0 = time.time()
     cents_dev = jnp.asarray(cents)
     emb_dev = jnp.asarray(e8)
     del e8
-    starts_dev = jnp.asarray(starts_pad[:-1].astype(np.int32))
+    starts_dev = jnp.asarray(starts_row.astype(np.int32))
     counts_dev = jnp.asarray(counts.astype(np.int32))
     scales_dev = jnp.asarray(cl_scale)
     rowids_dev = jnp.asarray(row_ids)
@@ -213,7 +282,8 @@ def _run_device(*, n, d, k, b, n_lists, c_max, total, e8, starts_pad,
         vals, ids = ivf_probe_topk_pallas(
             q8_dev, emb_dev, starts_dev[probe], counts_dev[probe],
             k=k, n_probe=nprobe, c_pad=c_pad,
-            scales_sel=scales_dev[probe], interpret=interp)
+            scales_sel=scales_dev[probe], interpret=interp,
+            pipelined=pipelined)
         ids.block_until_ready()
         compile_s = time.time() - t0
         ts = []
@@ -222,7 +292,8 @@ def _run_device(*, n, d, k, b, n_lists, c_max, total, e8, starts_pad,
             _, ids2 = ivf_probe_topk_pallas(
                 q8_dev, emb_dev, starts_dev[probe], counts_dev[probe],
                 k=k, n_probe=nprobe, c_pad=c_pad,
-                scales_sel=scales_dev[probe], interpret=interp)
+                scales_sel=scales_dev[probe], interpret=interp,
+                pipelined=pipelined)
             got = np.asarray(rowids_dev[jnp.clip(ids2, 0, total - 1)])
             got = np.where(np.asarray(ids2) >= 2**30, -1, got)
             ts.append(time.time() - t0)

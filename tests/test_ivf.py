@@ -257,3 +257,105 @@ def test_probe_axis_chunking_is_exact(corpus, ivf, monkeypatch):
     np.testing.assert_array_equal(np.asarray(chi), np.asarray(ref_i))
     np.testing.assert_allclose(np.asarray(chv), np.asarray(ref_v),
                                atol=1e-5)
+
+
+def test_split_oversized_caps_cmax_and_keeps_recall():
+    """A heavily skewed corpus (one blob holding half the rows) must
+    build with c_max capped near factor x mean (index/ivf.py:
+    split_oversized) and still pass the recall gate: part centroids
+    rank adjacently, so recall at equal rows-scanned is preserved."""
+    rng = np.random.default_rng(23)
+    big = rng.standard_normal((1, 48)).astype(np.float32) * 3 \
+        + 0.3 * rng.standard_normal((2048, 48)).astype(np.float32)
+    rest = np.concatenate([
+        c + rng.standard_normal((64, 48)).astype(np.float32)
+        for c in rng.standard_normal((32, 48)).astype(np.float32) * 3])
+    data = np.concatenate([big, rest])
+    rng.shuffle(data)
+    cfg = IVFConfig(n_lists=32, n_probe=8, kmeans_iters=5,
+                    max_cluster_factor=2.0)
+    ivf = IVFIndex(cfg).build(data, dtype=jnp.float32)
+    mean = len(data) / ivf.n_lists
+    assert ivf.c_max <= 2.0 * mean + 16, (ivf.c_max, mean)
+    assert ivf.n_lists > 32  # the blob split into extra lists
+    q = np.asarray(l2_normalize(
+        data[rng.choice(len(data), 16, replace=False)]
+        + 0.05 * rng.standard_normal((16, 48)).astype(np.float32)))
+    _, ei = exact(data, jnp.asarray(q), 10)
+    np_tuned = ivf.tune_nprobe(jnp.asarray(q), ei, k=10,
+                               target_recall=0.95)
+    _, ids = ivf.search(jnp.asarray(q), k=10, nprobe=np_tuned)
+    got, ei = np.asarray(ids), np.asarray(ei)
+    recall = np.mean([len(set(got[i]) & set(ei[i])) / 10
+                      for i in range(16)])
+    assert recall >= 0.95, recall
+
+
+@pytest.fixture(scope="module")
+def aligned_ivf():
+    """A build big enough for the IVF_ALIGN (pipelined-kernel) layout:
+    n >= 2 * 128 * n_lists -> mean cluster >= 256 rows."""
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((8, 48)).astype(np.float32) * 3
+    data = np.concatenate([
+        centers[i] + rng.standard_normal((512, 48)).astype(np.float32)
+        for i in range(8)])
+    rng.shuffle(data)
+    ivf = IVFIndex(IVFConfig(n_lists=8, n_probe=4, kmeans_iters=4)).build(
+        data, dtype=jnp.float32)
+    return data, ivf
+
+
+def test_aligned_build_uses_128_starts(aligned_ivf):
+    _, ivf = aligned_ivf
+    assert ivf.align == 128
+    starts = np.asarray(ivf.cluster_starts)
+    assert (starts % 128 == 0).all()
+    assert int(ivf.emb_ivf.shape[0]) % 128 == 0
+
+
+def test_pipelined_probe_scan_matches_unpipelined(aligned_ivf):
+    """The scalar-prefetch-BlockSpec (pipelined) kernel must return
+    exactly what the manual-DMA kernel returns on an aligned build."""
+    from tpurag.kernels.ivf_scan import ivf_scan_pallas
+    from tpurag.kernels.runtime import round_up
+
+    data, ivf = aligned_ivf
+    rng = np.random.default_rng(37)
+    q = jnp.asarray(np.asarray(l2_normalize(
+        rng.standard_normal((4, 48)).astype(np.float32))))
+    c_pad = int(round_up(ivf.c_max, 8))
+    args = (q, ivf.centroids, ivf.emb_ivf, ivf.cluster_starts,
+            ivf.cluster_counts, ivf.row_ids)
+    kw = dict(k=10, nprobe=ivf.n_lists, c_pad=c_pad, interpret=True)
+    v1, i1 = ivf_scan_pallas(*args, **kw)
+    v2, i2 = ivf_scan_pallas(*args, pipelined=True, **kw)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-5)
+    # And both match exhaustive exact search at full probe.
+    _, ei = exact(data, q, 10)
+    np.testing.assert_array_equal(np.sort(np.asarray(i2)),
+                                  np.sort(np.asarray(ei)))
+
+
+def test_pipelined_quant_scan_matches(aligned_ivf):
+    from tpurag.kernels.ivf_scan import ivf_scan_pallas
+    from tpurag.kernels.runtime import round_up
+
+    data, _ = aligned_ivf
+    ivf = IVFIndex(IVFConfig(n_lists=8, n_probe=4, kmeans_iters=4)).build(
+        data, dtype=jnp.float32, quant=True)
+    assert ivf.align == 128
+    rng = np.random.default_rng(41)
+    q = jnp.asarray(np.asarray(l2_normalize(
+        rng.standard_normal((4, 48)).astype(np.float32))))
+    c_pad = int(round_up(ivf.c_max, 8))
+    args = (q, ivf.centroids, ivf.emb_ivf_q8, ivf.cluster_starts,
+            ivf.cluster_counts, ivf.row_ids)
+    kw = dict(k=10, nprobe=ivf.n_lists, c_pad=c_pad,
+              cluster_scales=ivf.cluster_scales,
+              rescore_emb=ivf.emb_ivf, interpret=True)
+    v1, i1 = ivf_scan_pallas(*args, **kw)
+    v2, i2 = ivf_scan_pallas(*args, pipelined=True, **kw)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-5)

@@ -169,6 +169,11 @@ class IVFConfig:
     n_probe: int = 64
     kmeans_iters: int = 10
     sample_size: int = 262_144  # training sample cap for k-means
+    # Split clusters above factor x mean size into extra lists at build
+    # time: the probe kernel's grid is sized by the LARGEST cluster, so
+    # k-means skew (5.6x at 10M) multiplies every probe's cost
+    # (index/ivf.py:split_oversized). None disables.
+    max_cluster_factor: Optional[float] = 2.0
 
 
 @dataclasses.dataclass(frozen=True)

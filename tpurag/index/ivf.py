@@ -113,6 +113,51 @@ def _ivf_search(q, centroids, emb_ivf, row_table, row_ids,
                     k=k, nprobe=nprobe, c_max=c_max)
 
 
+def split_oversized(cents: np.ndarray, assign: np.ndarray,
+                    data: np.ndarray, factor: Optional[float],
+                    align: int = 8):
+    """Split clusters larger than cap = factor x mean into contiguous
+    parts of <= cap rows, each part getting its own (re-averaged)
+    centroid. Returns (cents, assign, counts).
+
+    Why: the Pallas probe-scan's grid is sized by the LARGEST padded
+    cluster, so a k-means size skew multiplies every probe's sub-block
+    count with skipped-iteration overhead (measured at 10M x 1024:
+    c_max 13632 vs mean 2441 made nprobe=32 cost 80ms where the HBM
+    floor is ~11ms). Capping converts the skew into a few extra lists:
+    part centroids sit near the parent's mean, so a query probing the
+    region ranks the parts adjacently and scans the same rows — recall
+    at equal rows-scanned is unchanged while the grid shrinks ~factor
+    x skew."""
+    n_lists = cents.shape[0]
+    counts = np.bincount(assign, minlength=n_lists)
+    if not factor or n_lists == 0:
+        return cents, assign, counts
+    mean = max(int(np.ceil(counts.sum() / max(n_lists, 1))), 8)
+    cap = int(round_up(int(np.ceil(factor * mean)), align))
+    big = np.where(counts > cap)[0]
+    if len(big) == 0:
+        return cents, assign, counts
+    cents = np.array(cents, np.float32, copy=True)
+    extra = []
+    next_id = n_lists
+    for c in big:
+        rows = np.where(assign == c)[0]
+        for gi, g in enumerate(np.array_split(
+                rows, int(np.ceil(len(rows) / cap)))):
+            m = data[g].mean(axis=0)
+            m /= max(float(np.linalg.norm(m)), 1e-30)
+            if gi == 0:
+                cents[c] = m
+            else:
+                assign[g] = next_id
+                extra.append(m[None])
+                next_id += 1
+    cents = np.concatenate([cents] + extra, axis=0)
+    counts = np.bincount(assign, minlength=next_id)
+    return cents, assign, counts
+
+
 def kmeans_assign(data: np.ndarray, cfg: IVFConfig, seed: int = 0):
     """Spherical k-means over host-resident normalized `data` (N, D) f32.
 
@@ -149,6 +194,7 @@ class IVFIndex:
         self.cluster_scales = None   # (C,) fp32 per-cluster dequant scale
         self.n = 0
         self.c_max = 0
+        self.align = 8               # cluster-start alignment (128 = pipelined kernel)
 
     def build(self, vectors, dtype=jnp.bfloat16,
               seed: int = 0, quant: bool = False) -> "IVFIndex":
@@ -160,17 +206,28 @@ class IVFIndex:
         data = _host_normalize(vectors)
         n, d = data.shape
         cents, assign, n_lists = kmeans_assign(data, cfg, seed=seed)
+        # Starts aligned to IVF_ALIGN let search use the PIPELINED probe
+        # kernel (double-buffered BlockSpec streams); only worth the
+        # per-cluster padding when clusters average >= 2*IVF_ALIGN rows.
+        from tpurag.kernels.ivf_scan import IVF_ALIGN
+
+        align = IVF_ALIGN if n >= 2 * IVF_ALIGN * n_lists else 8
+        self.align = align
+        cents, assign, counts = split_oversized(
+            cents, assign, data, cfg.max_cluster_factor, align=align)
+        n_lists = len(counts)
         order = np.argsort(assign, kind="stable")
-        counts = np.bincount(assign, minlength=n_lists)
         self.c_max = int(round_up(max(int(counts.max()), 1), 8))
         # Packed cluster-major layout with every cluster start 8-ALIGNED
         # (sublane tiling) so the Pallas probe kernel can DMA each
         # cluster's block directly; one extra c_max tail row-block lets
         # the fixed-size DMA overrun the last cluster safely.
-        pad_counts = (counts + 7) // 8 * 8
+        pad_counts = (counts + align - 1) // align * align
         starts_pad = np.zeros(n_lists + 1, np.int64)
         np.cumsum(pad_counts, out=starts_pad[1:])
-        total = int(starts_pad[-1]) + self.c_max + 128
+        total = int(round_up(
+            int(starts_pad[-1]) + round_up(self.c_max, align) + align,
+            align))
         starts_nopad = np.zeros(n_lists + 1, np.int64)
         np.cumsum(counts, out=starts_nopad[1:])
         cl_sorted = assign[order]
@@ -218,19 +275,22 @@ class IVFIndex:
         # (post-round-3 builds): the kernel streams fixed sub<=128-row
         # blocks, so its VMEM footprint is independent of c_pad.
         if not interpret_mode() and self.cluster_starts is not None:
-            from tpurag.kernels.ivf_scan import ivf_scan_pallas
+            from tpurag.kernels.ivf_scan import IVF_ALIGN, ivf_scan_pallas
 
+            pipelined = (
+                getattr(self, "align", 8) % IVF_ALIGN == 0
+                and int(self.emb_ivf.shape[0]) % IVF_ALIGN == 0)
             if self.emb_ivf_q8 is not None:
                 return ivf_scan_pallas(
                     q, self.centroids, self.emb_ivf_q8,
                     self.cluster_starts, self.cluster_counts, self.row_ids,
                     k=k, nprobe=nprobe, c_pad=c_pad,
                     cluster_scales=self.cluster_scales,
-                    rescore_emb=self.emb_ivf)
+                    rescore_emb=self.emb_ivf, pipelined=pipelined)
             return ivf_scan_pallas(
                 q, self.centroids, self.emb_ivf, self.cluster_starts,
                 self.cluster_counts, self.row_ids, k=k, nprobe=nprobe,
-                c_pad=c_pad)
+                c_pad=c_pad, pipelined=pipelined)
         return _ivf_search(q, self.centroids, self.emb_ivf, self.row_table,
                            self.row_ids, k=k, nprobe=nprobe,
                            c_max=self.c_max)
@@ -271,6 +331,7 @@ class IVFIndex:
             row_ids=np.asarray(self.row_ids),
             meta=json.dumps({"n": self.n, "c_max": self.c_max,
                              "n_lists": self.n_lists,
+                             "align": getattr(self, "align", 8),
                              "quant": self.emb_ivf_q8 is not None}),
             **extra,
         )
@@ -294,4 +355,5 @@ class IVFIndex:
         idx.n = meta["n"]
         idx.c_max = meta["c_max"]
         idx.n_lists = meta["n_lists"]
+        idx.align = meta.get("align", 8)  # legacy saves: 8-aligned
         return idx

@@ -29,6 +29,14 @@ from tpurag.kernels.topk import (emit_desc, fold_candidates_asc,
 
 _BIG = 2**30
 _QT = 8          # queries per grid step (sublane tile)
+# Pipelined-kernel cluster alignment: starts divisible by IVF_ALIGN let
+# the sub-block fetch be a scalar-prefetch-indexed BlockSpec (block
+# index = (start + s*sub) // sub), so Mosaic double-buffers the cluster
+# streams instead of this kernel serializing DMA-wait -> compute per
+# step (measured at 10M x 1024 int8, nprobe=32 b=32: ~100ms serialized
+# vs ~11ms HBM floor). Builds align to this when mean cluster size
+# affords the padding (index/ivf.py).
+IVF_ALIGN = 128
 # Per-array byte cap for the (B, n_probe) scalar-prefetch tables: 2-3
 # such arrays at <=128KB each stay well inside v5e's 1MB SMEM with
 # headroom for spill slots; larger probe budgets chunk the probe axis.
@@ -131,9 +139,90 @@ def _ivf_probe_kernel(*refs, sub: int, n_sub: int, n_probe: int, k: int,
         out_i_ref[:] = oi
 
 
+def _ivf_probe_kernel_pipelined(*refs, sub: int, n_sub: int, n_probe: int,
+                                k: int, quant: bool):
+    """Pipelined variant of _ivf_probe_kernel: the eight queries'
+    cluster sub-blocks arrive as scalar-prefetch-indexed BlockSpec
+    inputs (one per query lane), so Mosaic's grid pipeline
+    double-buffers the HBM streams — no manual DMA, no serialized
+    wait. Requires every cluster start % sub == 0 (IVF_ALIGN builds).
+    Blocks prefetch unconditionally; only scoring/merge is skipped for
+    exhausted clusters (with the build's size cap the padding waste is
+    bounded, index/ivf.py:split_oversized)."""
+    if quant:
+        (starts_ref, counts_ref, scales_ref, q_ref, *rest) = refs
+    else:
+        (starts_ref, counts_ref, q_ref, *rest) = refs
+        scales_ref = None
+    blk_refs = rest[:_QT]
+    out_v_ref, out_i_ref, run_v, run_i = rest[_QT:]
+    i = pl.program_id(0)   # query tile
+    p = pl.program_id(1)   # probe
+    s = pl.program_id(2)   # sub-block within the probed cluster
+    kp = run_v.shape[0]
+
+    @pl.when((p == 0) & (s == 0))
+    def _init():
+        rv, ri = init_run_asc(run_v[:], run_i[:], _BIG)
+        run_v[:] = rv
+        run_i[:] = ri
+
+    left_max = counts_ref[i * _QT + 0, p] - s * sub
+    for j in range(1, _QT):
+        left_max = jnp.maximum(left_max,
+                               counts_ref[i * _QT + j, p] - s * sub)
+
+    @pl.when(((p == 0) & (s == 0)) | (left_max > 0))
+    def _work():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1)
+        srows, sids = [], []
+        for j in range(_QT):
+            qj = q_ref[j:j + 1, :]                   # (1, D) static slice
+            bj = blk_refs[j][:]
+            if quant:
+                dots = jax.lax.dot_general(
+                    qj, bj,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                sc = dots.astype(jnp.float32) * scales_ref[i * _QT + j, p]
+            else:
+                sc = jax.lax.dot_general(
+                    qj.astype(bj.dtype), bj,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                    # (1, sub)
+            start = starts_ref[i * _QT + j, p]
+            left = counts_ref[i * _QT + j, p] - s * sub
+            valid = lane < left
+            sc = jnp.where(valid, sc, NEG_INF)
+            ids = jnp.where(valid, start + s * sub + lane, _BIG + lane)
+            srows.append(sc)
+            sids.append(ids)
+        s_all = jnp.concatenate(srows, axis=0)       # (_QT, sub)
+        i_all = jnp.concatenate(sids, axis=0)
+
+        chunk_max = jnp.max(s_all)
+        run_min = jnp.min(run_v[kp - k, :])
+
+        @pl.when(((p == 0) & (s == 0)) | (chunk_max > run_min))
+        def _merge():
+            rv, ri = fold_candidates_asc(run_v[:], run_i[:], s_all, i_all,
+                                         k, _BIG)
+            run_v[:] = rv
+            run_i[:] = ri
+
+    @pl.when((p == n_probe - 1) & (s == n_sub - 1))
+    def _emit():
+        ov, oi = emit_desc(run_v[:], run_i[:], k)
+        out_v_ref[:] = ov
+        out_i_ref[:] = oi
+
+
 def ivf_probe_topk_pallas(q, emb_ivf, starts_sel, counts_sel, k: int,
                           n_probe: int, c_pad: int, sub: int | None = None,
-                          scales_sel=None, interpret: bool = False):
+                          scales_sel=None, interpret: bool = False,
+                          pipelined: bool = False):
     """Running top-k over each query's probed cluster blocks.
 
     q (B, D) fp32 (or int8 when scales_sel is given — quant mode);
@@ -157,7 +246,7 @@ def ivf_probe_topk_pallas(q, emb_ivf, starts_sel, counts_sel, k: int,
         return _ivf_probe_topk_chunk(
             q, emb_ivf, starts_sel, counts_sel, k=k, n_probe=n_probe,
             c_pad=c_pad, sub=sub, scales_sel=scales_sel,
-            interpret=interpret)
+            interpret=interpret, pipelined=pipelined)
     vs, is_ = [], []
     for c0 in range(0, n_probe, chunk_np):
         c1 = min(c0 + chunk_np, n_probe)
@@ -166,7 +255,7 @@ def ivf_probe_topk_pallas(q, emb_ivf, starts_sel, counts_sel, k: int,
             k=k, n_probe=c1 - c0, c_pad=c_pad, sub=sub,
             scales_sel=None if scales_sel is None
             else scales_sel[:, c0:c1],
-            interpret=interpret)
+            interpret=interpret, pipelined=pipelined)
         vs.append(v)
         is_.append(i)
     return select_topk(jnp.concatenate(vs, axis=1),
@@ -174,17 +263,27 @@ def ivf_probe_topk_pallas(q, emb_ivf, starts_sel, counts_sel, k: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "n_probe", "c_pad", "sub", "interpret"))
+    jax.jit, static_argnames=("k", "n_probe", "c_pad", "sub", "interpret",
+                              "pipelined"))
 def _ivf_probe_topk_chunk(q, emb_ivf, starts_sel, counts_sel, k: int,
                           n_probe: int, c_pad: int, sub: int | None = None,
-                          scales_sel=None, interpret: bool = False):
-    """One probe-axis chunk of ivf_probe_topk_pallas (see its doc)."""
+                          scales_sel=None, interpret: bool = False,
+                          pipelined: bool = False):
+    """One probe-axis chunk of ivf_probe_topk_pallas (see its doc).
+
+    pipelined=True (requires cluster starts % IVF_ALIGN == 0 and
+    emb_ivf rows a multiple of IVF_ALIGN — aligned builds): cluster
+    sub-blocks are fetched by scalar-prefetch-indexed BlockSpecs and
+    double-buffered by the grid pipeline instead of manual serialized
+    DMAs."""
     b, d = q.shape
     quant = scales_sel is not None
-    if sub is None:
+    if pipelined:
+        sub = IVF_ALIGN
+    elif sub is None:
         # ~2MB of cluster sub-blocks per step at d=1024 bf16.
         sub = min(c_pad, 128)
-    sub = max(8, min(sub, c_pad))
+    sub = max(8, min(sub, c_pad)) if not pipelined else sub
     c_pad = round_up(c_pad, sub)
     n_sub = c_pad // sub
     bp = round_up(b, _QT)
@@ -201,29 +300,57 @@ def _ivf_probe_topk_chunk(q, emb_ivf, starts_sel, counts_sel, k: int,
     def imap_q(i, p, s, *_pref):
         return (i, 0)
 
-    kernel = functools.partial(
-        _ivf_probe_kernel, sub=sub, n_sub=n_sub, n_probe=n_probe, k=k,
-        quant=quant)
     kp = next_pow2(k)
+    if pipelined:
+        if emb_ivf.shape[0] % sub != 0:
+            raise ValueError(
+                f"pipelined IVF scan needs emb rows % {sub} == 0 "
+                f"(got {emb_ivf.shape[0]}); use an IVF_ALIGN build")
+
+        def mk_imap(j):
+            def imap(i, p, s, starts_ref, *_rest):
+                return ((starts_ref[i * _QT + j, p] + s * sub) // sub, 0)
+            return imap
+
+        kernel = functools.partial(
+            _ivf_probe_kernel_pipelined, sub=sub, n_sub=n_sub,
+            n_probe=n_probe, k=k, quant=quant)
+        in_specs = [pl.BlockSpec((_QT, dp), imap_q,
+                                 memory_space=pltpu.VMEM)]
+        in_specs += [pl.BlockSpec((sub, dp), mk_imap(j),
+                                  memory_space=pltpu.VMEM)
+                     for j in range(_QT)]
+        operands = [qp] + [ep] * _QT
+        scratch = [
+            pltpu.VMEM((kp, _QT), jnp.float32),
+            pltpu.VMEM((kp, _QT), jnp.int32),
+        ]
+    else:
+        kernel = functools.partial(
+            _ivf_probe_kernel, sub=sub, n_sub=n_sub, n_probe=n_probe,
+            k=k, quant=quant)
+        in_specs = [
+            pl.BlockSpec((_QT, dp), imap_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        operands = [qp, ep]
+        scratch = [
+            pltpu.VMEM((_QT * sub, dp), emb_ivf.dtype),
+            pltpu.SemaphoreType.DMA((_QT,)),
+            pltpu.VMEM((kp, _QT), jnp.float32),
+            pltpu.VMEM((kp, _QT), jnp.int32),
+        ]
     vals, ids = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=npf,
             grid=(bp // _QT, n_probe, n_sub),
-            in_specs=[
-                pl.BlockSpec((_QT, dp), imap_q, memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((_QT, k), imap_q, memory_space=pltpu.VMEM),
                 pl.BlockSpec((_QT, k), imap_q, memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((_QT * sub, dp), emb_ivf.dtype),
-                pltpu.SemaphoreType.DMA((_QT,)),
-                pltpu.VMEM((kp, _QT), jnp.float32),
-                pltpu.VMEM((kp, _QT), jnp.int32),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((bp, k), jnp.float32),
@@ -236,17 +363,19 @@ def _ivf_probe_topk_chunk(q, emb_ivf, starts_sel, counts_sel, k: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(*prefetch, qp, ep)
+    )(*prefetch, *operands)
     return vals[:b], ids[:b]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "c_pad", "overfetch", "interpret"))
+    static_argnames=("k", "nprobe", "c_pad", "overfetch", "interpret",
+                     "pipelined"))
 def ivf_scan_pallas(q, centroids, emb_ivf, cluster_starts, cluster_counts,
                     row_ids, k: int, nprobe: int, c_pad: int,
                     cluster_scales=None, rescore_emb=None,
-                    overfetch: int = 2, interpret: bool = False):
+                    overfetch: int = 2, interpret: bool = False,
+                    pipelined: bool = False):
     """Full IVF search with the Pallas probe kernel. Same contract as
     index/ivf.py:ivf_scan (scores + original row ids, -1 empties).
 
@@ -272,7 +401,8 @@ def ivf_scan_pallas(q, centroids, emb_ivf, cluster_starts, cluster_counts,
         vals, ids = ivf_probe_topk_pallas(
             q8, emb_ivf, starts_sel, counts_sel,
             k=m, n_probe=nprobe, c_pad=c_pad,
-            scales_sel=cluster_scales[probe], interpret=interpret)
+            scales_sel=cluster_scales[probe], interpret=interpret,
+            pipelined=pipelined)
         if rescore_emb is not None:
             # Sentinel ids AND any NEG_INF-valued slot (belt-and-braces:
             # a zero padding row must never rescore as a 0.0 hit). vals
@@ -290,7 +420,8 @@ def ivf_scan_pallas(q, centroids, emb_ivf, cluster_starts, cluster_counts,
     else:
         vals, ids = ivf_probe_topk_pallas(
             q.astype(jnp.float32), emb_ivf, starts_sel, counts_sel,
-            k=k, n_probe=nprobe, c_pad=c_pad, interpret=interpret)
+            k=k, n_probe=nprobe, c_pad=c_pad, interpret=interpret,
+            pipelined=pipelined)
     empty = vals <= NEG_INF / 2
     orig = row_ids[jnp.clip(ids, 0, row_ids.shape[0] - 1)]
     return (jnp.where(empty, NEG_INF, vals),

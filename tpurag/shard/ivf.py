@@ -47,13 +47,14 @@ from tpurag.kernels.topk import select_topk
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe_l", "c_max", "mesh", "data_axis",
-                     "batch_axis", "use_pallas"),
+                     "batch_axis", "use_pallas", "pipelined"),
 )
 def _sharded_ivf_search(q, cents_g, emb_g, table_g, ids_g, starts_g,
                         counts_g, k: int, nprobe_l: int, c_max: int,
                         mesh: Mesh, data_axis: str = "data",
                         batch_axis: Optional[str] = None,
-                        use_pallas: bool = False):
+                        use_pallas: bool = False,
+                        pipelined: bool = False):
     """q: (B, D) normalized. Global arrays are stacked per-shard blocks
     sharded over `data_axis`. Returns (B, k) scores + original ids,
     replicated over 'data' (sharded over `batch_axis` if given).
@@ -70,7 +71,7 @@ def _sharded_ivf_search(q, cents_g, emb_g, table_g, ids_g, starts_g,
             vals, orig = ivf_scan_pallas(
                 q_l, cents_l, emb_l, starts_l, counts_l, ids_l,
                 k=k, nprobe=nprobe_l, c_pad=int(round_up(c_max, 8)),
-                interpret=interpret_mode())
+                interpret=interpret_mode(), pipelined=pipelined)
         else:
             vals, orig = ivf_scan(q_l, cents_l, emb_l, table_l, ids_l,
                                   k=k, nprobe=nprobe_l, c_max=c_max)
@@ -133,6 +134,7 @@ class ShardedIVFIndex:
         self.c_max = 0
         self.c_local = 0       # clusters per shard (padded)
         self.n_lists = 0
+        self.align = 8         # cluster-start alignment (128 = pipelined)
 
     @property
     def n_shards(self) -> int:
@@ -148,18 +150,31 @@ class ShardedIVFIndex:
         data = _host_normalize(vectors)
         n, d = data.shape
         cents, assign, n_lists = kmeans_assign(data, cfg, seed=seed)
-        counts = np.bincount(assign, minlength=n_lists)
+        from tpurag.index.ivf import split_oversized
+        from tpurag.kernels.ivf_scan import IVF_ALIGN
+
+        # Same alignment rule as IVFIndex.build: IVF_ALIGN starts turn
+        # on the pipelined probe kernel when mean cluster size affords
+        # the per-cluster padding (per-SHARD rows here).
+        align = IVF_ALIGN if n >= 2 * IVF_ALIGN * n_lists else 8
+        self.align = align
+        cents, assign, counts = split_oversized(
+            cents, assign, data, cfg.max_cluster_factor, align=align)
+        n_lists = len(counts)
         self.c_max = int(round_up(max(int(counts.max()), 1), 8))
         bins = partition_clusters(counts, s_count)
 
         self.c_local = max(
             int(round_up(max((len(b) for b in bins), default=1), 8)), 8)
-        # Per-shard rows with every cluster start 8-ALIGNED (Pallas DMA
-        # tiling) + one c_pad tail block for safe DMA overrun.
-        c_pad = int(round_up(self.c_max, 8))
-        pad_load = max((int(sum((int(counts[c]) + 7) // 8 * 8
+        # Per-shard rows with every cluster start `align`-ALIGNED
+        # (Pallas DMA tiling; 128 also satisfies the pipelined kernel's
+        # BlockSpec mapping) + one c_pad tail block for safe overrun.
+        c_pad = int(round_up(self.c_max, align))
+        pad_load = max((int(sum(int(round_up(int(counts[c]), align))
                                for c in b)) for b in bins), default=0)
-        n_local = max(int(round_up(max(pad_load, 1), 8)) + c_pad + 128, 8)
+        n_local = max(int(round_up(
+            int(round_up(max(pad_load, 1), align)) + c_pad + align,
+            align)), align)
 
         # Rows grouped cluster-major once; then sliced per shard.
         order = np.argsort(assign, kind="stable")
@@ -184,7 +199,7 @@ class ShardedIVFIndex:
                 cents_g[s * self.c_local + li] = cents[c]
                 starts_g[s * self.c_local + li] = pos
                 counts_g[s * self.c_local + li] = m
-                pos += (m + 7) // 8 * 8
+                pos += int(round_up(m, align))
 
         sh2 = NamedSharding(self.mesh, P(self.data_axis, None))
         sh1 = NamedSharding(self.mesh, P(self.data_axis))
@@ -214,12 +229,16 @@ class ShardedIVFIndex:
         # footprint is independent of c_max — only the aligned layout
         # (post-round-3 builds) is required.
         use_pallas = not interpret_mode() and self.starts_g is not None
+        from tpurag.kernels.ivf_scan import IVF_ALIGN
+
+        pipelined = (getattr(self, "align", 8) % IVF_ALIGN == 0
+                     and int(self.emb_g.shape[0]) % IVF_ALIGN == 0)
         return _sharded_ivf_search(
             q, self.cents_g, self.emb_g, self.table_g, self.ids_g,
             self.starts_g, self.counts_g,
             k=k, nprobe_l=self._nprobe_local(nprobe), c_max=self.c_max,
             mesh=self.mesh, data_axis=self.data_axis, batch_axis=batch_axis,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, pipelined=pipelined)
 
     def tune_nprobe(self, queries, exact_ids, k: int = 10,
                     target_recall: float = 0.95,
@@ -266,6 +285,7 @@ class ShardedIVFIndex:
         (d / "ivf_meta.json").write_text(json.dumps({
             "n": self.n, "c_max": self.c_max, "c_local": self.c_local,
             "n_lists": self.n_lists, "n_shards": s_count,
+            "align": getattr(self, "align", 8),
             "dtype": str(self.emb_g.dtype),
         }))
 
@@ -304,4 +324,5 @@ class ShardedIVFIndex:
         idx.c_max = meta["c_max"]
         idx.c_local = meta["c_local"]
         idx.n_lists = meta["n_lists"]
+        idx.align = meta.get("align", 8)  # legacy saves: 8-aligned
         return idx
