@@ -122,7 +122,15 @@ def main():
     if n_pad != n:
         emb = np.concatenate(
             [emb, np.zeros((n_pad - n, d), np.float32)], axis=0)
-    emb_dev = jnp.asarray(emb, jnp.bfloat16 if on_tpu else jnp.float32)
+    if on_tpu:
+        # Cast to bf16 on HOST (ml_dtypes): jnp.asarray(f32, bf16) ships
+        # the f32 bytes and casts on device — twice the upload through
+        # the relay, and the first execution waits on that queue.
+        import ml_dtypes
+
+        emb_dev = jnp.asarray(emb.astype(ml_dtypes.bfloat16))
+    else:
+        emb_dev = jnp.asarray(emb, jnp.float32)
 
     # Opt-in experiment: int8 dense scan + exact rescore for the dense
     # leg (TPURAG_BENCH_QUANT=1). Half the HBM traffic / double the MXU
@@ -165,7 +173,10 @@ def main():
             nnz += m
         mats.append((jnp.asarray(doc_mat), jnp.asarray(imp_mat)))
     mats = tuple(mats)
-    n_valid = jnp.int32(n)
+    # np (host) scalar, NOT jnp: a device scalar captured as a jaxpr
+    # constant forces a device sync inside lower() that serializes
+    # behind the async corpus upload (minutes on a slow relay).
+    n_valid = np.int32(n)
     log(f"inverted index nnz={nnz} widths={widths}")
 
     use_pallas = on_tpu

@@ -58,7 +58,15 @@ def device_hybrid_latency(on_tpu: bool):
     n_pad = -(-n // 2048) * 2048
     if n_pad != n:
         emb = np.concatenate([emb, np.zeros((n_pad - n, d), np.float32)])
-    emb_dev = jnp.asarray(emb, jnp.bfloat16 if on_tpu else jnp.float32)
+    if on_tpu:
+        # Cast to bf16 on HOST (ml_dtypes): jnp.asarray(f32, bf16) ships
+        # the f32 bytes and casts on device — twice the upload through
+        # the relay, and the first execution waits on that queue.
+        import ml_dtypes
+
+        emb_dev = jnp.asarray(emb.astype(ml_dtypes.bfloat16))
+    else:
+        emb_dev = jnp.asarray(emb, jnp.float32)
 
     # Bucket-matrix BM25 layout (index/inverted.py), Zipf dfs — identical
     # construction to bench.py so numbers compare.
@@ -92,7 +100,7 @@ def device_hybrid_latency(on_tpu: bool):
             imp_mat[row + 1, :m] = rng.uniform(0.3, 2.2, m)
         mats.append((jnp.asarray(doc_mat), jnp.asarray(imp_mat)))
     mats = tuple(mats)
-    n_valid = jnp.int32(n)
+    n_valid = np.int32(n)  # host scalar: a jnp scalar const stalls lower()
     wprob = (1 + np.arange(vocab)) ** -0.7
     wprob /= wprob.sum()
     use_pallas = on_tpu

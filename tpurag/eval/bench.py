@@ -93,7 +93,7 @@ def config1_exact_dense(seed: int = 0) -> dict:
 
     def step(i):
         v, _ = dense_topk_xla(q_dev * (1 + i.astype(jnp.float32) * 1e-7),
-                              emb_dev, jnp.int32(n), k)
+                              emb_dev, np.int32(n), k)
         return v.sum()
 
     sec = _chain_time(step)
@@ -131,7 +131,7 @@ def config2_hybrid(seed: int = 0, n: Optional[int] = None) -> dict:
     qs = jnp.asarray(sh[tid].astype(np.int32))
     ql = jnp.asarray(df[tid].astype(np.int32))
     qi = jnp.asarray(rng.uniform(0.5, 3.0, (b, tq)).astype(np.float32))
-    nv = jnp.int32(n)
+    nv = np.int32(n)  # host scalar: a jnp scalar const stalls lower()
 
     def step(i):
         qq = q_dev * (1.0 + i.astype(jnp.float32) * 1e-7)
@@ -202,7 +202,7 @@ def config4_graph(seed: int = 0) -> dict:
     np.cumsum(deg, out=off[1:])
     flat = jnp.asarray(rng.integers(0, n_ent, int(off[-1])).astype(np.int32))
     offs = jnp.asarray(off.astype(np.int32))
-    nv = jnp.int32(n_ent)
+    nv = np.int32(n_ent)  # host scalar: a jnp scalar const stalls lower()
 
     def step(i):
         qq = q * (1.0 + i.astype(jnp.float32) * 1e-7)
@@ -437,15 +437,19 @@ def config7_ivf_latency(seed: int = 0) -> dict:
     # Pallas probe-scan on TPU (manual cluster DMAs; kernels/ivf_scan.py)
     # when the aligned layout is present; XLA gather scan otherwise.
     use_pallas_ivf = on_tpu and idx.cluster_starts is not None
+    from tpurag.kernels.ivf_scan import IVF_ALIGN as _ALIGN
+    pipelined_ivf = (use_pallas_ivf
+                     and getattr(idx, "align", 8) % _ALIGN == 0
+                     and int(idx.emb_ivf.shape[0]) % _ALIGN == 0)
 
     @jax.jit
     def exact_chain(x0, qd, embd):
         def body(i, acc):
             qq = qd * (1.0 + i.astype(jnp.float32) * 1e-7)
             if on_tpu:
-                s, _ = dense_topk_pallas(qq, embd, jnp.int32(npad), k)
+                s, _ = dense_topk_pallas(qq, embd, np.int32(npad), k)
             else:
-                s, _ = dense_topk_xla(qq, embd, jnp.int32(npad), k)
+                s, _ = dense_topk_xla(qq, embd, np.int32(npad), k)
             return acc + s.sum()
         return jax.lax.fori_loop(0, iters, body, x0)
 
@@ -455,7 +459,8 @@ def config7_ivf_latency(seed: int = 0) -> dict:
             qq = qd * (1.0 + i.astype(jnp.float32) * 1e-7)
             if use_pallas_ivf:
                 s, _ = ivf_scan_pallas(qq, cents, embi, cst, cct, rowids,
-                                       k=k, nprobe=nprobe, c_pad=c_pad)
+                                       k=k, nprobe=nprobe, c_pad=c_pad,
+                                       pipelined=pipelined_ivf)
             else:
                 s, _ = ivf_scan(qq, cents, embi, table, rowids,
                                 k=k, nprobe=nprobe, c_max=idx.c_max)
