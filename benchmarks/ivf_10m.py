@@ -239,20 +239,35 @@ def _run_device(*, n, d, k, b, n_lists, c_max, total, e8, starts_pad,
     starts_row = starts_pad[:len(counts)]   # per-list starts
     pipelined = "--no-rebalance" not in sys.argv
     if pipelined:
+        acache = pathlib.Path(f"/tmp/ivf10m_{n}_aligned.npz")
         t0 = time.time()
-        (dst, counts, cl_scale, cents, cap, new_e8, src,
-         total) = _rebalance(starts_row, counts, cl_scale, cents, e8)
-        new_ids = np.full(total, -1, np.int32)
-        for i in range(len(counts)):
-            m = int(counts[i])
-            new_e8[dst[i]:dst[i] + m] = e8[src[i]:src[i] + m]
-            new_ids[dst[i]:dst[i] + m] = row_ids[src[i]:src[i] + m]
-        e8, row_ids, starts_row = new_e8, new_ids, dst
-        del new_e8, new_ids
+        if acache.exists():
+            za = np.load(acache)
+            e8, row_ids, starts_row = za["e8"], za["row_ids"], za["starts"]
+            counts, cl_scale, cents = (za["counts"], za["cl_scale"],
+                                       za["cents"])
+            log(f"aligned build loaded from {acache} "
+                f"in {time.time() - t0:.0f}s")
+        else:
+            (dst, counts, cl_scale, cents, cap, new_e8, src,
+             total) = _rebalance(starts_row, counts, cl_scale, cents, e8)
+            new_ids = np.full(total, -1, np.int32)
+            for i in range(len(counts)):
+                m = int(counts[i])
+                new_e8[dst[i]:dst[i] + m] = e8[src[i]:src[i] + m]
+                new_ids[dst[i]:dst[i] + m] = row_ids[src[i]:src[i] + m]
+            e8, row_ids, starts_row = new_e8, new_ids, dst
+            del new_e8, new_ids
+            log(f"rebalanced+aligned in {time.time() - t0:.0f}s "
+                f"(cap {cap})")
+            if n >= 1_000_000:
+                np.savez(acache, e8=e8, row_ids=row_ids,
+                         starts=starts_row, counts=counts,
+                         cl_scale=cl_scale, cents=cents)
+                log(f"aligned build cached to {acache}")
         n_lists = len(counts)
         c_max = int(counts.max())
-        log(f"rebalanced+aligned in {time.time() - t0:.0f}s: "
-            f"n_lists={n_lists} c_max={c_max} (cap {cap})")
+        log(f"n_lists={n_lists} c_max={c_max}")
 
     # -- 4. device structures + search ------------------------------------
     t0 = time.time()
@@ -273,6 +288,9 @@ def _run_device(*, n, d, k, b, n_lists, c_max, total, e8, starts_pad,
     qn_dev = jnp.asarray(l2_normalize(qv))
     q8_dev, qs_dev = quantize_rows(qn_dev)
     interp = jax.default_backend() == "cpu"
+    sub_blocks = 1
+    if "--sub-blocks" in sys.argv:
+        sub_blocks = int(sys.argv[sys.argv.index("--sub-blocks") + 1])
 
     def search(nprobe: int):
         cscores = jnp.dot(qn_dev, cents_dev.T,
@@ -283,7 +301,7 @@ def _run_device(*, n, d, k, b, n_lists, c_max, total, e8, starts_pad,
             q8_dev, emb_dev, starts_dev[probe], counts_dev[probe],
             k=k, n_probe=nprobe, c_pad=c_pad,
             scales_sel=scales_dev[probe], interpret=interp,
-            pipelined=pipelined)
+            pipelined=pipelined, sub_blocks=sub_blocks)
         ids.block_until_ready()
         compile_s = time.time() - t0
         ts = []
@@ -293,7 +311,7 @@ def _run_device(*, n, d, k, b, n_lists, c_max, total, e8, starts_pad,
                 q8_dev, emb_dev, starts_dev[probe], counts_dev[probe],
                 k=k, n_probe=nprobe, c_pad=c_pad,
                 scales_sel=scales_dev[probe], interpret=interp,
-                pipelined=pipelined)
+                pipelined=pipelined, sub_blocks=sub_blocks)
             got = np.asarray(rowids_dev[jnp.clip(ids2, 0, total - 1)])
             got = np.where(np.asarray(ids2) >= 2**30, -1, got)
             ts.append(time.time() - t0)

@@ -359,3 +359,31 @@ def test_pipelined_quant_scan_matches(aligned_ivf):
     v2, i2 = ivf_scan_pallas(*args, pipelined=True, **kw)
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-5)
+
+
+def test_pipelined_sub_blocks_matches(aligned_ivf):
+    """blks>1 (wider per-step fetch) must be bit-identical to blks=1."""
+    import jax
+
+    from tpurag.kernels.ivf_scan import ivf_probe_topk_pallas
+    from tpurag.kernels.runtime import round_up
+
+    _, ivf = aligned_ivf
+    rng = np.random.default_rng(43)
+    q = jnp.asarray(np.asarray(l2_normalize(
+        rng.standard_normal((4, 48)).astype(np.float32))))
+    cscores = q @ ivf.centroids.T
+    _, probe = jax.lax.top_k(cscores, ivf.n_lists)
+    starts_sel = ivf.cluster_starts[probe].astype(jnp.int32)
+    counts_sel = ivf.cluster_counts[probe].astype(jnp.int32)
+    c_pad = int(round_up(ivf.c_max, 8))
+    kw = dict(k=10, n_probe=ivf.n_lists, c_pad=c_pad, interpret=True,
+              pipelined=True)
+    v1, i1 = ivf_probe_topk_pallas(q, ivf.emb_ivf, starts_sel,
+                                   counts_sel, sub_blocks=1, **kw)
+    for blks in (2, 4):
+        v2, i2 = ivf_probe_topk_pallas(q, ivf.emb_ivf, starts_sel,
+                                       counts_sel, sub_blocks=blks, **kw)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                                   atol=1e-5)

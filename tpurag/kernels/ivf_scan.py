@@ -140,26 +140,29 @@ def _ivf_probe_kernel(*refs, sub: int, n_sub: int, n_probe: int, k: int,
 
 
 def _ivf_probe_kernel_pipelined(*refs, sub: int, n_sub: int, n_probe: int,
-                                k: int, quant: bool):
+                                k: int, quant: bool, blks: int = 1):
     """Pipelined variant of _ivf_probe_kernel: the eight queries'
     cluster sub-blocks arrive as scalar-prefetch-indexed BlockSpec
-    inputs (one per query lane), so Mosaic's grid pipeline
-    double-buffers the HBM streams — no manual DMA, no serialized
-    wait. Requires every cluster start % sub == 0 (IVF_ALIGN builds).
-    Blocks prefetch unconditionally; only scoring/merge is skipped for
-    exhausted clusters (with the build's size cap the padding waste is
-    bounded, index/ivf.py:split_oversized)."""
+    inputs (blks consecutive (sub, D) blocks per query lane), so
+    Mosaic's grid pipeline double-buffers the HBM streams — no manual
+    DMA, no serialized wait. Requires every cluster start % sub == 0
+    (IVF_ALIGN builds). Blocks prefetch unconditionally; only
+    scoring/merge is skipped for exhausted clusters (with the build's
+    size cap the padding waste is bounded,
+    index/ivf.py:split_oversized). blks > 1 widens the per-step fetch
+    (sub*blks rows per query) to amortize per-grid-step overhead."""
     if quant:
         (starts_ref, counts_ref, scales_ref, q_ref, *rest) = refs
     else:
         (starts_ref, counts_ref, q_ref, *rest) = refs
         scales_ref = None
-    blk_refs = rest[:_QT]
-    out_v_ref, out_i_ref, run_v, run_i = rest[_QT:]
+    blk_refs = rest[:_QT * blks]
+    out_v_ref, out_i_ref, run_v, run_i = rest[_QT * blks:]
     i = pl.program_id(0)   # query tile
     p = pl.program_id(1)   # probe
-    s = pl.program_id(2)   # sub-block within the probed cluster
+    s = pl.program_id(2)   # step of sub*blks rows within the cluster
     kp = run_v.shape[0]
+    stot = sub * blks
 
     @pl.when((p == 0) & (s == 0))
     def _init():
@@ -167,39 +170,43 @@ def _ivf_probe_kernel_pipelined(*refs, sub: int, n_sub: int, n_probe: int,
         run_v[:] = rv
         run_i[:] = ri
 
-    left_max = counts_ref[i * _QT + 0, p] - s * sub
+    left_max = counts_ref[i * _QT + 0, p] - s * stot
     for j in range(1, _QT):
         left_max = jnp.maximum(left_max,
-                               counts_ref[i * _QT + j, p] - s * sub)
+                               counts_ref[i * _QT + j, p] - s * stot)
 
     @pl.when(((p == 0) & (s == 0)) | (left_max > 0))
     def _work():
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, stot), 1)
         srows, sids = [], []
         for j in range(_QT):
             qj = q_ref[j:j + 1, :]                   # (1, D) static slice
-            bj = blk_refs[j][:]
-            if quant:
-                dots = jax.lax.dot_general(
-                    qj, bj,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                sc = dots.astype(jnp.float32) * scales_ref[i * _QT + j, p]
-            else:
-                sc = jax.lax.dot_general(
-                    qj.astype(bj.dtype), bj,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                    # (1, sub)
+            parts = []
+            for t in range(blks):
+                bj = blk_refs[j * blks + t][:]
+                if quant:
+                    dots = jax.lax.dot_general(
+                        qj, bj,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    parts.append(dots.astype(jnp.float32)
+                                 * scales_ref[i * _QT + j, p])
+                else:
+                    parts.append(jax.lax.dot_general(
+                        qj.astype(bj.dtype), bj,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ))                               # (1, sub)
+            sc = parts[0] if blks == 1 else jnp.concatenate(parts, axis=1)
             start = starts_ref[i * _QT + j, p]
-            left = counts_ref[i * _QT + j, p] - s * sub
+            left = counts_ref[i * _QT + j, p] - s * stot
             valid = lane < left
             sc = jnp.where(valid, sc, NEG_INF)
-            ids = jnp.where(valid, start + s * sub + lane, _BIG + lane)
+            ids = jnp.where(valid, start + s * stot + lane, _BIG + lane)
             srows.append(sc)
             sids.append(ids)
-        s_all = jnp.concatenate(srows, axis=0)       # (_QT, sub)
+        s_all = jnp.concatenate(srows, axis=0)       # (_QT, stot)
         i_all = jnp.concatenate(sids, axis=0)
 
         chunk_max = jnp.max(s_all)
@@ -222,7 +229,7 @@ def _ivf_probe_kernel_pipelined(*refs, sub: int, n_sub: int, n_probe: int,
 def ivf_probe_topk_pallas(q, emb_ivf, starts_sel, counts_sel, k: int,
                           n_probe: int, c_pad: int, sub: int | None = None,
                           scales_sel=None, interpret: bool = False,
-                          pipelined: bool = False):
+                          pipelined: bool = False, sub_blocks: int = 1):
     """Running top-k over each query's probed cluster blocks.
 
     q (B, D) fp32 (or int8 when scales_sel is given — quant mode);
@@ -246,7 +253,8 @@ def ivf_probe_topk_pallas(q, emb_ivf, starts_sel, counts_sel, k: int,
         return _ivf_probe_topk_chunk(
             q, emb_ivf, starts_sel, counts_sel, k=k, n_probe=n_probe,
             c_pad=c_pad, sub=sub, scales_sel=scales_sel,
-            interpret=interpret, pipelined=pipelined)
+            interpret=interpret, pipelined=pipelined,
+            sub_blocks=sub_blocks)
     vs, is_ = [], []
     for c0 in range(0, n_probe, chunk_np):
         c1 = min(c0 + chunk_np, n_probe)
@@ -255,7 +263,8 @@ def ivf_probe_topk_pallas(q, emb_ivf, starts_sel, counts_sel, k: int,
             k=k, n_probe=c1 - c0, c_pad=c_pad, sub=sub,
             scales_sel=None if scales_sel is None
             else scales_sel[:, c0:c1],
-            interpret=interpret, pipelined=pipelined)
+            interpret=interpret, pipelined=pipelined,
+            sub_blocks=sub_blocks)
         vs.append(v)
         is_.append(i)
     return select_topk(jnp.concatenate(vs, axis=1),
@@ -264,11 +273,11 @@ def ivf_probe_topk_pallas(q, emb_ivf, starts_sel, counts_sel, k: int,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "n_probe", "c_pad", "sub", "interpret",
-                              "pipelined"))
+                              "pipelined", "sub_blocks"))
 def _ivf_probe_topk_chunk(q, emb_ivf, starts_sel, counts_sel, k: int,
                           n_probe: int, c_pad: int, sub: int | None = None,
                           scales_sel=None, interpret: bool = False,
-                          pipelined: bool = False):
+                          pipelined: bool = False, sub_blocks: int = 1):
     """One probe-axis chunk of ivf_probe_topk_pallas (see its doc).
 
     pipelined=True (requires cluster starts % IVF_ALIGN == 0 and
@@ -280,12 +289,15 @@ def _ivf_probe_topk_chunk(q, emb_ivf, starts_sel, counts_sel, k: int,
     quant = scales_sel is not None
     if pipelined:
         sub = IVF_ALIGN
+        stot = sub * sub_blocks
     elif sub is None:
         # ~2MB of cluster sub-blocks per step at d=1024 bf16.
         sub = min(c_pad, 128)
-    sub = max(8, min(sub, c_pad)) if not pipelined else sub
-    c_pad = round_up(c_pad, sub)
-    n_sub = c_pad // sub
+    if not pipelined:
+        sub = max(8, min(sub, c_pad))
+        stot = sub
+    c_pad = round_up(c_pad, stot)
+    n_sub = c_pad // stot
     bp = round_up(b, _QT)
     dp = round_up(d, 128)
     qp = pad_axis(pad_axis(q, 0, bp), 1, dp)
@@ -307,20 +319,22 @@ def _ivf_probe_topk_chunk(q, emb_ivf, starts_sel, counts_sel, k: int,
                 f"pipelined IVF scan needs emb rows % {sub} == 0 "
                 f"(got {emb_ivf.shape[0]}); use an IVF_ALIGN build")
 
-        def mk_imap(j):
+        def mk_imap(j, t):
             def imap(i, p, s, starts_ref, *_rest):
-                return ((starts_ref[i * _QT + j, p] + s * sub) // sub, 0)
+                # starts % sub == 0, so this is an exact block index.
+                return (starts_ref[i * _QT + j, p] // sub
+                        + s * sub_blocks + t, 0)
             return imap
 
         kernel = functools.partial(
             _ivf_probe_kernel_pipelined, sub=sub, n_sub=n_sub,
-            n_probe=n_probe, k=k, quant=quant)
+            n_probe=n_probe, k=k, quant=quant, blks=sub_blocks)
         in_specs = [pl.BlockSpec((_QT, dp), imap_q,
                                  memory_space=pltpu.VMEM)]
-        in_specs += [pl.BlockSpec((sub, dp), mk_imap(j),
+        in_specs += [pl.BlockSpec((sub, dp), mk_imap(j, t),
                                   memory_space=pltpu.VMEM)
-                     for j in range(_QT)]
-        operands = [qp] + [ep] * _QT
+                     for j in range(_QT) for t in range(sub_blocks)]
+        operands = [qp] + [ep] * (_QT * sub_blocks)
         scratch = [
             pltpu.VMEM((kp, _QT), jnp.float32),
             pltpu.VMEM((kp, _QT), jnp.int32),
