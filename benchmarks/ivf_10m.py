@@ -238,8 +238,11 @@ def _run_device(*, n, d, k, b, n_lists, c_max, total, e8, starts_pad,
 
     starts_row = starts_pad[:len(counts)]   # per-list starts
     pipelined = "--no-rebalance" not in sys.argv
+    factor = 2.0
+    if "--factor" in sys.argv:
+        factor = float(sys.argv[sys.argv.index("--factor") + 1])
     if pipelined:
-        acache = pathlib.Path(f"/tmp/ivf10m_{n}_aligned.npz")
+        acache = pathlib.Path(f"/tmp/ivf10m_{n}_aligned_f{factor}.npz")
         t0 = time.time()
         if acache.exists():
             za = np.load(acache)
@@ -250,7 +253,8 @@ def _run_device(*, n, d, k, b, n_lists, c_max, total, e8, starts_pad,
                 f"in {time.time() - t0:.0f}s")
         else:
             (dst, counts, cl_scale, cents, cap, new_e8, src,
-             total) = _rebalance(starts_row, counts, cl_scale, cents, e8)
+             total) = _rebalance(starts_row, counts, cl_scale, cents, e8,
+                                 factor=factor)
             new_ids = np.full(total, -1, np.int32)
             for i in range(len(counts)):
                 m = int(counts[i])
