@@ -139,6 +139,7 @@ def split_oversized(cents: np.ndarray, assign: np.ndarray,
     if len(big) == 0:
         return cents, assign, counts
     cents = np.array(cents, np.float32, copy=True)
+    assign = np.array(assign, copy=True)  # never mutate the caller's
     extra = []
     next_id = n_lists
     for c in big:
