@@ -155,7 +155,9 @@ def device_hybrid_latency(on_tpu: bool):
 
         @_jax.jit
         def single(x0, emb_arg, q_arg, mats_arg, bw, row, idf):
-            return step(jnp.int32(0), emb_arg, q_arg, mats_arg, bw, row,
+            # np scalar, not jnp: a device scalar captured at trace time
+            # stalls lower() behind pending uploads (see bench.py).
+            return step(np.int32(0), emb_arg, q_arg, mats_arg, bw, row,
                         idf) + x0
 
         args = (emb_dev, q_dev, mats, bw_g, row_g, idf_g)

@@ -102,9 +102,13 @@ def main():
         sc = m / 127.0
         q8[s:e] = np.clip(np.round(blk / sc[:, None]), -127, 127)
         rscale[s:e] = sc
-        if len(sample_rows) * step < (1 << 18):
-            sample_rows.append(blk[:: max((e - s) // 4096, 1)].copy())
+        # Accumulate ~2^18 sample ROWS for k-means (the old guard
+        # counted blocks*step and stopped after ~4096 rows — degenerate
+        # k-means at 4096 centroids, the source of the 5.6x skew).
+        if sum(len(r) for r in sample_rows) < (1 << 18):
+            sample_rows.append(blk[:: max((e - s) // 32768, 1)].copy())
     sample = np.concatenate(sample_rows)[: 1 << 18]
+    log(f"kmeans sample rows: {len(sample)}")
     log(f"corpus int8 built in {time.time() - t0:.0f}s "
         f"({q8.nbytes / 1e9:.1f} GB host)")
 
@@ -138,7 +142,8 @@ def main():
     pad_counts = (counts + 7) // 8 * 8
     starts_pad = np.zeros(n_lists + 1, np.int64)
     np.cumsum(pad_counts, out=starts_pad[1:])
-    total = int(starts_pad[-1]) + c_max + 128
+    total = int(starts_pad[-1]) + max(c_max + 128,
+                                      ((c_max + 511) // 512 + 1) * 512)
     order = np.argsort(assign, kind="stable")
     starts_nopad = np.zeros(n_lists + 1, np.int64)
     np.cumsum(counts, out=starts_nopad[1:])
@@ -220,8 +225,11 @@ def _rebalance(starts_pad, counts, cl_scale, cents, e8, factor=2.0):
     for i in range(nl):
         dst[i] = pos
         pos += int(round_up(nc[i], IVF_ALIGN))
-    total = int(round_up(pos + int(round_up(cap, IVF_ALIGN)) + IVF_ALIGN,
-                         IVF_ALIGN))
+    from tpurag.kernels.ivf_scan import IVF_SCAN_EXTENT
+
+    total = int(round_up(
+        pos + int(round_up(cap, IVF_SCAN_EXTENT)) + IVF_SCAN_EXTENT,
+        IVF_ALIGN))
     new_e8 = np.zeros((total, d), np.int8)
     return (dst, np.asarray(nc, np.int64), np.asarray(nsc, np.float32),
             np.stack(ncent), cap, new_e8, np.asarray(src, np.int64),
@@ -249,6 +257,7 @@ def _run_device(*, n, d, k, b, n_lists, c_max, total, e8, starts_pad,
             e8, row_ids, starts_row = za["e8"], za["row_ids"], za["starts"]
             counts, cl_scale, cents = (za["counts"], za["cl_scale"],
                                        za["cents"])
+            total = int(e8.shape[0])
             log(f"aligned build loaded from {acache} "
                 f"in {time.time() - t0:.0f}s")
         else:

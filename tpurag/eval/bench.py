@@ -508,9 +508,13 @@ def config8_chat(seed: int = 0) -> dict:
         # Subprocesses don't inherit jax.config platform pins; without
         # this a CPU smoke run would attach to the TPU chip.
         env["TPURAG_FORCE_CPU"] = "1"
-    proc = subprocess.run(
-        [_sys.executable, str(script), "--device-only"],
-        capture_output=True, text=True, timeout=1800, env=env)
+    try:
+        proc = subprocess.run(
+            [_sys.executable, str(script), "--device-only"],
+            capture_output=True, text=True, timeout=1800, env=env)
+    except subprocess.TimeoutExpired as e:
+        return {"metric": "chat_device_p50_ms", "value": None,
+                "unit": "ms", "error": f"timeout after {e.timeout}s"}
     if proc.returncode != 0:
         return {"metric": "chat_device_p50_ms", "value": None,
                 "unit": "ms", "error": proc.stderr[-500:]}

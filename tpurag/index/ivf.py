@@ -226,8 +226,14 @@ class IVFIndex:
         pad_counts = (counts + align - 1) // align * align
         starts_pad = np.zeros(n_lists + 1, np.int64)
         np.cumsum(pad_counts, out=starts_pad[1:])
+        # Tail covers the largest fixed-size scan extent any probe
+        # kernel may fetch past the LAST cluster's start (manual-DMA
+        # sub<=128; pipelined sub*sub_blocks<=IVF_SCAN_EXTENT).
+        from tpurag.kernels.ivf_scan import IVF_SCAN_EXTENT
+
         total = int(round_up(
-            int(starts_pad[-1]) + round_up(self.c_max, align) + align,
+            int(starts_pad[-1])
+            + round_up(self.c_max, IVF_SCAN_EXTENT) + IVF_SCAN_EXTENT,
             align))
         starts_nopad = np.zeros(n_lists + 1, np.int64)
         np.cumsum(counts, out=starts_nopad[1:])

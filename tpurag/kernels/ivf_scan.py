@@ -29,6 +29,13 @@ from tpurag.kernels.topk import (emit_desc, fold_candidates_asc,
 
 _BIG = 2**30
 _QT = 8          # queries per grid step (sublane tile)
+# Largest per-cluster scan extent any probe-kernel variant may touch
+# past a cluster start: the manual-DMA kernel rounds c_pad to sub<=128;
+# the pipelined kernel rounds to sub*sub_blocks (capped at 4 blocks).
+# Builds must over-allocate round_up(c_max, IVF_SCAN_EXTENT) +
+# IVF_SCAN_EXTENT tail rows so the fixed-size fetch of the LAST cluster
+# stays in bounds.
+IVF_SCAN_EXTENT = 512
 # Pipelined-kernel cluster alignment: starts divisible by IVF_ALIGN let
 # the sub-block fetch be a scalar-prefetch-indexed BlockSpec (block
 # index = (start + s*sub) // sub), so Mosaic double-buffers the cluster
@@ -290,6 +297,11 @@ def _ivf_probe_topk_chunk(q, emb_ivf, starts_sel, counts_sel, k: int,
     if pipelined:
         sub = IVF_ALIGN
         stot = sub * sub_blocks
+        if stot > IVF_SCAN_EXTENT:
+            raise ValueError(
+                f"sub_blocks={sub_blocks} scans {stot} rows/step past a "
+                f"cluster start; builds only guarantee "
+                f"{IVF_SCAN_EXTENT} tail rows (IVF_SCAN_EXTENT)")
     elif sub is None:
         # ~2MB of cluster sub-blocks per step at d=1024 bf16.
         sub = min(c_pad, 128)

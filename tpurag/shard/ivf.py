@@ -169,11 +169,16 @@ class ShardedIVFIndex:
         # Per-shard rows with every cluster start `align`-ALIGNED
         # (Pallas DMA tiling; 128 also satisfies the pipelined kernel's
         # BlockSpec mapping) + one c_pad tail block for safe overrun.
-        c_pad = int(round_up(self.c_max, align))
+        from tpurag.kernels.ivf_scan import IVF_SCAN_EXTENT
+
+        # Tail covers the largest fixed-size probe-kernel fetch past
+        # the last cluster's start on each shard.
+        c_pad = int(round_up(self.c_max, IVF_SCAN_EXTENT))
         pad_load = max((int(sum(int(round_up(int(counts[c]), align))
                                for c in b)) for b in bins), default=0)
         n_local = max(int(round_up(
-            int(round_up(max(pad_load, 1), align)) + c_pad + align,
+            int(round_up(max(pad_load, 1), align))
+            + c_pad + IVF_SCAN_EXTENT,
             align)), align)
 
         # Rows grouped cluster-major once; then sliced per shard.
