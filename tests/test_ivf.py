@@ -387,3 +387,19 @@ def test_pipelined_sub_blocks_matches(aligned_ivf):
         np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
         np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
                                    atol=1e-5)
+
+
+def test_build_tail_covers_scan_extent(corpus, ivf, aligned_ivf):
+    """Every build must over-allocate enough tail rows that the probe
+    kernels' fixed-size fetch of the LAST cluster stays in bounds
+    (kernels/ivf_scan.py:IVF_SCAN_EXTENT). Guards the OOB regression
+    class that interpret-mode tests cannot catch (clamped slices)."""
+    from tpurag.kernels.ivf_scan import IVF_SCAN_EXTENT
+    from tpurag.kernels.runtime import round_up
+
+    for idx in (ivf, aligned_ivf[1]):
+        starts = np.asarray(idx.cluster_starts)
+        need = int(starts.max()) + int(round_up(idx.c_max,
+                                                IVF_SCAN_EXTENT))
+        assert int(idx.emb_ivf.shape[0]) >= need, (
+            idx.align, idx.emb_ivf.shape[0], need)

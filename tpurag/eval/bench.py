@@ -437,10 +437,7 @@ def config7_ivf_latency(seed: int = 0) -> dict:
     # Pallas probe-scan on TPU (manual cluster DMAs; kernels/ivf_scan.py)
     # when the aligned layout is present; XLA gather scan otherwise.
     use_pallas_ivf = on_tpu and idx.cluster_starts is not None
-    from tpurag.kernels.ivf_scan import IVF_ALIGN as _ALIGN
-    pipelined_ivf = (use_pallas_ivf
-                     and getattr(idx, "align", 8) % _ALIGN == 0
-                     and int(idx.emb_ivf.shape[0]) % _ALIGN == 0)
+    pipelined_ivf = use_pallas_ivf and idx.pipelined_eligible
 
     @jax.jit
     def exact_chain(x0, qd, embd):

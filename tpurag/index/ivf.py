@@ -270,6 +270,18 @@ class IVFIndex:
         self.n_lists = n_lists
         return self
 
+    @property
+    def pipelined_eligible(self) -> bool:
+        """True when the layout satisfies the pipelined probe kernel's
+        contract (kernels/ivf_scan.py): IVF_ALIGN-divisible cluster
+        starts and row count. Single source of truth for the predicate
+        — search paths and benches must agree."""
+        from tpurag.kernels.ivf_scan import IVF_ALIGN
+
+        return (self.emb_ivf is not None
+                and getattr(self, "align", 8) % IVF_ALIGN == 0
+                and int(self.emb_ivf.shape[0]) % IVF_ALIGN == 0)
+
     def search(self, queries, k: int, nprobe: Optional[int] = None):
         from tpurag.kernels.runtime import interpret_mode
 
@@ -282,11 +294,9 @@ class IVFIndex:
         # (post-round-3 builds): the kernel streams fixed sub<=128-row
         # blocks, so its VMEM footprint is independent of c_pad.
         if not interpret_mode() and self.cluster_starts is not None:
-            from tpurag.kernels.ivf_scan import IVF_ALIGN, ivf_scan_pallas
+            from tpurag.kernels.ivf_scan import ivf_scan_pallas
 
-            pipelined = (
-                getattr(self, "align", 8) % IVF_ALIGN == 0
-                and int(self.emb_ivf.shape[0]) % IVF_ALIGN == 0)
+            pipelined = self.pipelined_eligible
             if self.emb_ivf_q8 is not None:
                 return ivf_scan_pallas(
                     q, self.centroids, self.emb_ivf_q8,

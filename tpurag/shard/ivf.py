@@ -140,6 +140,17 @@ class ShardedIVFIndex:
     def n_shards(self) -> int:
         return self.mesh.shape[self.data_axis]
 
+    @property
+    def pipelined_eligible(self) -> bool:
+        """Pipelined probe-kernel contract on the PER-SHARD layout
+        (see IVFIndex.pipelined_eligible): n_local is align-rounded, so
+        shard-local starts stay IVF_ALIGN-divisible iff align is."""
+        from tpurag.kernels.ivf_scan import IVF_ALIGN
+
+        return (self.emb_g is not None
+                and getattr(self, "align", 8) % IVF_ALIGN == 0
+                and int(self.emb_g.shape[0]) % IVF_ALIGN == 0)
+
     def build(self, vectors, mesh: Optional[Mesh] = None,
               dtype=jnp.bfloat16, seed: int = 0) -> "ShardedIVFIndex":
         if mesh is not None:
@@ -234,10 +245,7 @@ class ShardedIVFIndex:
         # footprint is independent of c_max — only the aligned layout
         # (post-round-3 builds) is required.
         use_pallas = not interpret_mode() and self.starts_g is not None
-        from tpurag.kernels.ivf_scan import IVF_ALIGN
-
-        pipelined = (getattr(self, "align", 8) % IVF_ALIGN == 0
-                     and int(self.emb_g.shape[0]) % IVF_ALIGN == 0)
+        pipelined = self.pipelined_eligible
         return _sharded_ivf_search(
             q, self.cents_g, self.emb_g, self.table_g, self.ids_g,
             self.starts_g, self.counts_g,
