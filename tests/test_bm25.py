@@ -101,3 +101,53 @@ def test_save_load(tmp_path):
     s2, i2 = idx2.search(["quick fox"], k=5)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_add_batch_native_matches_sequential():
+    """The native batched ingest (one C call + grouped extends) must
+    index EXACTLY like per-doc add(): same postings per term string,
+    same doc lengths, same search results — including CJK bigrams,
+    empty docs, non-contiguous ids and tail-segment adds."""
+    import numpy as np
+    import pytest
+
+    from tpurag.core.config import BM25Config
+    from tpurag.index.inverted import InvertedIndex, _native
+
+    if _native is None or not _native.batch_available():
+        pytest.skip("native batch ABI unavailable")
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = [" ".join(vocab[j] for j in rng.integers(0, 300, 40))
+            for _ in range(64)]
+    docs[3] = ""                      # empty doc
+    docs[5] = "你好世界 hello 你好"   # CJK bigrams + repeats
+    ids = list(range(0, 128, 2))      # non-contiguous
+
+    # Both sides build the main segment after 40 docs, then add a tail
+    # (main impacts freeze at build time — the incremental-segment
+    # semantics — so segment histories must match for score parity).
+    seq = InvertedIndex(BM25Config())
+    for i, t in zip(ids[:40], docs[:40]):
+        seq.add(i, t)
+    _ = seq.search(["w1"], 4)         # force a main build -> tail adds
+    for i, t in zip(ids[40:], docs[40:]):
+        seq.add(i, t)
+    bat = InvertedIndex(BM25Config())
+    bat.add_batch(ids[:40], docs[:40])
+    _ = bat.search(["w1"], 4)         # force a main build -> tail adds
+    bat.add_batch(ids[40:], docs[40:])
+
+    assert set(seq.vocab) == set(bat.vocab)
+    assert seq.doc_len == bat.doc_len
+    assert seq.n_docs == bat.n_docs
+    assert seq._total_tokens == bat._total_tokens
+    for term, st in seq.vocab.items():
+        bt = bat.vocab[term]
+        assert seq._postings_doc[st] == bat._postings_doc[bt], term
+        assert seq._postings_tf[st] == bat._postings_tf[bt], term
+    qs = ["w1 w2", "你好", "w250 w10 w10"]
+    s1, i1 = seq.search(qs, 8)
+    s2, i2 = bat.search(qs, 8)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)

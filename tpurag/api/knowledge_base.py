@@ -89,12 +89,14 @@ class KnowledgeBase:
         # vectors may be a device array (pipelined ingest): pass it
         # through — dense.add normalizes on device, no host round-trip.
         ids = self.dense.add(vectors)
-        for cid, chunk, text in zip(ids, chunks, texts):
+        for cid, chunk in zip(ids, chunks):
             chunk.metadata.setdefault("indexed_at", time.time())
             self.chunks.append(chunk)
             assert len(self.chunks) - 1 == int(cid)
-            self.inverted.add(int(cid), text)
             self._doc_chunks.setdefault(chunk.doc_id, []).append(int(cid))
+        # Batched keyword ingest: one native tokenize+count call for the
+        # whole chunk batch (index/inverted.py:add_batch).
+        self.inverted.add_batch([int(i) for i in ids], texts)
         return [int(i) for i in ids]
 
     def delete_document(self, doc_id: str) -> int:

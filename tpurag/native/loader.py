@@ -28,6 +28,13 @@ def _load():
             lib.tr_free.argtypes = [ctypes.c_void_p]
             lib.tr_tokenize_count.restype = ctypes.c_size_t
             lib.tr_tokenize_count.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+            try:  # batch ABI (round-2 .so); absent in older builds
+                lib.tr_batch_term_counts.restype = ctypes.c_void_p
+                lib.tr_batch_term_counts.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64),
+                    ctypes.c_uint64]
+            except AttributeError:
+                lib.tr_batch_term_counts = None
             _lib = lib
         except OSError:
             _load_failed = True
@@ -53,3 +60,52 @@ def token_count(text: str) -> int:
     lib = _load()
     raw = text.encode("utf-8")
     return int(lib.tr_tokenize_count(raw, len(raw)))
+
+
+def batch_available() -> bool:
+    lib = _load()
+    return lib is not None and getattr(lib, "tr_batch_term_counts", None) \
+        is not None
+
+
+def batch_term_counts(texts):
+    """Tokenize + term-count a BATCH of documents in one native call.
+
+    Returns (terms, doc_terms, pairs):
+      terms:     list[str] — batch-unique terms in first-occurrence order
+      doc_terms: np.uint32 (n_docs,) — unique terms per document
+      pairs:     np.uint32 (total_pairs, 2) — (term_idx, count), doc-major
+    One C call + three zero-copy numpy views replace one JSON round-trip
+    per document (see tokenizer.cc:tr_batch_term_counts for the layout).
+    """
+    import numpy as np
+
+    lib = _load()
+    bufs = [t.encode("utf-8") for t in texts]
+    blob = b"".join(bufs)
+    offs = np.zeros(len(bufs) + 1, np.uint64)
+    if bufs:
+        np.cumsum([len(b) for b in bufs], out=offs[1:])
+    ptr = lib.tr_batch_term_counts(
+        blob, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(bufs))
+    try:
+        total = int.from_bytes(ctypes.string_at(ptr, 4), "little")
+        raw = ctypes.string_at(ptr, total)
+    finally:
+        lib.tr_free(ptr)
+    n_unique, arena_bytes, n_docs, total_pairs = np.frombuffer(
+        raw, np.uint32, count=4, offset=4)
+    terms = []
+    pos = 20
+    for _ in range(int(n_unique)):
+        ln = int.from_bytes(raw[pos:pos + 4], "little")
+        terms.append(raw[pos + 4:pos + 4 + ln].decode("utf-8"))
+        pos += 4 + ln
+    base = 20 + int(arena_bytes)
+    doc_terms = np.frombuffer(raw, np.uint32, count=int(n_docs),
+                              offset=base)
+    pairs = np.frombuffer(raw, np.uint32, count=int(total_pairs) * 2,
+                          offset=base + 4 * int(n_docs)
+                          ).reshape(-1, 2)
+    return terms, doc_terms, pairs

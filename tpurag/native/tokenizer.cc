@@ -166,6 +166,84 @@ size_t tr_tokenize_count(const char* data, size_t len) {
   return n;
 }
 
+// Batch tokenize+count: one call per ingest batch instead of one JSON
+// round-trip per document (the Rust Meilisearch server the reference
+// delegates to also ingests in batches, meilisearch.ts:137).
+//
+//   buf:  concatenated UTF-8 documents
+//   offs: n_docs+1 byte offsets into buf
+//
+// Returns one malloc'd packed little-endian buffer (tr_free to release):
+//   u32 total_bytes               (size of the whole buffer)
+//   u32 n_unique                  (batch-unique terms, first-occurrence order)
+//   u32 arena_bytes               (4-padded)
+//   u32 n_docs
+//   u32 total_pairs
+//   arena:     n_unique x (u32 len, len bytes)   then pad to 4
+//   doc_terms: n_docs u32         (unique terms per doc)
+//   pairs:     total_pairs x (u32 uniq_idx, u32 count), doc-major,
+//              first-occurrence order within each doc
+// The fixed-width tails are 4-aligned so the Python side can view them
+// with numpy zero-copy instead of per-pair struct unpacking.
+char* tr_batch_term_counts(const char* buf, const uint64_t* offs,
+                           uint64_t n_docs) {
+  std::unordered_map<std::string, uint32_t> intern;
+  std::vector<std::string> arena;
+  std::vector<uint32_t> doc_terms(n_docs, 0);
+  std::vector<uint32_t> pairs;  // idx, count interleaved
+
+  std::unordered_map<uint32_t, uint32_t> in_doc;  // uniq idx -> pair slot
+  for (uint64_t d = 0; d < n_docs; ++d) {
+    in_doc.clear();
+    const size_t base = pairs.size();
+    tokenize(buf + offs[d], static_cast<size_t>(offs[d + 1] - offs[d]),
+             [&](const std::string& t) {
+               uint32_t idx;
+               auto it = intern.find(t);
+               if (it == intern.end()) {
+                 idx = static_cast<uint32_t>(arena.size());
+                 intern.emplace(t, idx);
+                 arena.push_back(t);
+               } else {
+                 idx = it->second;
+               }
+               auto jt = in_doc.find(idx);
+               if (jt == in_doc.end()) {
+                 in_doc.emplace(idx, static_cast<uint32_t>(pairs.size()));
+                 pairs.push_back(idx);
+                 pairs.push_back(1);
+               } else {
+                 ++pairs[jt->second + 1];
+               }
+             });
+    doc_terms[d] = static_cast<uint32_t>((pairs.size() - base) / 2);
+  }
+
+  size_t arena_bytes = 0;
+  for (const auto& t : arena) arena_bytes += 4 + t.size();
+  arena_bytes = (arena_bytes + 3) & ~size_t(3);
+  const size_t total = 20 + arena_bytes + 4 * n_docs + 4 * pairs.size();
+  char* out = static_cast<char*>(std::malloc(total));
+  uint32_t* hdr = reinterpret_cast<uint32_t*>(out);
+  hdr[0] = static_cast<uint32_t>(total);
+  hdr[1] = static_cast<uint32_t>(arena.size());
+  hdr[2] = static_cast<uint32_t>(arena_bytes);
+  hdr[3] = static_cast<uint32_t>(n_docs);
+  hdr[4] = static_cast<uint32_t>(pairs.size() / 2);
+  char* p = out + 20;
+  for (const auto& t : arena) {
+    uint32_t len = static_cast<uint32_t>(t.size());
+    std::memcpy(p, &len, 4);
+    std::memcpy(p + 4, t.data(), t.size());
+    p += 4 + t.size();
+  }
+  p = out + 20 + arena_bytes;  // skip pad
+  std::memcpy(p, doc_terms.data(), 4 * n_docs);
+  p += 4 * n_docs;
+  if (!pairs.empty()) std::memcpy(p, pairs.data(), 4 * pairs.size());
+  return out;
+}
+
 void tr_free(void* p) { std::free(p); }
 
 }  // extern "C"
