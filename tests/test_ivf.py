@@ -403,3 +403,25 @@ def test_build_tail_covers_scan_extent(corpus, ivf, aligned_ivf):
                                                 IVF_SCAN_EXTENT))
         assert int(idx.emb_ivf.shape[0]) >= need, (
             idx.align, idx.emb_ivf.shape[0], need)
+
+
+def test_save_load_bf16_storage_dtype(corpus, tmp_path):
+    """bf16 partitions persist as uint16-viewed bytes (half the disk /
+    upload) and reload bit-exact; legacy f32 saves still load."""
+    ivf = IVFIndex(IVFConfig(n_lists=32, kmeans_iters=3)).build(
+        corpus, dtype=jnp.bfloat16)
+    ivf.save(tmp_path / "b")
+    z = np.load(tmp_path / "b.npz")
+    assert z["emb"].dtype == np.uint16  # storage bytes, not f32
+    ivf2 = IVFIndex.load(tmp_path / "b", dtype=jnp.bfloat16)
+    assert ivf2.emb_ivf.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(ivf.emb_ivf).view(np.uint16),
+        np.asarray(ivf2.emb_ivf).view(np.uint16))
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(np.asarray(l2_normalize(
+        rng.standard_normal((2, 48)).astype(np.float32))))
+    s1, i1 = ivf.search(q, k=5, nprobe=8)
+    s2, i2 = ivf2.search(q, k=5, nprobe=8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))

@@ -331,6 +331,10 @@ class IVFIndex:
         return self.n_lists
 
     def save(self, path) -> None:
+        """Artifacts keep the STORAGE dtype: a bf16 partition saves as
+        uint16-viewed bytes (half the disk + half the upload on reload
+        — jnp.asarray(f32, bf16) would ship f32 bytes and cast
+        on-device), mirroring DenseIndex.save."""
         path = pathlib.Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
         extra = {}
@@ -340,15 +344,19 @@ class IVFIndex:
         if self.emb_ivf_q8 is not None:
             extra["emb_q8"] = np.asarray(self.emb_ivf_q8)
             extra["cluster_scales"] = np.asarray(self.cluster_scales)
+        emb_np = np.asarray(self.emb_ivf)
+        bf16 = self.emb_ivf.dtype == jnp.bfloat16
         np.savez(
             path,
             centroids=np.asarray(self.centroids, np.float32),
-            emb=np.asarray(self.emb_ivf, np.float32),
+            emb=emb_np.view(np.uint16) if bf16 else emb_np,
             row_table=np.asarray(self.row_table),
             row_ids=np.asarray(self.row_ids),
             meta=json.dumps({"n": self.n, "c_max": self.c_max,
                              "n_lists": self.n_lists,
                              "align": getattr(self, "align", 8),
+                             "emb_dtype": ("bfloat16" if bf16
+                                           else str(emb_np.dtype)),
                              "quant": self.emb_ivf_q8 is not None}),
             **extra,
         )
@@ -360,7 +368,13 @@ class IVFIndex:
         meta = json.loads(str(data["meta"]))
         idx = cls(config)
         idx.centroids = jnp.asarray(data["centroids"])
-        idx.emb_ivf = jnp.asarray(data["emb"], dtype)
+        saved = meta.get("emb_dtype", "float32")  # legacy saves: f32
+        if saved == "bfloat16":
+            emb = jnp.asarray(data["emb"]).view(jnp.bfloat16)
+            idx.emb_ivf = (emb if dtype == jnp.bfloat16
+                           else jnp.asarray(emb, dtype))
+        else:
+            idx.emb_ivf = jnp.asarray(data["emb"], dtype)
         idx.row_table = jnp.asarray(data["row_table"])
         idx.row_ids = jnp.asarray(data["row_ids"])
         if "cluster_starts" in data:  # pre-aligned-layout saves lack these
