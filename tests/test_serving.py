@@ -390,3 +390,17 @@ class TestMultiKBAndAuth:
         assert auth.verify(short, now=5.0) == "bob"
         assert auth.verify(short, now=11.0) is None
         assert auth.verify("garbage") is None and auth.verify(None) is None
+
+
+def test_web_console_served_at_root(server):
+    """GET / serves the static console (api/webui.py) as text/html;
+    the page drives the same /search, /chat and /stats routes."""
+    import urllib.request
+
+    base, _ = server
+    with urllib.request.urlopen(base + "/", timeout=30) as r:
+        assert r.status == 200
+        assert r.headers.get("Content-Type", "").startswith("text/html")
+        page = r.read().decode("utf-8")
+    assert "tpurag console" in page
+    assert "/search" in page and "/chat" in page

@@ -494,6 +494,20 @@ class RagServer:
                 pass
 
             def _respond(self, method):
+                if method == "GET" and self.path.partition("?")[0] \
+                        in ("/", "/ui"):
+                    # Static web console (api/webui.py) — no auth: the
+                    # page holds no data; its API calls authenticate.
+                    from tpurag.api.webui import INDEX_HTML
+
+                    page = INDEX_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(page)))
+                    self.end_headers()
+                    self.wfile.write(page)
+                    return
                 length = int(self.headers.get("Content-Length") or 0)
                 try:
                     body = json.loads(self.rfile.read(length) or b"{}")

@@ -1,0 +1,151 @@
+"""Single-file web console served at GET / by RagServer.
+
+The reference ships a Next.js React app (src/app/*, ~6.9k LoC) as its
+user surface; tpurag's equivalent surfaces are the CLI, the Python API
+and this dependency-free console over the same HTTP routes: hybrid /
+vector / keyword search with highlights and found-in badges, chat with
+session continuity, and live KB stats. One static page, no build step,
+no framework — the engine is the product, the console is a window.
+"""
+
+INDEX_HTML = """<!doctype html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>tpurag console</title>
+<style>
+  :root { --bg:#101418; --panel:#1a2026; --text:#e6edf3; --dim:#8b98a5;
+          --acc:#4fc3f7; --ok:#81c784; --warn:#ffb74d; }
+  * { box-sizing:border-box; }
+  body { margin:0; background:var(--bg); color:var(--text);
+         font:15px/1.5 system-ui, sans-serif; }
+  header { padding:14px 22px; background:var(--panel);
+           display:flex; gap:16px; align-items:baseline; }
+  header h1 { font-size:18px; margin:0; color:var(--acc); }
+  header #stats { color:var(--dim); font-size:13px; }
+  main { display:grid; grid-template-columns:1fr 1fr; gap:18px;
+         padding:18px 22px; max-width:1400px; }
+  @media (max-width:900px){ main { grid-template-columns:1fr; } }
+  section { background:var(--panel); border-radius:10px; padding:16px; }
+  h2 { font-size:14px; margin:0 0 10px; color:var(--dim);
+       text-transform:uppercase; letter-spacing:.08em; }
+  form { display:flex; gap:8px; margin-bottom:10px; }
+  input[type=text] { flex:1; background:var(--bg); color:var(--text);
+      border:1px solid #2c333b; border-radius:6px; padding:8px 10px; }
+  select { background:var(--bg); color:var(--text);
+      border:1px solid #2c333b; border-radius:6px; padding:8px; }
+  button { background:var(--acc); color:#07232e; border:0;
+      border-radius:6px; padding:8px 14px; font-weight:600;
+      cursor:pointer; }
+  .res { border-top:1px solid #2c333b; padding:10px 2px; }
+  .res .meta { font-size:12px; color:var(--dim); margin-bottom:2px; }
+  .badge { display:inline-block; font-size:11px; border-radius:4px;
+      padding:0 6px; margin-left:6px; background:#24424f;
+      color:var(--acc); }
+  .res mark, .res b { background:transparent; color:var(--warn);
+      font-weight:700; }
+  #chatlog { max-height:420px; overflow-y:auto; margin-bottom:10px; }
+  .msg { margin:8px 0; padding:8px 12px; border-radius:8px;
+         white-space:pre-wrap; }
+  .msg.user { background:#24424f; }
+  .msg.bot  { background:#20262d; }
+  .msg .src { font-size:12px; color:var(--dim); margin-top:4px; }
+  .err { color:#ef9a9a; font-size:13px; }
+</style>
+</head>
+<body>
+<header>
+  <h1>tpurag</h1>
+  <span id="stats">loading stats…</span>
+</header>
+<main>
+<section>
+  <h2>Search</h2>
+  <form id="sform">
+    <input id="q" type="text" placeholder="query…" autofocus>
+    <select id="mode">
+      <option>hybrid</option><option>vector</option>
+      <option>keyword</option>
+    </select>
+    <button>Search</button>
+  </form>
+  <div id="sres"></div>
+</section>
+<section>
+  <h2>Chat</h2>
+  <div id="chatlog"></div>
+  <form id="cform">
+    <input id="cq" type="text" placeholder="ask the knowledge base…">
+    <button>Send</button>
+  </form>
+</section>
+</main>
+<script>
+const $ = (id) => document.getElementById(id);
+let session = "web-" + Math.random().toString(36).slice(2);
+async function api(path, body) {
+  const r = await fetch(path, {method: "POST",
+    headers: {"Content-Type": "application/json"},
+    body: JSON.stringify(body || {})});
+  const out = await r.json();
+  if (!r.ok) throw new Error(out.error || r.status);
+  return out;
+}
+function esc(s) {
+  return s.replace(/&/g, "&amp;").replace(/</g, "&lt;")
+          .replace(/>/g, "&gt;");
+}
+function hl(s) {  // **term** highlight markup -> <b>
+  return esc(s).replace(/\\*\\*([^*]+)\\*\\*/g, "<b>$1</b>");
+}
+async function stats() {
+  try {
+    const r = await fetch("/stats"); const s = await r.json();
+    $("stats").textContent =
+      `${s.chunks ?? "?"} chunks · ${s.docs ?? "?"} docs` +
+      (s.entities ? ` · ${s.entities} entities` : "");
+  } catch (e) { $("stats").textContent = "stats unavailable"; }
+}
+$("sform").onsubmit = async (ev) => {
+  ev.preventDefault();
+  $("sres").innerHTML = "<div class=meta>searching…</div>";
+  try {
+    const out = await api("/search",
+      {query: $("q").value, mode: $("mode").value, top_k: 8});
+    $("sres").innerHTML = (out.results || []).map(r => `
+      <div class="res">
+        <div class="meta">${esc(r.doc_name || "")} · score
+          ${(+r.score).toFixed(3)}
+          ${(r.found_in || []).map(f => `<span class=badge>${f}</span>`).join("")}
+        </div>
+        <div>${hl(r.highlighted || r.text || "").slice(0, 2000)}</div>
+      </div>`).join("") || "<div class=meta>no results</div>";
+  } catch (e) { $("sres").innerHTML = `<div class=err>${esc(String(e))}</div>`; }
+};
+$("cform").onsubmit = async (ev) => {
+  ev.preventDefault();
+  const q = $("cq").value; if (!q) return;
+  $("cq").value = "";
+  $("chatlog").insertAdjacentHTML("beforeend",
+    `<div class="msg user">${esc(q)}</div>`);
+  const hold = document.createElement("div");
+  hold.className = "msg bot"; hold.textContent = "…";
+  $("chatlog").appendChild(hold);
+  $("chatlog").scrollTop = 1e9;
+  try {
+    const out = await api("/chat",
+      {question: q, session_id: session});
+    session = out.session_id || session;
+    hold.innerHTML = esc(out.answer || "") +
+      ((out.sources || []).length
+        ? `<div class=src>sources: ${out.sources.map(s =>
+            esc(s.doc_name || String(s))).join(", ")}</div>` : "");
+  } catch (e) { hold.innerHTML = `<span class=err>${esc(String(e))}</span>`; }
+  $("chatlog").scrollTop = 1e9;
+};
+stats();
+</script>
+</body>
+</html>
+"""
