@@ -91,3 +91,63 @@ def test_batch_independent():
     # Row 1 is vector-only.
     row1 = [int(x) for x in i[1] if x >= 0]
     assert row1 == [5, 6]
+
+
+def test_property_sweep_random_vs_reference():
+    """Seeded property sweep (SURVEY §4b): 40 random configurations —
+    candidate lists with duplicates, -1 holes, varying k / rrf_k /
+    weights / source counts — must match the Python reference
+    exactly (scores atol 1e-6, ids by value)."""
+    rng = np.random.default_rng(123)
+    for trial in range(40):
+        n_src = int(rng.integers(1, 4))
+        depth = int(rng.integers(1, 12))
+        final_k = int(rng.integers(1, 10))
+        rrf_k = int(rng.choice([40, 60, 7]))
+        bonus = float(rng.choice([0.0, 0.1, 0.15]))
+        weights = [float(w) for w in rng.uniform(0.5, 1.5, n_src)]
+        lists = []
+        for _ in range(n_src):
+            # Unique ids per source (top-k lists never repeat an id),
+            # with -1 holes sprinkled in.
+            ids = rng.choice(30, depth, replace=False)
+            ids = np.where(rng.uniform(size=depth) < 0.15, -1, ids)
+            lists.append([[int(x) for x in ids]])  # batch of 1
+        s, i, _ = run_fuse([np.asarray(l) for l in lists], weights,
+                           final_k, rrf_k=rrf_k, both_bonus=bonus)
+        ref = python_rrf([l[0] for l in lists], weights, rrf_k, bonus)
+        exp = ref[:final_k]
+        got = [(int(a), float(b)) for a, b in zip(i[0], s[0]) if a >= 0]
+        assert [g[0] for g in got] == [e[0] for e in exp], (
+            trial, got, exp)
+        np.testing.assert_allclose([g[1] for g in got],
+                                   [e[1] for e in exp], atol=1e-6,
+                                   err_msg=str(trial))
+
+
+def test_property_source_permutation_stability():
+    """With equal weights, permuting the ORDER of the source lists
+    must not change the fused top-k (rank contributions are
+    per-source; the sum is order-free)."""
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 40, (4, 8)).astype(np.int32)
+    b = rng.integers(0, 40, (4, 8)).astype(np.int32)
+    c = rng.integers(0, 40, (4, 4)).astype(np.int32)
+    s1, i1, _ = run_fuse([a, b, c], [1.0, 1.0, 1.0], 8)
+    s2, i2, _ = run_fuse([c, a, b], [1.0, 1.0, 1.0], 8)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_property_batch_permutation_stability():
+    """Permuting the batch axis permutes the outputs identically —
+    queries must not leak into one another."""
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 50, (6, 8)).astype(np.int32)
+    b = rng.integers(0, 50, (6, 8)).astype(np.int32)
+    perm = rng.permutation(6)
+    s1, i1, b1 = run_fuse([a, b], [1.0, 1.3], 8)
+    s2, i2, b2 = run_fuse([a[perm], b[perm]], [1.0, 1.3], 8)
+    np.testing.assert_array_equal(i1[perm], i2)
+    np.testing.assert_allclose(s1[perm], s2, atol=1e-6)
+    np.testing.assert_array_equal(b1[perm], b2)
