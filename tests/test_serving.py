@@ -404,3 +404,50 @@ def test_web_console_served_at_root(server):
         page = r.read().decode("utf-8")
     assert "tpurag console" in page
     assert "/search" in page and "/chat" in page
+
+
+def test_concurrent_mutation_and_search_stress(server):
+    """SURVEY §5.2: searches race document adds/deletes across HTTP
+    threads. The executor batch runs under the server mutation lock,
+    so a mid-search inverted-index compaction can't swap layouts out
+    from under a running batch — every request must come back 200,
+    never a 500."""
+    import concurrent.futures
+
+    base, _ = server
+    errors = []
+
+    def do_add(i):
+        code, out = _req(base, "POST", "/documents",
+                         {"name": f"stress{i}",
+                          "text": f"stress doc {i} " + "flour yeast " * 30})
+        if code != 200:
+            errors.append(("add", code, out))
+
+    def do_search(i):
+        code, out = _req(base, "POST", "/search",
+                         {"query": "flour yeast", "top_k": 5})
+        if code != 200:
+            errors.append(("search", code, out))
+
+    def do_delete(i):
+        code, out = _req(base, "POST", "/documents/delete",
+                         {"doc_id": f"stress{i}"})
+        if code != 200:
+            errors.append(("delete", code, out))
+
+    with concurrent.futures.ThreadPoolExecutor(12) as ex:
+        futs = []
+        for i in range(24):
+            futs.append(ex.submit(do_add, i))
+            futs.append(ex.submit(do_search, i))
+            if i % 3 == 0:
+                futs.append(ex.submit(do_delete, i))
+        for f in futs:
+            f.result()
+    assert not errors, errors[:4]
+    # The KB is still coherent: everything added and not deleted is
+    # findable by keyword.
+    code, out = _req(base, "POST", "/search",
+                     {"query": "stress", "top_k": 8, "mode": "keyword"})
+    assert code == 200 and out["results"], out

@@ -100,7 +100,17 @@ class RagServer:
     def _run_batch(self, requests: list[dict]) -> list:
         """Bucket the coalesced batch by (kb, mode, preset); run one
         device batch per bucket at the bucket's max top_k; slice each
-        response back to its own requested top_k."""
+        response back to its own requested top_k.
+
+        Runs under the server mutation lock: a concurrent /documents
+        add can trigger an inverted-index compaction that swaps
+        postings layouts mid-search (searches themselves already
+        serialize through this executor, so the lock only orders
+        searches against mutations)."""
+        with self._lock:
+            return self._run_batch_locked(requests)
+
+    def _run_batch_locked(self, requests: list[dict]) -> list:
         out: list = [None] * len(requests)
         groups: dict[tuple, list[int]] = {}
         for i, r in enumerate(requests):
