@@ -127,3 +127,48 @@ def test_larger_corpus_recall(rng):
     resp = kb.search("research methods in biology", top_k=3)
     assert resp.results
     assert "biology" in resp.results[0].doc_name
+
+
+def test_kb_thread_safety_stress():
+    """The library itself is safe to share across threads (SURVEY
+    §5.2): concurrent add/search/delete through the Python API must
+    never raise — mutations swap postings layouts under the KB's
+    reentrant lock, searches snapshot under the same lock."""
+    import concurrent.futures
+
+    from tpurag import KnowledgeBase
+
+    kb = KnowledgeBase("stress", dim=64)
+    kb.add_document("seed", "flour water salt yeast " * 20)
+    errors = []
+
+    def add(i):
+        try:
+            kb.add_document(f"d{i}", f"doc {i} " + "alpha beta " * 25)
+        except Exception as e:  # pragma: no cover
+            errors.append(("add", repr(e)))
+
+    def search(i):
+        try:
+            kb.search("alpha flour", top_k=5)
+        except Exception as e:  # pragma: no cover
+            errors.append(("search", repr(e)))
+
+    def delete(i):
+        try:
+            kb.delete_document(f"d{i}")
+        except Exception as e:  # pragma: no cover
+            errors.append(("delete", repr(e)))
+
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        futs = []
+        for i in range(30):
+            futs.append(ex.submit(add, i))
+            futs.append(ex.submit(search, i))
+            if i % 4 == 0:
+                futs.append(ex.submit(delete, i))
+        for f in futs:
+            f.result()
+    assert not errors, errors[:4]
+    resp = kb.search("alpha", top_k=5, mode="keyword")
+    assert resp.results

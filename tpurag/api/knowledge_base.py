@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import pathlib
+import threading
 import time
 from typing import Callable, Optional, Sequence
 
@@ -59,6 +60,11 @@ class KnowledgeBase:
         self._doc_chunks: dict[str, list[int]] = {}
         self._ivf = None
         self._ivf_built_at = 0  # n_active snapshot the IVF was built from
+        # The library is safe to share across threads: mutations swap
+        # postings layouts and grow device arrays, so readers take the
+        # same reentrant lock (RagServer adds its own coarser lock;
+        # the reference's Node runtime is single-threaded by design).
+        self._mutex = threading.RLock()
 
     # -- ingest --------------------------------------------------------------
 
@@ -83,6 +89,10 @@ class KnowledgeBase:
         keyword-searchable."""
         if not chunks:
             return []
+        with self._mutex:
+            return self._add_chunks_locked(chunks, vectors)
+
+    def _add_chunks_locked(self, chunks, vectors):
         texts = [c.display_text() for c in chunks]
         if vectors is None:
             vectors = self.embedder(texts)
@@ -104,6 +114,10 @@ class KnowledgeBase:
         tombstone, keyword postings tombstone with overfetch until the
         index's next compaction (meilisearch.ts:193-194 delete-by-filter
         parity; round 1 left dead postings live forever)."""
+        with self._mutex:
+            return self._delete_document_locked(doc_id)
+
+    def _delete_document_locked(self, doc_id: str) -> int:
         ids = self._doc_chunks.pop(doc_id, [])
         if ids:
             self.dense.delete(ids)
@@ -132,6 +146,10 @@ class KnowledgeBase:
         if top_k is not None:
             import dataclasses
             p = dataclasses.replace(p, final_top_k=top_k)
+        with self._mutex:
+            return self._search_batch_locked(queries, p, mode)
+
+    def _search_batch_locked(self, queries, p, mode):
         qv = self.embedder(queries)
         if mode == "hybrid":
             scores, ids, bits = hybrid_search(self.dense, self.inverted, qv, queries, p)
@@ -236,6 +254,10 @@ class KnowledgeBase:
 
         With a mesh, builds the cluster-partitioned ShardedIVFIndex
         (BASELINE config 5: 10M chunks IVF-sharded over v5e-8)."""
+        with self._mutex:
+            return self._build_ivf_locked(seed)
+
+    def _build_ivf_locked(self, seed: int):
         n = self.dense.n_active
         vecs = np.asarray(self.dense.embeddings[:n], np.float32)
         if self.dense.mesh is not None:
