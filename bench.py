@@ -65,7 +65,47 @@ def main():
     # flags affect this single-chip bench; drop them.
     os.environ.pop("XLA_FLAGS", None)
 
+    # Preflight: the axon TPU plugin has NO fallback and blocks forever
+    # if its loopback relay is dead (observed after a relay-daemon crash:
+    # every jax call hangs). Probe device init in a SUBPROCESS with a
+    # timeout so the driver records a diagnostic instead of hanging.
+    import socket
+    import subprocess
+
+    def _relay_port_open() -> bool:
+        for p in (8082, 8083, 8087, 8092, 8093, 8097,
+                  8102, 8103, 8107, 8112, 8113, 8117):
+            try:
+                with socket.create_connection(("127.0.0.1", p), timeout=1):
+                    return True
+            except OSError:
+                continue
+        return False
+
+    force_cpu = bool(os.environ.get("TPURAG_FORCE_CPU"))
+    if (not force_cpu and os.environ.get("PALLAS_AXON_POOL_IPS")
+            and not _relay_port_open()):
+        log("relay ports closed; probing device init in a subprocess ...")
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices())"],
+                capture_output=True, text=True, timeout=180)
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print(json.dumps({
+                "metric": "hybrid_qps_per_chip", "value": 0,
+                "unit": "QPS (TPU relay unreachable: device init hung "
+                        ">180s; see BENCHMARKS.md relay notes)",
+                "vs_baseline": 0.0}))
+            sys.exit(2)
+
     import jax
+
+    if force_cpu:  # sitecustomize ignores JAX_PLATFORMS; pin explicitly
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     # Persistent compilation cache: the width-class Pallas kernels take
