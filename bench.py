@@ -85,20 +85,39 @@ def main():
     force_cpu = bool(os.environ.get("TPURAG_FORCE_CPU"))
     if (not force_cpu and os.environ.get("PALLAS_AXON_POOL_IPS")
             and not _relay_port_open()):
-        log("relay ports closed; probing device init in a subprocess ...")
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print(jax.devices())"],
-                capture_output=True, text=True, timeout=180)
-            ok = probe.returncode == 0
-        except subprocess.TimeoutExpired:
-            ok = False
+        # Retry with backoff (round-2 verdict item 1): a transient relay
+        # crash/restart must not permanently zero a round's scored
+        # artifact. Probe device init in a fresh subprocess every ~60s
+        # for up to TPURAG_PREFLIGHT_MAX_S (default 30 min) before
+        # giving up with the diagnostic value-0 record.
+        max_wait = float(os.environ.get("TPURAG_PREFLIGHT_MAX_S", 1800))
+        deadline = time.monotonic() + max_wait
+        attempt, ok = 0, False
+        while True:
+            attempt += 1
+            log(f"relay ports closed; device-init probe #{attempt} "
+                "(subprocess, 180s timeout) ...")
+            try:
+                probe = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax; print(jax.devices())"],
+                    capture_output=True, text=True, timeout=180)
+                ok = probe.returncode == 0
+            except subprocess.TimeoutExpired:
+                ok = False
+            if ok or time.monotonic() >= deadline:
+                break
+            wait = min(60.0, max(0.0, deadline - time.monotonic()))
+            log(f"probe failed; retrying in {wait:.0f}s "
+                f"({deadline - time.monotonic():.0f}s left)")
+            time.sleep(wait)
         if not ok:
             print(json.dumps({
                 "metric": "hybrid_qps_per_chip", "value": 0,
                 "unit": "QPS (TPU relay unreachable: device init hung "
-                        ">180s; see BENCHMARKS.md relay notes)",
+                        f">180s on {attempt} probes over "
+                        f"{max_wait / 60:.0f} min; see BENCHMARKS.md "
+                        "relay notes)",
                 "vs_baseline": 0.0}))
             sys.exit(2)
 

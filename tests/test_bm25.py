@@ -151,3 +151,22 @@ def test_add_batch_native_matches_sequential():
     s2, i2 = bat.search(qs, 8)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_add_batch_all_zero_term_docs():
+    """A batch (>=8, native path) where EVERY doc tokenizes to zero terms
+    must not crash and must still record doc lengths / n_docs (advisor
+    finding: empty `pairs` made the grouping loop index an empty array,
+    aborting ingest mid-update)."""
+    from tpurag.index.inverted import InvertedIndex, _native
+
+    idx = InvertedIndex()
+    ids = list(range(8))
+    idx.add_batch(ids, ["!!! ???"] * 8)   # punctuation-only: no terms
+    assert idx.n_docs == 8
+    assert idx.doc_len[:8] == [0] * 8
+    if _native is not None and _native.batch_available():
+        # mixed batch after the empty one still indexes normally
+        idx.add_batch(range(8, 16), ["alpha beta"] * 8)
+        s, i = idx.search(["alpha"], k=4)
+        assert (i >= 8).all() or (i == -1).any()

@@ -42,7 +42,7 @@ def test_format_searx_results_top3():
 def test_searx_fetcher_search_and_page():
     calls = []
 
-    def fake_get(url, timeout, accept):
+    def fake_get(url, timeout, accept, guard_private=False):
         calls.append((url, timeout, accept))
         if "format=json" in url:
             return json.dumps({"results": [
@@ -58,6 +58,29 @@ def test_searx_fetcher_search_and_page():
     assert "json" in accept
     page = fetch("http://example.com/doc")
     assert page == "<p>page body</p>" and calls[1][1] == 10.0  # 10s fetch
+
+
+def test_reject_private_host_blocks_internal_targets(monkeypatch):
+    """SSRF guard: loopback / private / link-local resolutions are
+    refused for page fetches (advisor finding, web.py)."""
+    from tpurag.agent.web import _reject_private_host
+
+    for bad in ("http://127.0.0.1:8080/x", "http://localhost/x"):
+        with pytest.raises(PermissionError):
+            _reject_private_host(bad)
+    import socket
+
+    monkeypatch.setattr(
+        socket, "getaddrinfo",
+        lambda h, p: [(2, 1, 6, "", ("169.254.169.254", 0))])
+    with pytest.raises(PermissionError):
+        _reject_private_host("http://metadata.internal/latest")
+    monkeypatch.setattr(
+        socket, "getaddrinfo",
+        lambda h, p: [(2, 1, 6, "", ("93.184.216.34", 0))])
+    _reject_private_host("http://example.com/")  # public: allowed
+    monkeypatch.setenv("TPURAG_WEB_ALLOW_PRIVATE", "1")
+    _reject_private_host("http://127.0.0.1/")    # explicit opt-out
 
 
 def test_default_fetchers_flag_gated():

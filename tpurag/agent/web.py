@@ -51,12 +51,53 @@ def strip_html(raw: str, cap: int = TEXT_CAP) -> str:
     return text
 
 
-def _http_get(url: str, timeout: float, accept: str) -> str:
+def _reject_private_host(url: str) -> None:
+    """SSRF guard for LLM-controlled page fetches: resolve the host and
+    refuse loopback / private / link-local / reserved ranges (cloud
+    metadata, internal services). Override with
+    ``TPURAG_WEB_ALLOW_PRIVATE=1`` for intentionally-internal targets."""
+    if os.environ.get("TPURAG_WEB_ALLOW_PRIVATE", "") == "1":
+        return
+    import ipaddress
+    import socket
+
+    host = urllib.parse.urlsplit(url).hostname or ""
+    try:
+        infos = socket.getaddrinfo(host, None)
+    except OSError as e:
+        raise RuntimeError(f"cannot resolve host {host!r}: {e}") from e
+    for info in infos:
+        ip = ipaddress.ip_address(info[4][0])
+        if (ip.is_private or ip.is_loopback or ip.is_link_local
+                or ip.is_reserved or ip.is_multicast or ip.is_unspecified):
+            raise PermissionError(
+                f"refusing to fetch private/internal address {ip} "
+                f"(host {host!r}); set TPURAG_WEB_ALLOW_PRIVATE=1 to allow")
+
+
+class _GuardedRedirects(urllib.request.HTTPRedirectHandler):
+    """Re-apply the private-host check on every redirect hop, so a public
+    URL cannot 302 into loopback/metadata."""
+
+    def redirect_request(self, req, fp, code, msg, headers, newurl):
+        _reject_private_host(newurl)
+        return super().redirect_request(req, fp, code, msg, headers, newurl)
+
+
+def _http_get(url: str, timeout: float, accept: str,
+              guard_private: bool = False) -> str:
     if urllib.parse.urlsplit(url).scheme not in ("http", "https"):
         raise ValueError(f"unsupported URL scheme: {url!r}")
     req = urllib.request.Request(
         url, headers={"User-Agent": _UA, "Accept": accept})
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
+    if guard_private:
+        _reject_private_host(url)
+        opener = urllib.request.build_opener(_GuardedRedirects)
+        open_fn = lambda: opener.open(req, timeout=timeout)  # noqa: E731
+    else:  # configured SearXNG instances are often intentionally local
+        open_fn = lambda: urllib.request.urlopen(  # noqa: E731
+            req, timeout=timeout)
+    with open_fn() as resp:
         status = getattr(resp, "status", 200)
         if status >= 400:
             raise RuntimeError(f"HTTP {status}")
@@ -94,7 +135,8 @@ def make_searx_fetcher(instance: str, http_get=_http_get):
                             "application/json")
             return format_searx_results(json.loads(body))
         return http_get(url, FETCH_TIMEOUT_S,
-                        "text/html,application/xhtml+xml,*/*;q=0.8")
+                        "text/html,application/xhtml+xml,*/*;q=0.8",
+                        guard_private=True)
 
     return fetch
 

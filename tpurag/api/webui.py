@@ -58,6 +58,8 @@ INDEX_HTML = """<!doctype html>
 <header>
   <h1>tpurag</h1>
   <span id="stats">loading stats…</span>
+  <input id="tok" type="password" placeholder="API token (if auth on)"
+         style="margin-left:auto;max-width:14em">
 </header>
 <main>
 <section>
@@ -84,11 +86,22 @@ INDEX_HTML = """<!doctype html>
 <script>
 const $ = (id) => document.getElementById(id);
 let session = "web-" + Math.random().toString(36).slice(2);
+// Auth-enabled servers 401 without a Bearer token; persist the token
+// field in localStorage and attach it to every call (advisor finding).
+$("tok").value = localStorage.getItem("tpurag_token") || "";
+$("tok").onchange = () => {
+  localStorage.setItem("tpurag_token", $("tok").value); stats();
+};
+function authHeaders() {
+  const t = $("tok").value.trim();
+  return t ? {"Authorization": "Bearer " + t} : {};
+}
 async function api(path, body) {
   const r = await fetch(path, {method: "POST",
-    headers: {"Content-Type": "application/json"},
+    headers: {"Content-Type": "application/json", ...authHeaders()},
     body: JSON.stringify(body || {})});
   const out = await r.json();
+  if (r.status === 401) throw new Error("401: set the API token (top right)");
   if (!r.ok) throw new Error(out.error || r.status);
   return out;
 }
@@ -101,7 +114,8 @@ function hl(s) {  // **term** highlight markup -> <b>
 }
 async function stats() {
   try {
-    const r = await fetch("/stats"); const s = await r.json();
+    const r = await fetch("/stats", {headers: authHeaders()});
+    const s = await r.json();
     $("stats").textContent =
       `${s.chunks ?? "?"} chunks · ${s.docs ?? "?"} docs` +
       (s.entities ? ` · ${s.entities} entities` : "");

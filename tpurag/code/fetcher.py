@@ -116,10 +116,21 @@ def fetch_repo(url_or_path: str, dest: str | None = None,
         progress("Cloning", 10)
     url = (f"https://github.com/{gh[0]}/{gh[1]}.git" if gh
            else url_or_path)
-    subprocess.run(
-        ["git", "clone", "--depth", "1", "--single-branch",
-         "--branch", branch, url, str(dest_p)],
-        check=True, capture_output=True, timeout=300)
+    try:
+        subprocess.run(
+            ["git", "clone", "--depth", "1", "--single-branch",
+             "--branch", branch, url, str(dest_p)],
+            check=True, capture_output=True, timeout=300)
+    except subprocess.CalledProcessError:
+        # The requested branch may not exist (e.g. default branch is
+        # "master", not "main"); retry on the remote's default branch
+        # like the reference's plain clone (repo-fetcher.ts:219).
+        if any(dest_p.iterdir()) if dest_p.exists() else False:
+            shutil.rmtree(dest_p)
+        subprocess.run(
+            ["git", "clone", "--depth", "1", "--single-branch",
+             url, str(dest_p)],
+            check=True, capture_output=True, timeout=300)
     if progress:
         progress("Cloning", 100)
     return dest_p

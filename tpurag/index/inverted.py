@@ -241,13 +241,14 @@ class InvertedIndex:
         # within each term, matching sequential add()).
         order = np.argsort(ptids, kind="stable")
         sp, sd, sc = ptids[order], doc_of_pair[order], cnts[order]
-        bounds = np.flatnonzero(np.diff(sp)) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(sp)]))
-        for a, b in zip(starts.tolist(), ends.tolist()):
-            tid = int(sp[a])
-            self._postings_doc[tid].extend(sd[a:b].tolist())
-            self._postings_tf[tid].extend(sc[a:b].tolist())
+        if len(sp):  # a batch of all-stopword/punct docs has no pairs
+            bounds = np.flatnonzero(np.diff(sp)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(sp)]))
+            for a, b in zip(starts.tolist(), ends.tolist()):
+                tid = int(sp[a])
+                self._postings_doc[tid].extend(sd[a:b].tolist())
+                self._postings_tf[tid].extend(sc[a:b].tolist())
         totals = np.zeros(len(ids), np.int64)
         np.add.at(totals, np.repeat(np.arange(len(ids)), doc_nt), cnts)
         top = max(ids)

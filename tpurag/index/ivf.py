@@ -207,6 +207,7 @@ class IVFIndex:
         data = _host_normalize(vectors)
         n, d = data.shape
         cents, assign, n_lists = kmeans_assign(data, cfg, seed=seed)
+        n_lists_before = n_lists
         # Starts aligned to IVF_ALIGN let search use the PIPELINED probe
         # kernel (double-buffered BlockSpec streams); only worth the
         # per-cluster padding when clusters average >= 2*IVF_ALIGN rows.
@@ -217,6 +218,10 @@ class IVFIndex:
         cents, assign, counts = split_oversized(
             cents, assign, data, cfg.max_cluster_factor, align=align)
         n_lists = len(counts)
+        # split_oversized grows n_lists, so a fixed config.n_probe would
+        # silently scan a smaller corpus fraction after a skewed build;
+        # scale the DEFAULT nprobe by the growth (advisor finding).
+        self.nprobe_scale = n_lists / max(n_lists_before, 1)
         order = np.argsort(assign, kind="stable")
         self.c_max = int(round_up(max(int(counts.max()), 1), 8))
         # Packed cluster-major layout with every cluster start 8-ALIGNED
@@ -285,7 +290,10 @@ class IVFIndex:
     def search(self, queries, k: int, nprobe: Optional[int] = None):
         from tpurag.kernels.runtime import interpret_mode
 
-        nprobe = min(nprobe or self.config.n_probe, self.n_lists)
+        if nprobe is None:
+            nprobe = int(np.ceil(self.config.n_probe
+                                 * getattr(self, "nprobe_scale", 1.0)))
+        nprobe = min(nprobe, self.n_lists)
         q = l2_normalize(queries)
         if q.ndim == 1:
             q = q[None]
@@ -354,6 +362,8 @@ class IVFIndex:
             row_ids=np.asarray(self.row_ids),
             meta=json.dumps({"n": self.n, "c_max": self.c_max,
                              "n_lists": self.n_lists,
+                             "nprobe_scale": getattr(self, "nprobe_scale",
+                                                     1.0),
                              "align": getattr(self, "align", 8),
                              "emb_dtype": ("bfloat16" if bf16
                                            else str(emb_np.dtype)),
@@ -387,4 +397,5 @@ class IVFIndex:
         idx.c_max = meta["c_max"]
         idx.n_lists = meta["n_lists"]
         idx.align = meta.get("align", 8)  # legacy saves: 8-aligned
+        idx.nprobe_scale = meta.get("nprobe_scale", 1.0)
         return idx
