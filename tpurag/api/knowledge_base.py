@@ -11,11 +11,11 @@ from __future__ import annotations
 import json
 import pathlib
 import threading
-import time
 from typing import Callable, Optional, Sequence
 
 import numpy as np
 
+from tpurag.core.chunkstore import ChunkStore
 from tpurag.core.config import EngineConfig, HybridPreset, PRESETS
 from tpurag.core.types import Chunk, SearchResponse, SearchResult
 from tpurag.engine.hybrid import decode_bits, hybrid_search
@@ -37,26 +37,51 @@ class KnowledgeBase:
         dim: Optional[int] = None,
         mesh=None,
         quant: bool = False,
+        store: str = "device",
+        backing=None,
     ):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — the dense
         corpus shards across it (per-shard top-k + ICI all-gather merge).
         quant: int8-sidecar dense scans with exact bf16 rescoring
         (index/dense.py); under a mesh the sidecar shards with the
-        rows and rescoring stays shard-local."""
+        rows and rescoring stays shard-local.
+        store: 'device' (default) or 'host' — host-store KBs hold the
+        raw corpus in host RAM (10M-chunk scale on one chip: build_ivf()
+        streams the HBM-resident int8 IVF partition from it in bounded
+        memory and mode='ivf' serves it; exhaustive modes stream row
+        tiles through the chip).
+        backing: optional file path — the host-store matrix then lives
+        in a disk-backed memmap, so even the raw corpus (20 GB at
+        10M x 1024 bf16) never has to fit host RAM."""
         self.name = name
         self.config = config or EngineConfig()
         self.embedder = embedder or HashEmbedder(dim or 256)
         self.dim = dim or getattr(self.embedder, "dim", self.config.device.dim)
         self.quant = bool(quant)
+        self.store = store
         self.dense = DenseIndex(
             self.dim,
             dtype=self.config.device.dtype,
             capacity=self.config.device.min_capacity,
             mesh=mesh,
             quant=quant,
+            store=store,
+            backing=backing,
         )
-        self.inverted = InvertedIndex(self.config.bm25)
-        self.chunks: list[Chunk] = []
+        if mesh is not None:
+            # Keyword leg shards with the dense corpus: doc-partitioned
+            # postings + per-shard Pallas scoring + ICI candidate merge
+            # (shard/bm25.py; the reference scales this as a separate
+            # Meilisearch server, meilisearch.ts:27).
+            from tpurag.shard.bm25 import ShardedInvertedIndex
+
+            self.inverted = ShardedInvertedIndex(self.config.bm25,
+                                                 mesh=mesh)
+        else:
+            self.inverted = InvertedIndex(self.config.bm25)
+        # Columnar store: list[Chunk]-compatible reads (indexing, slices,
+        # iteration) at ~5x less host RAM per chunk — 10M-chunk KBs fit.
+        self.chunks = ChunkStore()
         self._doc_chunks: dict[str, list[int]] = {}
         self._ivf = None
         self._ivf_built_at = 0  # n_active snapshot the IVF was built from
@@ -100,9 +125,8 @@ class KnowledgeBase:
         # through — dense.add normalizes on device, no host round-trip.
         ids = self.dense.add(vectors)
         for cid, chunk in zip(ids, chunks):
-            chunk.metadata.setdefault("indexed_at", time.time())
-            self.chunks.append(chunk)
-            assert len(self.chunks) - 1 == int(cid)
+            got = self.chunks.append(chunk)  # stamps indexed_at
+            assert got == int(cid)
             self._doc_chunks.setdefault(chunk.doc_id, []).append(int(cid))
         # Batched keyword ingest: one native tokenize+count call for the
         # whole chunk batch (index/inverted.py:add_batch).
@@ -123,7 +147,7 @@ class KnowledgeBase:
             self.dense.delete(ids)
             self.inverted.delete_docs(ids)
             for cid in ids:
-                self.chunks[cid].metadata["deleted"] = True
+                self.chunks.mark_deleted(cid)
         return len(ids)
 
     # -- query ---------------------------------------------------------------
@@ -141,16 +165,20 @@ class KnowledgeBase:
 
     def search_batch(self, queries: list[str], top_k: int | None = None,
                      mode: str = "hybrid",
-                     preset: str | HybridPreset | None = None) -> list[SearchResponse]:
+                     preset: str | HybridPreset | None = None,
+                     vectors=None) -> list[SearchResponse]:
+        """vectors: optional (B, dim) pre-computed query embeddings —
+        skips the embedder (external encoders, eval oracles); `queries`
+        texts are still used for the keyword leg and highlighting."""
         p = self._preset(preset)
         if top_k is not None:
             import dataclasses
             p = dataclasses.replace(p, final_top_k=top_k)
         with self._mutex:
-            return self._search_batch_locked(queries, p, mode)
+            return self._search_batch_locked(queries, p, mode, vectors)
 
-    def _search_batch_locked(self, queries, p, mode):
-        qv = self.embedder(queries)
+    def _search_batch_locked(self, queries, p, mode, vectors=None):
+        qv = vectors if vectors is not None else self.embedder(queries)
         if mode == "hybrid":
             scores, ids, bits = hybrid_search(self.dense, self.inverted, qv, queries, p)
         elif mode == "vector":
@@ -259,10 +287,10 @@ class KnowledgeBase:
 
     def _build_ivf_locked(self, seed: int):
         n = self.dense.n_active
-        vecs = np.asarray(self.dense.embeddings[:n], np.float32)
         if self.dense.mesh is not None:
             from tpurag.shard.ivf import ShardedIVFIndex
 
+            vecs = np.asarray(self.dense.embeddings[:n], np.float32)
             self._ivf = ShardedIVFIndex(
                 self.config.ivf, mesh=self.dense.mesh,
                 data_axis=self.dense.data_axis,
@@ -270,8 +298,12 @@ class KnowledgeBase:
         else:
             from tpurag.index.ivf import IVFIndex
 
-            self._ivf = IVFIndex(self.config.ivf).build(
-                vecs, dtype=self.dense.dtype, seed=seed, quant=self.quant)
+            # Streaming build: reads bounded row blocks via
+            # dense.get_rows instead of materializing the corpus as host
+            # fp32 (40 GB x2 at 10M x 1024 — round-2 verdict item 2).
+            self._ivf = IVFIndex(self.config.ivf).build_streaming(
+                self.dense.get_rows, n, dtype=self.dense.dtype,
+                seed=seed, quant=self.quant)
         self._ivf_built_at = n
         return self._ivf
 
@@ -313,29 +345,33 @@ class KnowledgeBase:
             "name": self.name,
             "dim": self.dim,
             "quant": self.quant,
+            "store": self.store,
             "embedder": emb_info,
             "ivf": ivf_kind,
             "ivf_built_at": self._ivf_built_at,
-            "chunks": [
-                {
-                    "text": c.text, "doc_id": c.doc_id, "doc_name": c.doc_name,
-                    "chunk_index": c.chunk_index, "source": c.source,
-                    "metadata": c.metadata,
-                }
-                for c in self.chunks
-            ],
+            # Chunks stream to a JSONL sidecar: json.dumps of a 10M-dict
+            # list would materialize gigabytes; one line per chunk keeps
+            # save AND load memory bounded.
+            "chunks_file": "chunks.jsonl",
             "doc_chunks": self._doc_chunks,
         }
         (d / "kb.json").write_text(json.dumps(meta, ensure_ascii=False))
+        with open(d / "chunks.jsonl", "w", encoding="utf-8") as f:
+            for cd in self.chunks.to_dicts():
+                f.write(json.dumps(cd, ensure_ascii=False))
+                f.write("\n")
 
     @classmethod
     def load(cls, directory, embedder: Optional[Embedder] = None,
              config: Optional[EngineConfig] = None,
-             mesh=None) -> "KnowledgeBase":
+             mesh=None, store: Optional[str] = None) -> "KnowledgeBase":
         """mesh: optional — reload the dense corpus row-sharded over its
-        'data' axis (and the IVF partition, if it was saved sharded)."""
+        'data' axis (and the IVF partition, if it was saved sharded).
+        store: override the persisted storage mode (e.g. reload a
+        host-store KB into HBM on a bigger chip, or vice versa)."""
         d = pathlib.Path(directory)
         meta = json.loads((d / "kb.json").read_text())
+        store = store or meta.get("store", "device")
         if embedder is None:
             info = meta.get("embedder") or {}
             if info.get("kind") == "hash":
@@ -353,10 +389,23 @@ class KnowledgeBase:
                     tokenizer=tok)
         quant = bool(meta.get("quant", False))
         kb = cls(meta["name"], embedder=embedder, config=config,
-                 dim=meta["dim"], mesh=mesh, quant=quant)
-        kb.dense = DenseIndex.load(d / "dense", mesh=mesh, quant=quant)
-        kb.inverted = InvertedIndex.load(d / "inverted", kb.config.bm25)
-        kb.chunks = [Chunk(**c) for c in meta["chunks"]]
+                 dim=meta["dim"], mesh=mesh, quant=quant, store=store)
+        kb.dense = DenseIndex.load(d / "dense", mesh=mesh, quant=quant,
+                                   store=store)
+        if mesh is not None and (d / "inverted").is_dir():
+            from tpurag.shard.bm25 import ShardedInvertedIndex
+
+            kb.inverted = ShardedInvertedIndex.load(
+                d / "inverted", kb.config.bm25, mesh=mesh)
+        else:
+            kb.inverted = InvertedIndex.load(d / "inverted", kb.config.bm25)
+        if meta.get("chunks_file"):
+            kb.chunks = ChunkStore()
+            with open(d / meta["chunks_file"], encoding="utf-8") as f:
+                for line in f:
+                    kb.chunks.append(Chunk(**json.loads(line)))
+        else:  # legacy inline-list saves
+            kb.chunks = ChunkStore.from_dicts(meta["chunks"])
         kb._doc_chunks = {k: [int(x) for x in v] for k, v in meta["doc_chunks"].items()}
         ivf_kind = meta.get("ivf")
         if ivf_kind == "sharded" and mesh is not None:

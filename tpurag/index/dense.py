@@ -28,6 +28,7 @@ import numpy as np
 from tpurag.kernels.dense import dense_topk
 from tpurag.kernels.quant import dense_topk_q8, quantize_rows
 from tpurag.kernels.runtime import NEG_INF, round_up
+from tpurag.kernels.topk import merge_topk
 
 
 def l2_normalize(x, eps: float = 1e-30):
@@ -50,9 +51,22 @@ def _zero_rows(buf, ids):
     return buf.at[ids].set(0)
 
 
+HOST_SCAN_BLOCK = 1 << 18  # rows per device upload in host-store scans
+
+
+def _host_dtype(dtype):
+    """The numpy dtype matching a jnp storage dtype (bf16 via ml_dtypes)."""
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(dtype)
+
+
 class DenseIndex:
     def __init__(self, dim: int, dtype=jnp.bfloat16, capacity: int = 4096,
-                 mesh=None, data_axis: str = "data", quant: bool = False):
+                 mesh=None, data_axis: str = "data", quant: bool = False,
+                 store: str = "device", backing=None):
         """mesh: optional jax.sharding.Mesh — rows shard over `data_axis`
         and searches run per-shard top-k + ICI all-gather merge
         (tpurag.shard.search). Single-device layout otherwise.
@@ -62,19 +76,52 @@ class DenseIndex:
         candidates against the full-precision rows — final scores stay
         exact cosines (kernels/quant.py). Under a mesh the sidecar shards
         with the rows and the rescore stays shard-local
-        (shard.search.sharded_dense_topk_q8)."""
+        (shard.search.sharded_dense_topk_q8).
+
+        store: 'device' (default) keeps the matrix in HBM; 'host' keeps
+        it in host RAM (storage dtype) for corpora larger than device
+        memory — exhaustive search streams HOST_SCAN_BLOCK-row tiles
+        through the chip and merges top-k, and kb.build_ivf() streams the
+        IVF partition from it in bounded memory (the production 10M-chunk
+        path: the IVF layout fits HBM int8 where the raw bf16 corpus
+        would not).
+
+        backing: optional file path for the host store — the matrix then
+        lives in a disk-backed memmap (20 GB at 10M x 1024 bf16), so even
+        the raw corpus never has to fit host RAM; the page cache absorbs
+        the working set and drop_page_cache() releases it after bulk
+        passes."""
+        if store not in ("device", "host"):
+            raise ValueError(f"unknown store {store!r}")
+        if store == "host" and mesh is not None:
+            raise ValueError("store='host' is a single-process layout; "
+                             "use the mesh path for sharded corpora")
         self.dim = dim
         self.dtype = jnp.dtype(dtype)
         self.mesh = mesh
         self.data_axis = data_axis
         self.quant = bool(quant)
+        self.store = store
         self._q8 = None
         self._qscale = None
         self._row_multiple = 128
         if mesh is not None:
             self._row_multiple = 128 * mesh.shape[data_axis]
         self.capacity = round_up(max(capacity, 128), self._row_multiple)
-        self._emb = self._place(jnp.zeros((self.capacity, dim), self.dtype))
+        self._backing = None
+        if store == "host":
+            if backing is not None:
+                self._backing = pathlib.Path(backing)
+                self._backing.parent.mkdir(parents=True, exist_ok=True)
+                self._emb = np.lib.format.open_memmap(
+                    self._backing, mode="w+", dtype=_host_dtype(dtype),
+                    shape=(self.capacity, dim))
+            else:
+                self._emb = np.zeros((self.capacity, dim),
+                                     _host_dtype(dtype))
+        else:
+            self._emb = self._place(
+                jnp.zeros((self.capacity, dim), self.dtype))
         self.n_active = 0
         self._deleted: set[int] = set()
 
@@ -101,6 +148,26 @@ class DenseIndex:
         while new_cap < need:
             new_cap *= 2
         if new_cap != self.capacity:
+            if self.store == "host":
+                if self._backing is not None:
+                    tmp = self._backing.with_suffix(".grow")
+                    grown = np.lib.format.open_memmap(
+                        tmp, mode="w+", dtype=self._emb.dtype,
+                        shape=(new_cap, self.dim))
+                    step = max(HOST_SCAN_BLOCK, 1)
+                    for s in range(0, self.capacity, step):
+                        grown[s:s + step] = self._emb[s:s + step]
+                    grown.flush()
+                    del self._emb
+                    tmp.replace(self._backing)
+                    self._emb = np.lib.format.open_memmap(
+                        self._backing, mode="r+")
+                else:
+                    grown = np.zeros((new_cap, self.dim), self._emb.dtype)
+                    grown[: self.capacity] = self._emb
+                    self._emb = grown
+                self.capacity = new_cap
+                return
             pad = jnp.zeros((new_cap - self.capacity, self.dim), self.dtype)
             self._emb = self._place(jnp.concatenate([self._emb, pad], axis=0))
             if self.quant and self._q8 is not None:
@@ -115,6 +182,8 @@ class DenseIndex:
 
     def add(self, vectors) -> np.ndarray:
         """Insert (M, D) raw vectors; returns their int32 row ids."""
+        if self.store == "host":
+            return self._add_host(vectors)
         vecs = l2_normalize(vectors)
         m = vecs.shape[0]
         if vecs.shape[1] != self.dim:
@@ -141,12 +210,33 @@ class DenseIndex:
         self.n_active += m
         return ids
 
+    def _add_host(self, vectors) -> np.ndarray:
+        """Host-store insert: numpy normalize (f32) -> storage cast —
+        no device round-trip, bounded by the batch size."""
+        vecs = np.asarray(vectors, np.float32)
+        if vecs.ndim == 1:
+            vecs = vecs[None]
+        m = vecs.shape[0]
+        if vecs.shape[1] != self.dim:
+            raise ValueError(f"dim mismatch: {vecs.shape[1]} != {self.dim}")
+        norms = np.sqrt(np.einsum("nd,nd->n", vecs, vecs))
+        vecs = vecs / np.maximum(norms, 1e-30)[:, None]
+        self._grow_to(self.n_active + m)
+        self._emb[self.n_active:self.n_active + m] = vecs.astype(
+            self._emb.dtype)
+        ids = np.arange(self.n_active, self.n_active + m, dtype=np.int32)
+        self.n_active += m
+        return ids
+
     def delete(self, ids) -> None:
         ids = [int(i) for i in np.atleast_1d(ids)]
         live = [i for i in ids if 0 <= i < self.n_active and i not in self._deleted]
         if not live:
             return
         self._deleted.update(live)
+        if self.store == "host":
+            self._emb[np.asarray(live, np.int64)] = 0
+            return
         m = 1 << max(len(live) - 1, 0).bit_length()  # pad to pow2 bucket
         padded = np.full(m, live[0], np.int32)
         padded[: len(live)] = sorted(live)
@@ -173,7 +263,9 @@ class DenseIndex:
         # Overfetch to absorb tombstones, then host-filter.
         extra = min(len(self._deleted), max(self.n_active - k, 0))
         kk = min(k + extra, self.n_active)
-        if self.mesh is not None:
+        if self.store == "host":
+            scores, ids = self._search_host(q, kk)
+        elif self.mesh is not None:
             from tpurag.kernels.runtime import interpret_mode
             from tpurag.shard.search import (sharded_dense_topk,
                                              sharded_dense_topk_q8)
@@ -207,7 +299,56 @@ class DenseIndex:
             return jnp.asarray(s), jnp.asarray(i)
         return scores[:, :k], ids[:, :k]
 
+    def _search_host(self, q, kk: int):
+        """Exhaustive scan of the host-store matrix: stream fixed-size row
+        tiles through the device and fold a running top-k (correct at any
+        corpus size; latency is upload-bound — serve big host-store KBs
+        via mode='ivf', this is the exactness oracle/tail path)."""
+        from tpurag.kernels.dense import dense_topk_xla
+
+        block = min(HOST_SCAN_BLOCK,
+                    int(round_up(max(self.n_active, 128), 128)))
+        qd = q.astype(self.dtype)
+        b = qd.shape[0]
+        run_v = jnp.full((b, kk), NEG_INF)
+        run_i = jnp.full((b, kk), -1, jnp.int32)
+        for s in range(0, self.n_active, block):
+            m = min(block, self.n_active - s)
+            rows = self._emb[s:s + m]
+            if m < block:  # pad: one compiled shape per (block, kk)
+                pad = np.zeros((block - m, self.dim), self._emb.dtype)
+                rows = np.concatenate([rows, pad], axis=0)
+            v, i = dense_topk_xla(qd, jnp.asarray(rows), np.int32(m),
+                                  min(kk, block))
+            i = jnp.where(i >= 0, i + s, i)
+            run_v, run_i = merge_topk(run_v, run_i, v, i, kk)
+        return run_v, run_i
+
+    def drop_page_cache(self) -> None:
+        """Disk-backed host store: flush dirty pages and advise the
+        kernel to drop the mapping's resident pages — call between bulk
+        ingest/build passes to keep RSS near the block size instead of
+        the corpus size. No-op for RAM/device stores."""
+        if self.store != "host" or self._backing is None:
+            return
+        import mmap as _mmap
+
+        self._emb.flush()
+        base = getattr(self._emb, "_mmap", None)
+        if base is not None and hasattr(base, "madvise"):
+            base.madvise(_mmap.MADV_DONTNEED)
+
+    def get_rows(self, lo: int, hi: int) -> np.ndarray:
+        """Host copy of rows [lo, hi) in the STORAGE dtype — the bounded
+        block accessor streaming IVF builds read from (works for both
+        store modes; device mode pays one transfer per call)."""
+        if self.store == "host":
+            return self._emb[lo:hi]
+        return np.asarray(self._emb[lo:hi])
+
     def get_vectors(self, ids) -> np.ndarray:
+        if self.store == "host":
+            return self._emb[np.asarray(ids, np.int64)].astype(np.float32)
         return np.asarray(self._emb[jnp.asarray(ids, jnp.int32)], np.float32)
 
     @property
@@ -262,14 +403,19 @@ class DenseIndex:
         """(Re)quantize the whole live matrix into the int8 sidecar —
         one pass at load time; zero rows (padding/tombstones) get scale 0
         so they can never outrank a live row."""
+        if self.store == "host":  # host scans read the storage rows
+            return
         q8, qs = quantize_rows(self._emb)
         self._q8, self._qscale = self._place(q8), self._place1(qs)
 
     @classmethod
     def load(cls, path, mesh=None, data_axis: str = "data",
-             quant: bool = False) -> "DenseIndex":
+             quant: bool = False, store: str = "device") -> "DenseIndex":
         """quant: rebuild the int8 scan sidecar after the rows load (the
-        sidecar is derived data — never persisted)."""
+        sidecar is derived data — never persisted).
+
+        store='host': reload into host RAM instead of HBM (same artifact
+        format; block-copied from the mmap, never materialized as f32)."""
         path = pathlib.Path(path)
         meta_file = path.parent / (path.name + ".meta.json")
         if not meta_file.exists():  # legacy round-1 .npz (fp32)
@@ -277,10 +423,16 @@ class DenseIndex:
             meta = json.loads(str(data["meta"]))
             idx = cls(meta["dim"], dtype=meta["dtype"],
                       capacity=max(meta["n_active"], 128),
-                      mesh=mesh, data_axis=data_axis, quant=quant)
+                      mesh=mesh, data_axis=data_axis, quant=quant,
+                      store=store)
             if meta["n_active"]:
                 idx._grow_to(meta["n_active"])
-                idx._emb = _write_rows(idx._emb, jnp.asarray(data["emb"]), 0)
+                if store == "host":
+                    idx._emb[: meta["n_active"]] = np.asarray(
+                        data["emb"]).astype(idx._emb.dtype)
+                else:
+                    idx._emb = _write_rows(idx._emb,
+                                           jnp.asarray(data["emb"]), 0)
                 idx.n_active = meta["n_active"]
             idx._deleted = set(meta["deleted"])
             if idx.quant:
@@ -289,7 +441,7 @@ class DenseIndex:
         meta = json.loads(meta_file.read_text())
         idx = cls(meta["dim"], dtype=meta["dtype"],
                   capacity=max(meta["n_active"], 128),
-                  mesh=mesh, data_axis=data_axis, quant=quant)
+                  mesh=mesh, data_axis=data_axis, quant=quant, store=store)
 
         def as_storage(arr):
             if idx.dtype == jnp.bfloat16:
@@ -310,8 +462,14 @@ class DenseIndex:
         for mm in parts:
             if len(mm) == 0:
                 continue
-            idx._emb = _write_rows(idx._emb, as_storage(np.asarray(mm)),
-                                   pos)
+            if store == "host":
+                raw = np.asarray(mm)
+                if idx.dtype == jnp.bfloat16:
+                    raw = raw.view(idx._emb.dtype)
+                idx._emb[pos:pos + len(mm)] = raw
+            else:
+                idx._emb = _write_rows(idx._emb, as_storage(np.asarray(mm)),
+                                       pos)
             pos += len(mm)
         idx.n_active = meta["n_active"]
         idx._deleted = set(meta["deleted"])

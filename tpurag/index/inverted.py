@@ -173,6 +173,10 @@ class InvertedIndex:
         self._tail_nnz = 0
         self._dead: set[int] = set()      # deleted ids still in layouts
         self._builds = 0                  # full compactions (observable)
+        # Sharded wrapper hook: parts of a doc-partitioned index must
+        # bake impacts with the GLOBAL average doc length, not their
+        # shard-local one, for score parity with a single index.
+        self.avgdl_override: float | None = None
 
     # -- build ---------------------------------------------------------------
 
@@ -279,6 +283,8 @@ class InvertedIndex:
 
     @property
     def _avgdl(self) -> float:
+        if self.avgdl_override is not None:
+            return max(self.avgdl_override, 1.0)
         return max(self._total_tokens / max(self.n_docs, 1), 1.0)
 
     def _impacts(self, tid: int, start: int, end: int, dnorm: np.ndarray):

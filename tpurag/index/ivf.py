@@ -179,6 +179,44 @@ def kmeans_assign(data: np.ndarray, cfg: IVFConfig, seed: int = 0):
     return np.asarray(cents, np.float32), assign, n_lists
 
 
+def _np_storage(dtype) -> np.dtype:
+    """numpy dtype matching a jnp storage dtype (bf16 via ml_dtypes)."""
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(dtype)
+
+
+def _norm_block(blk) -> np.ndarray:
+    """f32-normalize one row block (bounded by the block size)."""
+    out = np.asarray(blk, np.float32)
+    if out.base is not None or out is blk:
+        out = out.copy()
+    norms = np.sqrt(np.einsum("nd,nd->n", out, out))
+    out /= np.maximum(norms, 1e-30)[:, None]
+    return out
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(dst, rows, idx):
+    """Pack one staged block into the device-resident IVF layout."""
+    return dst.at[idx].set(rows.astype(dst.dtype))
+
+
+@jax.jit
+def _assign_rows(rows, cents):
+    """Nearest-centroid assignment for one uploaded block. int8 rows are
+    per-ROW quantized — a positive per-row scale cannot change that
+    row's argmax — so routing from the staged bytes is exact up to
+    quantization rounding."""
+    sc = jax.lax.dot_general(
+        rows.astype(jnp.float32), cents,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return jnp.argmax(sc, axis=1).astype(jnp.int32)
+
+
 class IVFIndex:
     """Built once from a snapshot of vectors (rebuild to refresh — the
     active/incremental segment stays on the exact path)."""
@@ -275,6 +313,222 @@ class IVFIndex:
         self.n_lists = n_lists
         return self
 
+    def build_streaming(self, source, n: int, *, dtype=jnp.bfloat16,
+                        seed: int = 0, quant: bool = False,
+                        block: int = 1 << 18, stage_dir=None,
+                        keep_rescore: Optional[bool] = None,
+                        progress=None) -> "IVFIndex":
+        """Build from a BLOCK SOURCE in bounded host memory (round-2
+        verdict item 2: the old path materialized the whole corpus as
+        host fp32 — ~40 GB twice at 10M x 1024 — so the product API could
+        never reach the 10M target its own benchmark proved).
+
+        source(lo, hi) -> (hi-lo, D) rows (any float dtype, raw or
+        normalized); typically ``DenseIndex.get_rows``. Peak host memory
+        is O(block x D) + O(n) int32/f32 bookkeeping: staged rows live in
+        a disk-backed memmap (stage_dir or a temp dir, deleted after),
+        and the packed layout goes straight to the DEVICE block by block.
+
+        quant: stage per-ROW int8 (half the disk/upload bytes), pack the
+        per-CLUSTER-requantized int8 matrix (ratio <= 1 by construction).
+        keep_rescore: also pack the full-precision matrix for exact
+        rescoring — default keeps it only while the bf16 copy stays under
+        ~6 GB HBM (at 10M x 1024 only the int8 layout fits the chip).
+        """
+        import shutil
+        import tempfile
+
+        cfg = self.config
+        d = int(np.asarray(source(0, 1)).shape[1])
+        n_lists = min(cfg.n_lists, max(n // 8, 1))
+        rng = np.random.default_rng(seed)
+
+        def note(msg):
+            if progress:
+                progress(msg)
+
+        # -- k-means on a sample: ranged reads only ------------------------
+        want = min(n, cfg.sample_size)
+        n_ranges = max(1, min(64, want // 1024)) if want > 2048 else 1
+        per = -(-want // n_ranges)
+        parts = []
+        for r in range(n_ranges):
+            lo = (r * n) // n_ranges
+            parts.append(_norm_block(source(lo, min(lo + per, n))))
+        sample = np.concatenate(parts)[:want]
+        del parts
+        init = sample[rng.choice(len(sample), n_lists, replace=False)]
+        cents = np.array(  # writable: split_oversized re-averages in place
+            _kmeans(jnp.asarray(sample), jnp.asarray(init),
+                    cfg.kmeans_iters), np.float32)
+        del sample
+        note(f"k-means done ({n_lists} lists)")
+
+        # -- pass 1: stage rows on disk + assign on device -----------------
+        own_stage = stage_dir is None
+        stage = pathlib.Path(stage_dir
+                             or tempfile.mkdtemp(prefix="tpurag_ivf_"))
+        stage.mkdir(parents=True, exist_ok=True)
+        if quant:
+            stage_np = np.dtype(np.int8)
+        elif jnp.dtype(dtype) == jnp.bfloat16:
+            import ml_dtypes
+
+            stage_np = np.dtype(ml_dtypes.bfloat16)
+        else:
+            stage_np = np.dtype(np.float32)
+        staged = np.lib.format.open_memmap(
+            stage / "rows.npy", mode="w+", dtype=stage_np, shape=(n, d))
+        rscale = np.empty(n, np.float32) if quant else None
+        assign = np.empty(n, np.int32)
+        cents_dev = jnp.asarray(cents)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            blk = _norm_block(source(s, e))
+            if quant:
+                m = np.abs(blk).max(axis=1)
+                sc = np.where(m > 0, m, 1.0) / 127.0
+                q = np.clip(np.rint(blk / sc[:, None]), -127, 127
+                            ).astype(np.int8)
+                staged[s:e] = q
+                rscale[s:e] = sc
+                up = q
+            else:
+                up = blk.astype(stage_np)
+                staged[s:e] = up
+            if e - s < block:  # pad: one compiled shape per block size
+                up = np.concatenate(
+                    [up, np.zeros((block - (e - s), d), up.dtype)], axis=0)
+            assign[s:e] = np.asarray(
+                _assign_rows(jnp.asarray(up), cents_dev))[: e - s]
+            note(f"assigned {e}/{n}")
+        staged.flush()
+        n_lists_before = n_lists
+
+        # -- split oversized clusters (streamed part centroids) ------------
+        from tpurag.kernels.ivf_scan import IVF_ALIGN, IVF_SCAN_EXTENT
+
+        align = IVF_ALIGN if n >= 2 * IVF_ALIGN * n_lists else 8
+        self.align = align
+        counts = np.bincount(assign, minlength=n_lists)
+        if cfg.max_cluster_factor and n_lists:
+            mean = max(int(np.ceil(n / max(n_lists, 1))), 8)
+            cap = int(round_up(
+                int(np.ceil(cfg.max_cluster_factor * mean)), align))
+            big = np.where(counts > cap)[0]
+            extra = []
+            next_id = n_lists
+            for c in big:
+                rows_c = np.where(assign == c)[0]
+                for gi, g in enumerate(np.array_split(
+                        rows_c, int(np.ceil(len(rows_c) / cap)))):
+                    rows_f = staged[g].astype(np.float32)
+                    if quant:
+                        rows_f *= rscale[g][:, None]
+                    m = rows_f.mean(axis=0)
+                    m /= max(float(np.linalg.norm(m)), 1e-30)
+                    if gi == 0:
+                        cents[c] = m
+                    else:
+                        assign[g] = next_id
+                        extra.append(m[None])
+                        next_id += 1
+            if extra:
+                cents = np.concatenate([cents] + extra, axis=0)
+            n_lists = next_id
+            counts = np.bincount(assign, minlength=n_lists)
+        self.nprobe_scale = n_lists / max(n_lists_before, 1)
+
+        # -- layout (identical shapes/contracts to build()) ----------------
+        self.c_max = int(round_up(max(int(counts.max()), 1), 8))
+        pad_counts = (counts + align - 1) // align * align
+        starts_pad = np.zeros(n_lists + 1, np.int64)
+        np.cumsum(pad_counts, out=starts_pad[1:])
+        total = int(round_up(
+            int(starts_pad[-1])
+            + round_up(self.c_max, IVF_SCAN_EXTENT) + IVF_SCAN_EXTENT,
+            align))
+        starts_nopad = np.zeros(n_lists + 1, np.int64)
+        np.cumsum(counts, out=starts_nopad[1:])
+        order = np.argsort(assign, kind="stable")
+        cl_sorted = assign[order]
+        dest_sorted = (starts_pad[cl_sorted]
+                       + (np.arange(n) - starts_nopad[cl_sorted]))
+        dest_orig = np.empty(n, np.int64)
+        dest_orig[order] = dest_sorted
+        row_ids = np.full(total, -1, np.int32)
+        row_ids[dest_sorted] = order.astype(np.int32)
+        del order, cl_sorted, dest_sorted
+        row_table = np.full((n_lists, self.c_max), -1, np.int32)
+        for c in range(n_lists):
+            m = int(counts[c])
+            row_table[c, :m] = np.arange(
+                starts_pad[c], starts_pad[c] + m, dtype=np.int32)
+
+        # -- pass 2: pack block-by-block straight into device HBM ----------
+        if quant:
+            cl_max = np.zeros(n_lists, np.float32)
+            np.maximum.at(cl_max, assign, rscale)
+            scales = np.where(cl_max > 0, cl_max, 1.0).astype(np.float32)
+            if keep_rescore is None:
+                keep_rescore = total * d * 2 <= 6e9
+            dest = jnp.zeros((total, d), jnp.int8)
+            dest_fp = (jnp.zeros((total, d), dtype)
+                       if keep_rescore else None)
+        else:
+            dest = jnp.zeros((total, d), dtype)
+            dest_fp = None
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            rows = np.asarray(staged[s:e])
+            idx = dest_orig[s:e].astype(np.int32)
+            if quant:
+                ratio = rscale[s:e] / scales[assign[s:e]]
+                rows_q = np.clip(
+                    np.rint(rows.astype(np.float32) * ratio[:, None]),
+                    -127, 127).astype(np.int8)
+            else:
+                rows_q = rows
+            if e - s < block:  # pad to the compiled shape; total-1 is
+                pad = block - (e - s)  # always layout padding, never live
+                rows_q = np.concatenate(
+                    [rows_q, np.zeros((pad, d), rows_q.dtype)], axis=0)
+                idx = np.concatenate(
+                    [idx, np.full(pad, total - 1, np.int32)])
+            idx_dev = jnp.asarray(idx)
+            dest = _scatter_rows(dest, jnp.asarray(rows_q), idx_dev)
+            if dest_fp is not None:
+                # Re-read the ORIGINAL rows for the rescore copy — a
+                # dequantized int8 round-trip would bake quantization
+                # noise into the "exact" rescore matrix.
+                fp = _norm_block(source(s, e)).astype(_np_storage(dtype))
+                if e - s < block:
+                    fp = np.concatenate(
+                        [fp, np.zeros((block - (e - s), d), fp.dtype)],
+                        axis=0)
+                dest_fp = _scatter_rows(dest_fp, jnp.asarray(fp), idx_dev)
+            note(f"packed {e}/{n}")
+        del staged
+        if own_stage:
+            shutil.rmtree(stage, ignore_errors=True)
+
+        self.centroids = jnp.asarray(cents)
+        if quant:
+            self.emb_ivf_q8 = dest
+            self.cluster_scales = jnp.asarray(scales)
+            self.emb_ivf = dest_fp  # None when the fp copy can't fit
+        else:
+            self.emb_ivf = dest
+            self.emb_ivf_q8 = None
+            self.cluster_scales = None
+        self.row_ids = jnp.asarray(row_ids)
+        self.row_table = jnp.asarray(row_table)
+        self.cluster_starts = jnp.asarray(starts_pad[:-1].astype(np.int32))
+        self.cluster_counts = jnp.asarray(counts.astype(np.int32))
+        self.n = n
+        self.n_lists = n_lists
+        return self
+
     @property
     def pipelined_eligible(self) -> bool:
         """True when the layout satisfies the pipelined probe kernel's
@@ -283,9 +537,10 @@ class IVFIndex:
         — search paths and benches must agree."""
         from tpurag.kernels.ivf_scan import IVF_ALIGN
 
-        return (self.emb_ivf is not None
+        mat = self.emb_ivf if self.emb_ivf is not None else self.emb_ivf_q8
+        return (mat is not None
                 and getattr(self, "align", 8) % IVF_ALIGN == 0
-                and int(self.emb_ivf.shape[0]) % IVF_ALIGN == 0)
+                and int(mat.shape[0]) % IVF_ALIGN == 0)
 
     def search(self, queries, k: int, nprobe: Optional[int] = None):
         from tpurag.kernels.runtime import interpret_mode
@@ -316,9 +571,30 @@ class IVFIndex:
                 q, self.centroids, self.emb_ivf, self.cluster_starts,
                 self.cluster_counts, self.row_ids, k=k, nprobe=nprobe,
                 c_pad=c_pad, pipelined=pipelined)
-        return _ivf_search(q, self.centroids, self.emb_ivf, self.row_table,
+        emb_eff = self.emb_ivf
+        if emb_eff is None:  # quant-only build on the non-pallas path:
+            emb_eff = self._dequantized()  # (interpret/CPU fallback only)
+        return _ivf_search(q, self.centroids, emb_eff, self.row_table,
                            self.row_ids, k=k, nprobe=nprobe,
                            c_max=self.c_max)
+
+    def _dequantized(self):
+        """Materialize f32 rows from the int8 layout (per-cluster scales
+        broadcast per row). Only the interpret-mode fallback needs this —
+        the Pallas path scans int8 directly — so it is cached lazily."""
+        cached = getattr(self, "_dequant_cache", None)
+        if cached is not None:
+            return cached
+        starts = np.asarray(self.cluster_starts)
+        counts = np.asarray(self.cluster_counts)
+        scales = np.asarray(self.cluster_scales)
+        total = int(self.emb_ivf_q8.shape[0])
+        srow = np.zeros(total, np.float32)
+        for c in range(len(counts)):
+            srow[starts[c]:starts[c] + counts[c]] = scales[c]
+        self._dequant_cache = (jnp.asarray(self.emb_ivf_q8, jnp.float32)
+                               * jnp.asarray(srow)[:, None])
+        return self._dequant_cache
 
     def tune_nprobe(self, queries, exact_ids, k: int = 10,
                     target_recall: float = 0.95) -> int:
@@ -352,8 +628,12 @@ class IVFIndex:
         if self.emb_ivf_q8 is not None:
             extra["emb_q8"] = np.asarray(self.emb_ivf_q8)
             extra["cluster_scales"] = np.asarray(self.cluster_scales)
-        emb_np = np.asarray(self.emb_ivf)
-        bf16 = self.emb_ivf.dtype == jnp.bfloat16
+        if self.emb_ivf is None:  # quant-only layout (no fp copy fits)
+            emb_np, bf16, emb_dtype = np.zeros((0, 1), np.float32), False, "none"
+        else:
+            emb_np = np.asarray(self.emb_ivf)
+            bf16 = self.emb_ivf.dtype == jnp.bfloat16
+            emb_dtype = "bfloat16" if bf16 else str(emb_np.dtype)
         np.savez(
             path,
             centroids=np.asarray(self.centroids, np.float32),
@@ -365,8 +645,7 @@ class IVFIndex:
                              "nprobe_scale": getattr(self, "nprobe_scale",
                                                      1.0),
                              "align": getattr(self, "align", 8),
-                             "emb_dtype": ("bfloat16" if bf16
-                                           else str(emb_np.dtype)),
+                             "emb_dtype": emb_dtype,
                              "quant": self.emb_ivf_q8 is not None}),
             **extra,
         )
@@ -379,7 +658,9 @@ class IVFIndex:
         idx = cls(config)
         idx.centroids = jnp.asarray(data["centroids"])
         saved = meta.get("emb_dtype", "float32")  # legacy saves: f32
-        if saved == "bfloat16":
+        if saved == "none":  # quant-only layout: no fp matrix persisted
+            idx.emb_ivf = None
+        elif saved == "bfloat16":
             emb = jnp.asarray(data["emb"]).view(jnp.bfloat16)
             idx.emb_ivf = (emb if dtype == jnp.bfloat16
                            else jnp.asarray(emb, dtype))

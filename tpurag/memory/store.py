@@ -123,7 +123,7 @@ class MemoryStore:
         if e is None:
             return False
         self.kb.dense.delete([memory_id])
-        self.kb.chunks[memory_id].metadata["deleted"] = True
+        self.kb.chunks.mark_deleted(memory_id)
         seg_row = self._kb_to_seg.pop(memory_id, None)
         if seg_row is not None:
             self.segment.delete([seg_row])
