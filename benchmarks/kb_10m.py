@@ -94,9 +94,6 @@ def main():
     which = rng.integers(0, n_centers, n)
     block = 1 << 17
     t0 = time.time()
-    qv = None
-    qi = np.sort(rng.choice(n, b, replace=False))
-    q_rows = np.empty((b, d), np.float32)
     for s in range(0, n, block):
         e = min(s + block, n)
         blk = rng.standard_normal((e - s, d), dtype=np.float32)
@@ -109,9 +106,6 @@ def main():
             for c in chunks:
                 c.text = ""
         kb.add_chunks(chunks, vectors=blk)
-        sel = (qi >= s) & (qi < e)
-        if sel.any():
-            q_rows[np.flatnonzero(sel)] = blk[qi[sel] - s]
         if (s // block) % 8 == 7:
             kb.dense.drop_page_cache()
             log(f"ingested {e}/{n} rss={rss_gb():.1f}GB "
@@ -121,11 +115,15 @@ def main():
     rss_ingest = rss_gb()
     log(f"ingest {n} chunks in {ingest_s:.0f}s rss={rss_ingest:.1f}GB")
 
-    # queries: perturbed corpus rows (the RAG regime)
-    qn = rng.standard_normal((b, d)).astype(np.float32)
-    qn /= np.linalg.norm(qn, axis=1, keepdims=True)
-    qv = q_rows / np.linalg.norm(q_rows, axis=1, keepdims=True)
-    qv = qv + 0.1 * qn
+    # Queries: HELD-OUT draws from the same mixture (center + fresh
+    # noise), NOT perturbations of corpus rows — perturbed-row fixtures
+    # saturate recall at the first ladder point (round-2 verdict item 4);
+    # held-out queries land near cluster boundaries and make the
+    # nprobe/recall ladder actually bend.
+    qc = rng.integers(0, n_centers, b)
+    qv = rng.standard_normal((b, d)).astype(np.float32)
+    qv *= np.float32(noise / np.sqrt(d))
+    qv += centers[qc]
     qv /= np.linalg.norm(qv, axis=1, keepdims=True)
 
     # -- streaming IVF build ----------------------------------------------

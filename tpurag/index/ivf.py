@@ -599,20 +599,33 @@ class IVFIndex:
     def tune_nprobe(self, queries, exact_ids, k: int = 10,
                     target_recall: float = 0.95) -> int:
         """Smallest nprobe whose recall@k vs the exact oracle meets the
-        target (the BASELINE gate). exact_ids: (B, k) from exact search."""
+        target (the BASELINE gate). exact_ids: (B, k) from exact search.
+
+        Doubles to bracket the target, then binary-searches inside the
+        bracket — returns the MINIMAL passing nprobe, not the first
+        passing power of two (an over-probed default scans up to 2x the
+        rows it needs on every production query)."""
         exact = np.asarray(exact_ids)
-        nprobe = 1
-        while nprobe <= self.n_lists:
+
+        def recall_at(nprobe: int) -> float:
             _, ids = self.search(queries, k=k, nprobe=nprobe)
             got = np.asarray(ids)
-            recall = np.mean([
+            return float(np.mean([
                 len(set(got[i]) & set(exact[i])) / max(len(set(exact[i])), 1)
                 for i in range(exact.shape[0])
-            ])
-            if recall >= target_recall:
-                return nprobe
-            nprobe *= 2
-        return self.n_lists
+            ]))
+
+        lo, hi = 0, 1    # lo: last failing, hi: first passing candidate
+        while hi < self.n_lists and recall_at(hi) < target_recall:
+            lo, hi = hi, hi * 2
+        hi = min(hi, self.n_lists)
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if recall_at(mid) >= target_recall:
+                hi = mid
+            else:
+                lo = mid
+        return hi
 
     def save(self, path) -> None:
         """Artifacts keep the STORAGE dtype: a bf16 partition saves as
