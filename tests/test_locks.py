@@ -1,0 +1,77 @@
+"""RWLock semantics (utils/locks.py) — round-2 verdict item 6: KB reads
+must overlap; writers exclude everyone; writer reentrance works."""
+
+import threading
+import time
+
+from tpurag.utils.locks import RWLock
+
+
+def test_readers_overlap():
+    lock = RWLock()
+    inside, peak = [], []
+
+    def reader():
+        with lock.read():
+            inside.append(1)
+            peak.append(len(inside))
+            time.sleep(0.1)
+            inside.remove(1)
+
+    ts = [threading.Thread(target=reader) for _ in range(4)]
+    t0 = time.time()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert max(peak) >= 2            # genuinely concurrent
+    assert time.time() - t0 < 0.35   # not serialized (4 x 0.1s)
+
+
+def test_writer_excludes_readers_and_writers():
+    lock = RWLock()
+    log = []
+
+    def writer(tag):
+        with lock.write():
+            log.append(f"{tag}+")
+            time.sleep(0.05)
+            log.append(f"{tag}-")
+
+    def reader():
+        with lock.read():
+            log.append("r+")
+            time.sleep(0.05)
+            log.append("r-")
+
+    ts = [threading.Thread(target=writer, args=("w1",)),
+          threading.Thread(target=reader),
+          threading.Thread(target=writer, args=("w2",))]
+    for t in ts:
+        t.start()
+        time.sleep(0.01)
+    for t in ts:
+        t.join()
+    # no write section may interleave with anything else
+    text = "".join(log)
+    assert "w1+w1-" in text and "w2+w2-" in text
+
+
+def test_writer_reentrance_and_read_inside_write():
+    lock = RWLock()
+    with lock.write():
+        with lock.write():        # nested write
+            with lock.read():     # read inside own write section
+                ok = True
+    assert ok
+    # lock fully released afterwards
+    acquired = []
+
+    def w():
+        with lock.write():
+            acquired.append(True)
+
+    t = threading.Thread(target=w)
+    t.start()
+    t.join(timeout=2)
+    assert acquired == [True]

@@ -1,0 +1,113 @@
+"""Semantic (non-lexical) recall: a contrastively-trained encoder must
+beat the lexical HashEmbedder on a fixture with ZERO query/doc token
+overlap (round-2 verdict item 5 — nothing previously demonstrated
+semantic retrieval quality).
+
+Fixture: T topics; documents use topic vocabulary a{t}_*, queries use
+disjoint vocabulary b{t}_*. Training pairs are (a-view, b-view) of the
+same topic, so the encoder learns the a<->b association; the hash
+embedder has no shared tokens to match on and stays at chance.
+"""
+
+import numpy as np
+import pytest
+
+from tpurag.models.encoder import EncoderConfig, EncoderEmbedder
+from tpurag.models.train import train_contrastive
+
+T = 64               # topics
+A, B = 6, 6          # per-topic doc / query vocabulary sizes
+
+
+def _words(prefix, t, n):
+    return [f"{prefix}{t}_{j}" for j in range(n)]
+
+
+@pytest.fixture(scope="module")
+def trained():
+    rng = np.random.default_rng(0)
+    pairs = []
+    # Asymmetric (doc-vocab, query-vocab) views — the retrieval regime
+    # (query, passage); mixed-pool views train ~2x slower to the same
+    # recall (measured 0.45 vs 0.88 at 400 steps).
+    for _ in range(2048):
+        t = rng.integers(0, T)
+        va = " ".join(rng.choice(_words("a", t, A), 4))
+        vb = " ".join(rng.choice(_words("b", t, B), 4))
+        pairs.append((va, vb))
+    cfg = EncoderConfig(vocab_size=2048, dim=64, n_layers=2, n_heads=4,
+                        max_len=16, out_dim=64, dtype="float32")
+    params = train_contrastive(cfg, pairs, steps=400, batch=64, seed=0,
+                               seq_len=8)
+    return cfg, params
+
+
+def _recall(embedder, rng, k=5):
+    """Topic precision@k: docs are a-words, queries are b-words.
+    8 docs/topic so precision@5 can reach 1.0 (4/topic capped it at 0.8
+    and masked real quality)."""
+    docs, topics = [], []
+    for t in range(T):
+        for i in range(8):
+            docs.append(" ".join(
+                rng.choice(_words("a", t, A), 4)))
+            topics.append(t)
+    queries = [" ".join(rng.choice(_words("b", t, B), 4))
+               for t in range(T)]
+    dv = embedder(docs)
+    qv = embedder(queries)
+    dv = dv / np.maximum(np.linalg.norm(dv, axis=1, keepdims=True), 1e-30)
+    qv = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
+    top = np.argsort(-(qv @ dv.T), axis=1)[:, :k]
+    topics = np.asarray(topics)
+    return float(np.mean([np.mean(topics[top[t]] == t)
+                          for t in range(T)]))
+
+
+def test_trained_encoder_beats_hash_on_semantic_fixture(trained):
+    from tpurag.ingest.embedder import HashEmbedder
+
+    cfg, params = trained
+    rng = np.random.default_rng(3)
+    enc = EncoderEmbedder(cfg, params=params, seq_len=8)
+    r_enc = _recall(enc, rng)
+    r_hash = _recall(HashEmbedder(64), np.random.default_rng(3))
+    # zero lexical overlap: hash stays near chance (measured 0.02)
+    assert r_hash < 0.2, r_hash
+    assert r_enc > 0.8, (r_enc, r_hash)
+    assert r_enc > r_hash + 0.5
+
+
+def test_untrained_encoder_is_not_semantic(trained):
+    """Control: random-init encoder must NOT pass the same gate —
+    otherwise the fixture is leaking lexical structure."""
+    cfg, _ = trained
+    rng = np.random.default_rng(3)
+    r = _recall(EncoderEmbedder(cfg, seed=9, seq_len=8), rng)
+    assert r < 0.5, r
+
+
+def test_trained_kb_end_to_end(trained, tmp_path):
+    """The trained encoder drives a KnowledgeBase: semantic queries hit
+    the right docs through the full product search path and survive a
+    save/load round-trip (encoder checkpoint + KB artifacts)."""
+    from tpurag import KnowledgeBase
+
+    cfg, params = trained
+    rng = np.random.default_rng(5)
+    kb = KnowledgeBase("sem", embedder=EncoderEmbedder(cfg, params=params,
+                                                       seq_len=8))
+    for t in range(T):
+        kb.add_document(f"doc{t}", " ".join(
+            rng.choice(_words("a", t, A), 12)))
+    hits = 0
+    for t in range(T):
+        q = " ".join(rng.choice(_words("b", t, B), 4))
+        r = kb.search(q, top_k=1, mode="vector")
+        if r.results and r.results[0].doc_name == f"doc{t}":
+            hits += 1
+    assert hits >= int(0.75 * T), hits
+    kb.save(tmp_path / "kb")
+    kb2 = KnowledgeBase.load(tmp_path / "kb")
+    r = kb2.search(" ".join(_words("b", 3, B)[:4]), top_k=1, mode="vector")
+    assert r.results and r.results[0].doc_name == "doc3"

@@ -177,6 +177,12 @@ class InvertedIndex:
         # bake impacts with the GLOBAL average doc length, not their
         # shard-local one, for score parity with a single index.
         self.avgdl_override: float | None = None
+        # Searches are reads under the KB's RWLock, but a read can
+        # trigger the lazy compaction — single-flight it so concurrent
+        # readers never rebuild layouts simultaneously.
+        import threading
+
+        self._build_lock = threading.Lock()
 
     # -- build ---------------------------------------------------------------
 
@@ -510,8 +516,10 @@ class InvertedIndex:
     def search_tokens(self, token_lists: list[list[str]], k: int,
                       as_device: bool = False):
         bsz = len(token_lists)
-        if self._needs_compact():
-            self.compact()
+        with self._build_lock:  # single-flight the lazy compaction
+            if self._needs_compact():
+                self.compact()
+            main, tail_nnz = self._main, self._tail_nnz
         n = len(self.doc_len)
         if n == 0 or self.n_docs == 0:
             empty_s = np.full((bsz, k), NEG_INF, np.float32)
@@ -536,9 +544,11 @@ class InvertedIndex:
         # Device-resident until the single final conversion: every
         # branch below launches async and the one np.asarray pair at
         # the bottom is the only host sync the whole search pays.
-        scores, ids = self._score(rows, kk, self._main)
-        if self._tail_nnz:
-            s2, i2 = self._score(rows, kk, self._tail_layout())
+        scores, ids = self._score(rows, kk, main)
+        if tail_nnz:
+            with self._build_lock:
+                tail = self._tail_layout()
+            s2, i2 = self._score(rows, kk, tail)
             # Main/tail doc sets are disjoint (tail = docs added after
             # the last compaction): plain candidate merge.
             from tpurag.kernels.topk import merge_topk

@@ -39,6 +39,12 @@ class EncoderConfig:
     max_len: int = 512          # chunks are 512 tokens (config.ts:70-74)
     out_dim: int = 1024         # embedding dim parity (main.py:188)
     dtype: str = "bfloat16"
+    # 'preln': the native bias-free pre-LN stack (fast, train-from-
+    # scratch). 'bert': faithful post-LN BERT with biases + embedding
+    # LayerNorm — the arch externally-trained HF checkpoints need
+    # (import_hf_bert maps hugging-face names onto this tree).
+    arch: str = "preln"
+    ln_eps: float = 1e-6        # BERT checkpoints use 1e-12
 
     @classmethod
     def base(cls, **overrides) -> "EncoderConfig":
@@ -63,17 +69,40 @@ def init_params(cfg: EncoderConfig, seed: int = 0) -> dict:
         return jnp.asarray(
             rng.standard_normal(shape).astype(np.float32) * scale, dt)
 
+    def ln():
+        return {"g": jnp.ones((d,), dt), "b": jnp.zeros((d,), dt)}
+
+    if cfg.arch == "bert":
+        params = {
+            "tok_emb": w(cfg.vocab_size, d, scale=0.02),
+            "pos_emb": w(cfg.max_len, d, scale=0.02),
+            "type_emb": w(2, d, scale=0.02),
+            "emb_ln": ln(),
+            "layers": [],
+        }
+        if cfg.out_dim != cfg.dim:
+            params["out_proj"] = w(d, cfg.out_dim)
+        for _ in range(cfg.n_layers):
+            params["layers"].append({
+                "ln1": ln(), "ln2": ln(),
+                "wq": w(d, d), "bq": jnp.zeros((d,), dt),
+                "wk": w(d, d), "bk": jnp.zeros((d,), dt),
+                "wv": w(d, d), "bv": jnp.zeros((d,), dt),
+                "wo": w(d, d), "bo": jnp.zeros((d,), dt),
+                "w1": w(d, h), "b1": jnp.zeros((h,), dt),
+                "w2": w(h, d), "b2": jnp.zeros((d,), dt),
+            })
+        return params
     params = {
         "tok_emb": w(cfg.vocab_size, d, scale=0.02),
         "pos_emb": w(cfg.max_len, d, scale=0.02),
         "out_proj": w(d, cfg.out_dim),
-        "final_ln": {"g": jnp.ones((d,), dt), "b": jnp.zeros((d,), dt)},
+        "final_ln": ln(),
         "layers": [],
     }
     for _ in range(cfg.n_layers):
         params["layers"].append({
-            "ln1": {"g": jnp.ones((d,), dt), "b": jnp.zeros((d,), dt)},
-            "ln2": {"g": jnp.ones((d,), dt), "b": jnp.zeros((d,), dt)},
+            "ln1": ln(), "ln2": ln(),
             "wq": w(d, d), "wk": w(d, d), "wv": w(d, d), "wo": w(d, d),
             "w1": w(d, h), "w2": w(h, d),
         })
@@ -82,6 +111,27 @@ def init_params(cfg: EncoderConfig, seed: int = 0) -> dict:
 
 def param_specs(cfg: EncoderConfig) -> dict:
     """Tensor-parallel PartitionSpecs: head dim / MLP hidden over 'model'."""
+    if cfg.arch == "bert":
+        layer = {
+            "ln1": {"g": P(), "b": P()},
+            "ln2": {"g": P(), "b": P()},
+            "wq": P(None, "model"), "bq": P("model"),
+            "wk": P(None, "model"), "bk": P("model"),
+            "wv": P(None, "model"), "bv": P("model"),
+            "wo": P("model", None), "bo": P(),
+            "w1": P(None, "model"), "b1": P("model"),
+            "w2": P("model", None), "b2": P(),
+        }
+        specs = {
+            "tok_emb": P(),
+            "pos_emb": P(),
+            "type_emb": P(),
+            "emb_ln": {"g": P(), "b": P()},
+            "layers": [layer] * cfg.n_layers,
+        }
+        if cfg.out_dim != cfg.dim:
+            specs["out_proj"] = P(None, "model")
+        return specs
     layer = {
         "ln1": {"g": P(), "b": P()},
         "ln2": {"g": P(), "b": P()},
@@ -113,6 +163,24 @@ def _ln(x, g, b, eps=1e-6):
     return ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * g + b
 
 
+def _bert_block(x, p, n_heads: int, mask, eps: float):
+    """Post-LN BERT layer (biases everywhere, exact GELU) — matches
+    transformers.BertLayer numerics for imported checkpoints."""
+    b, s, d = x.shape
+    hd = d // n_heads
+    q = (x @ p["wq"] + p["bq"]).reshape(b, s, n_heads, hd)
+    k = (x @ p["wk"] + p["bk"]).reshape(b, s, n_heads, hd)
+    v = (x @ p["wv"] + p["bv"]).reshape(b, s, n_heads, hd)
+    att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                     preferred_element_type=jnp.float32) / np.sqrt(hd)
+    att = jnp.where(mask[:, None, None, :], att, -1e30)
+    att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, s, d)
+    x = _ln(x + o @ p["wo"] + p["bo"], p["ln1"]["g"], p["ln1"]["b"], eps)
+    h = jax.nn.gelu(x @ p["w1"] + p["b1"], approximate=False)
+    return _ln(x + h @ p["w2"] + p["b2"], p["ln2"]["g"], p["ln2"]["b"], eps)
+
+
 def _block(x, p, n_heads: int, mask):
     b, s, d = x.shape
     hd = d // n_heads
@@ -131,18 +199,30 @@ def _block(x, p, n_heads: int, mask):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads",))
+@functools.partial(jax.jit, static_argnames=("n_heads", "ln_eps"))
 def encode_tokens(params: dict, token_ids: jax.Array, mask: jax.Array,
-                  n_heads: int = 8) -> jax.Array:
-    """token_ids/mask: (B, S) int32/bool -> (B, out_dim) float32, normalized."""
+                  n_heads: int = 8, ln_eps: float = 1e-6) -> jax.Array:
+    """token_ids/mask: (B, S) int32/bool -> (B, out_dim) float32, normalized.
+
+    The arch is selected by the parameter tree: a BERT tree (emb_ln
+    present — imported checkpoints) runs the faithful post-LN stack;
+    the native tree runs the bias-free pre-LN stack."""
     s = token_ids.shape[1]
     x = params["tok_emb"][token_ids] + params["pos_emb"][:s][None]
-    for layer in params["layers"]:
-        x = _block(x, layer, n_heads, mask)
-    x = _ln(x, params["final_ln"]["g"], params["final_ln"]["b"])
+    if "emb_ln" in params:  # BERT: + segment-0 embedding, embedding LN
+        x = x + params["type_emb"][0][None, None]
+        x = _ln(x, params["emb_ln"]["g"], params["emb_ln"]["b"], ln_eps)
+        for layer in params["layers"]:
+            x = _bert_block(x, layer, n_heads, mask, ln_eps)
+    else:
+        for layer in params["layers"]:
+            x = _block(x, layer, n_heads, mask)
+        x = _ln(x, params["final_ln"]["g"], params["final_ln"]["b"])
     denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1)
     pooled = jnp.sum(jnp.where(mask[:, :, None], x, 0), axis=1) / denom
-    out = (pooled @ params["out_proj"]).astype(jnp.float32)
+    if "out_proj" in params:
+        pooled = pooled @ params["out_proj"]
+    out = pooled.astype(jnp.float32)
     return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-30)
 
 
@@ -270,7 +350,8 @@ class EncoderEmbedder:
         padded = texts + [""] * (bucket - n)
         ids, mask = self._tokens(padded)
         out = encode_tokens(self.params, ids, mask,
-                            n_heads=self.cfg.n_heads)
+                            n_heads=self.cfg.n_heads,
+                            ln_eps=self.cfg.ln_eps)
         return out[:n]
 
     def __call__(self, texts: list[str]) -> np.ndarray:
@@ -285,5 +366,22 @@ class EncoderEmbedder:
     def load(cls, path, seq_len: int = 128, tokenizer=None,
              mesh: Optional[Mesh] = None) -> "EncoderEmbedder":
         params, cfg = load_params(path)
+        return cls(cfg, params=params, seq_len=seq_len,
+                   tokenizer=tokenizer, mesh=mesh)
+
+    @classmethod
+    def from_hf(cls, src, seq_len: int = 128, dtype: str = "float32",
+                out_dim: Optional[int] = None, tokenizer=None,
+                mesh: Optional[Mesh] = None) -> "EncoderEmbedder":
+        """Build from an externally-trained BERT checkpoint (HF naming;
+        local dir or in-memory transformers model). When `tokenizer` is
+        a transformers tokenizer it is adapted automatically."""
+        from tpurag.models.import_hf import (hf_tokenizer_adapter,
+                                             import_hf_bert)
+
+        params, cfg = import_hf_bert(src, dtype=dtype, out_dim=out_dim)
+        if tokenizer is not None and hasattr(tokenizer,
+                                             "batch_encode_plus"):
+            tokenizer = hf_tokenizer_adapter(tokenizer)  # HF tokenizer
         return cls(cfg, params=params, seq_len=seq_len,
                    tokenizer=tokenizer, mesh=mesh)

@@ -1,0 +1,126 @@
+"""Import externally-trained BERT-family checkpoints (HF naming) onto the
+encoder's parameter tree (round-2 verdict item 5: the reference's
+retrieval quality comes from a production embedding model,
+src/lib/llm/config.ts:31 / lightrag-service/main.py:104-139; tpurag
+previously shipped random-init weights with no import path).
+
+Zero-egress friendly: accepts an in-memory ``transformers.BertModel`` or
+a local checkpoint directory — nothing is downloaded. Numerics are
+verified against the torch forward in tests/test_encoder_import.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpurag.models.encoder import EncoderConfig
+
+
+def _to_np(t) -> np.ndarray:
+    return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+
+def _strip_prefix(state: dict) -> dict:
+    """Drop task-head wrappers: 'bert.encoder...' -> 'encoder...'."""
+    for pref in ("bert.", "model.", "base_model."):
+        if any(k.startswith(pref + "embeddings.") for k in state):
+            state = {k[len(pref):]: v for k, v in state.items()
+                     if k.startswith(pref)}
+    return state
+
+
+def import_hf_bert(src, dtype: str = "float32",
+                   out_dim: int | None = None, seed: int = 0):
+    """Map a BERT checkpoint onto the 'bert'-arch parameter tree.
+
+    src: a transformers.BertModel (or any module whose state_dict uses
+    BERT naming), OR a local directory containing config.json +
+    weights (loaded via transformers from_pretrained, local only).
+
+    out_dim: optional projection dim — when given and != hidden size, a
+    fresh (seeded) projection is appended (the checkpoint itself has
+    none); otherwise embeddings are the mean-pooled hidden states.
+
+    Returns (params, EncoderConfig(arch='bert')).
+    """
+    import jax.numpy as jnp
+
+    if isinstance(src, (str, bytes)) or hasattr(src, "__fspath__"):
+        from transformers import AutoConfig, AutoModel
+
+        hf_cfg = AutoConfig.from_pretrained(src, local_files_only=True)
+        model = AutoModel.from_pretrained(src, local_files_only=True,
+                                          config=hf_cfg)
+    else:
+        model = src
+        hf_cfg = model.config
+    state = _strip_prefix({k: v for k, v in model.state_dict().items()})
+
+    d = int(hf_cfg.hidden_size)
+    inter = int(hf_cfg.intermediate_size)
+    if inter % d:
+        raise ValueError(f"intermediate {inter} not a multiple of {d}")
+    cfg = EncoderConfig(
+        vocab_size=int(hf_cfg.vocab_size), dim=d,
+        n_layers=int(hf_cfg.num_hidden_layers),
+        n_heads=int(hf_cfg.num_attention_heads),
+        mlp_ratio=inter // d,
+        max_len=int(hf_cfg.max_position_embeddings),
+        out_dim=int(out_dim or d), dtype=dtype, arch="bert",
+        ln_eps=float(getattr(hf_cfg, "layer_norm_eps", 1e-12)))
+    dt = jnp.dtype(dtype)
+
+    def arr(key, transpose=False):
+        a = _to_np(state[key]).astype(np.float32)
+        if transpose:
+            a = a.T
+        return jnp.asarray(a, dt)
+
+    def ln(base):
+        return {"g": arr(f"{base}.weight"), "b": arr(f"{base}.bias")}
+
+    params = {
+        "tok_emb": arr("embeddings.word_embeddings.weight"),
+        "pos_emb": arr("embeddings.position_embeddings.weight"),
+        "type_emb": arr("embeddings.token_type_embeddings.weight"),
+        "emb_ln": ln("embeddings.LayerNorm"),
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        b = f"encoder.layer.{i}"
+        params["layers"].append({
+            "wq": arr(f"{b}.attention.self.query.weight", True),
+            "bq": arr(f"{b}.attention.self.query.bias"),
+            "wk": arr(f"{b}.attention.self.key.weight", True),
+            "bk": arr(f"{b}.attention.self.key.bias"),
+            "wv": arr(f"{b}.attention.self.value.weight", True),
+            "bv": arr(f"{b}.attention.self.value.bias"),
+            "wo": arr(f"{b}.attention.output.dense.weight", True),
+            "bo": arr(f"{b}.attention.output.dense.bias"),
+            "ln1": ln(f"{b}.attention.output.LayerNorm"),
+            "w1": arr(f"{b}.intermediate.dense.weight", True),
+            "b1": arr(f"{b}.intermediate.dense.bias"),
+            "w2": arr(f"{b}.output.dense.weight", True),
+            "b2": arr(f"{b}.output.dense.bias"),
+            "ln2": ln(f"{b}.output.LayerNorm"),
+        })
+    if cfg.out_dim != cfg.dim:
+        rng = np.random.default_rng(seed)
+        params["out_proj"] = jnp.asarray(
+            rng.standard_normal((d, cfg.out_dim)).astype(np.float32)
+            / np.sqrt(d), dt)
+    return params, cfg
+
+
+def hf_tokenizer_adapter(tokenizer):
+    """Wrap a transformers tokenizer into the embedder protocol:
+    (texts, seq_len) -> (ids (B,S) int32, mask (B,S) bool)."""
+
+    def tok(texts, seq_len):
+        enc = tokenizer(list(texts), padding="max_length",
+                        truncation=True, max_length=seq_len,
+                        return_tensors="np")
+        return (enc["input_ids"].astype(np.int32),
+                enc["attention_mask"].astype(bool))
+
+    return tok

@@ -107,6 +107,9 @@ class ShardedInvertedIndex:
         self.parts = [InvertedIndex(self.config)
                       for _ in range(self.n_shards)]
         self._stacked = None   # (widths, mats_dev, max_rows) device layout
+        import threading
+
+        self._build_lock = threading.Lock()  # single-flight relayouts
 
     # -- routing -------------------------------------------------------------
 
@@ -157,6 +160,11 @@ class ShardedInvertedIndex:
     def _ensure_stacked(self) -> None:
         if self._stacked is not None:
             return
+        with self._build_lock:
+            if self._stacked is None:
+                self._build_stacked()
+
+    def _build_stacked(self) -> None:
         # Global BM25 stats must be frozen into every part's impacts.
         avgdl = self._total_tokens / max(self.n_docs, 1)
         for part in self.parts:
