@@ -1,0 +1,113 @@
+"""Per-user resource ownership (round-2 verdict item 8): the reference
+scopes every route by the session user (chat/query/route.ts:17-75
+findFirst-by-userId); tpurag's auth was previously a global bearer gate
+— any valid token reached any KB/session/eval run."""
+
+import pytest
+
+from tpurag.api.knowledge_base import KnowledgeBase
+from tpurag.api.server import RagServer
+from tpurag.api.sessions import TokenAuth
+
+
+@pytest.fixture
+def srv():
+    auth = TokenAuth()
+    kb = KnowledgeBase("default", dim=32)
+    kb.add_document("seed", "alpha beta gamma " * 30)
+    s = RagServer(kb, auth=auth, max_wait_ms=0.1)
+    s.users.register("alice", "pw-a")
+    s.users.register("bob", "pw-b")
+    _, ra = s.handle("POST", "/auth/login",
+                     {"username": "alice", "password": "pw-a"})
+    _, rb = s.handle("POST", "/auth/login",
+                     {"username": "bob", "password": "pw-b"})
+    return s, ra["token"], rb["token"]
+
+
+def test_kb_scoped_to_creator(srv):
+    s, alice, bob = srv
+    code, _ = s.handle("POST", "/knowledge-bases", {"id": "akb", "dim": 32},
+                       token=alice)
+    assert code == 200
+    # creator sees + reaches it
+    _, out = s.handle("GET", "/knowledge-bases", {}, token=alice)
+    assert {k["id"] for k in out["knowledge_bases"]} == {"default", "akb"}
+    code, _ = s.handle("POST", "/documents",
+                       {"kb": "akb", "name": "d", "text": "x " * 50},
+                       token=alice)
+    assert code == 200
+    # bob neither lists nor reaches it (404, not 403: no id leak)
+    _, out = s.handle("GET", "/knowledge-bases", {}, token=bob)
+    assert {k["id"] for k in out["knowledge_bases"]} == {"default"}
+    for method, path, body in (
+            ("POST", "/documents", {"kb": "akb", "name": "d", "text": "x"}),
+            ("POST", "/search", {"kb": "akb", "query": "alpha"}),
+            ("GET", "/knowledge-bases/akb", {}),
+            ("POST", "/knowledge-bases/akb/delete", {})):
+        code, _ = s.handle(method, path, body, token=bob)
+        assert code == 404, (method, path)
+    # the boot-time default KB stays shared
+    code, _ = s.handle("POST", "/search", {"query": "alpha"}, token=bob)
+    assert code == 200
+
+
+def test_sessions_scoped_to_creator(srv):
+    s, alice, bob = srv
+    _, out = s.handle("POST", "/sessions", {"session_id": "s-alice"},
+                      token=alice)
+    assert out["session_id"] == "s-alice"
+    code, _ = s.handle("GET", "/sessions/s-alice", {}, token=alice)
+    assert code == 200
+    code, _ = s.handle("GET", "/sessions/s-alice", {}, token=bob)
+    assert code == 404
+    code, _ = s.handle("POST", "/sessions/s-alice/delete", {}, token=bob)
+    assert code == 404
+    _, out = s.handle("GET", "/sessions", {}, token=bob)
+    assert out["sessions"] == []
+    # chat with someone else's session id is denied (stub agent so the
+    # ownership check is reachable)
+    class StubAgent:
+        llm = None
+
+        def query(self, q, history=None):
+            import types
+
+            return types.SimpleNamespace(answer="ok", tool_calls=[],
+                                         sources=[])
+
+    s.agent = StubAgent()
+    s._agents["default"] = s.agent
+    code, _ = s.handle("POST", "/chat",
+                       {"question": "hi", "session_id": "s-alice"},
+                       token=bob)
+    assert code == 404
+    code, _ = s.handle("POST", "/chat",
+                       {"question": "hi", "session_id": "s-alice"},
+                       token=alice)
+    assert code == 200
+
+
+def test_eval_runs_scoped(srv):
+    s, alice, bob = srv
+    # no agent configured -> eval POST 503s; simulate a stored run
+    run_id = "run_test_1"
+    s.eval_store._cache[run_id] = {"id": run_id, "status": "done",
+                                   "created_at": 0.0, "averages": {},
+                                   "total": 0, "results": []}
+    s._own("eval", run_id, "alice")
+    code, _ = s.handle("GET", f"/eval/{run_id}", {}, token=alice)
+    assert code == 200
+    code, _ = s.handle("GET", f"/eval/{run_id}", {}, token=bob)
+    assert code == 404
+    _, out = s.handle("GET", "/eval", {}, token=bob)
+    assert out["runs"] == []
+
+
+def test_open_server_has_no_scoping():
+    kb = KnowledgeBase("default", dim=32)
+    s = RagServer(kb, max_wait_ms=0.1)
+    code, _ = s.handle("POST", "/knowledge-bases", {"id": "k2"})
+    assert code == 200
+    code, _ = s.handle("GET", "/knowledge-bases/k2", {})
+    assert code == 200

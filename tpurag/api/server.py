@@ -69,6 +69,12 @@ class RagServer:
         self.eval_store = EvalStore(str(self.data_dir) if data_dir else None)
         self.codebases = codebases    # optional CodebaseManager
         self._pending_docs: dict[str, dict] = {}
+        # Per-user resource ownership (reference scopes every route by
+        # the session user, chat/query/route.ts:17-75): resources
+        # created by an authenticated user are only visible/usable by
+        # that user; unowned resources (boot-time KBs, auth-off
+        # creations) stay accessible to everyone.
+        self._owners: dict[tuple[str, str], str] = {}
         self._lock = threading.Lock()
         import os as _os
 
@@ -88,6 +94,21 @@ class RagServer:
         if kb is None:
             raise KeyError(f"no knowledge base {kb_id!r}")
         return kb
+
+    # -- ownership ---------------------------------------------------------
+
+    def _own(self, kind: str, rid: str, user: Optional[str]) -> None:
+        if user:
+            self._owners[(kind, str(rid))] = user
+
+    def _owned(self, kind: str, rid: str, user: Optional[str]) -> bool:
+        owner = self._owners.get((kind, str(rid)))
+        return owner is None or owner == user
+
+    def _deny(self, kind: str, rid: str) -> tuple[int, dict]:
+        # 404, not 403: do not leak which ids exist to other users
+        # (the reference's findFirst-by-userId behaves the same way).
+        return 404, {"error": f"no {kind} {rid}"}
 
     def _agent_for(self, kb_id: str):
         if kb_id not in self._agents:
@@ -137,12 +158,15 @@ class RagServer:
 
             for k, v in urllib.parse.parse_qsl(qs):
                 body.setdefault(k, v)
+        user = None
         if self.auth is not None and path != "/health" \
                 and not path.startswith("/auth/"):
-            if self.auth.verify(token) is None:
+            user = self.auth.verify(token)
+            if user is None:
                 return 401, {"error": "unauthorized"}
-        if body.get("kb") and body["kb"] not in self.kbs \
-                and not path.startswith("/knowledge-bases"):
+        if body.get("kb") and not path.startswith("/knowledge-bases") \
+                and (body["kb"] not in self.kbs
+                     or not self._owned("kb", body["kb"], user)):
             return 404, {"error": f"no knowledge base {body['kb']!r}"}
         if method == "POST" and path == "/auth/register":
             # api/auth/register/route.ts:11 parity.
@@ -159,7 +183,8 @@ class RagServer:
             return 200, {"knowledge_bases": [
                 {"id": kid, "chunks": len(k), "docs": len(k._doc_chunks),
                  "dim": k.dim}
-                for kid, k in self.kbs.items()]}
+                for kid, k in self.kbs.items()
+                if self._owned("kb", kid, user)]}
         if method == "POST" and path == "/knowledge-bases":
             kb_id = body.get("id", "")
             if not kb_id or kb_id in self.kbs:
@@ -169,10 +194,11 @@ class RagServer:
             self.kbs[kb_id] = KnowledgeBase(
                 kb_id, dim=int(body["dim"]) if body.get("dim") else None,
                 config=self.kb.config)
+            self._own("kb", kb_id, user)
             return 200, {"id": kb_id}
         if path.startswith("/knowledge-bases/"):
             kb_id = path.split("/")[2]
-            if kb_id not in self.kbs:
+            if kb_id not in self.kbs or not self._owned("kb", kb_id, user):
                 return 404, {"error": f"no knowledge base {kb_id}"}
             if method == "GET":
                 k = self.kbs[kb_id]
@@ -185,13 +211,18 @@ class RagServer:
                 self._agents.pop(kb_id, None)
                 return 200, {"deleted": True}
         if method == "GET" and path == "/sessions":
-            return 200, {"sessions": self.sessions.list()}
+            return 200, {"sessions": [
+                s for s in self.sessions.list()
+                if self._owned("session", s.get("session_id", ""), user)]}
         if method == "POST" and path == "/sessions":
             s = self.sessions.create(body.get("session_id"))
+            self._own("session", s.session_id, user)
             return 200, {"session_id": s.session_id}
         if path.startswith("/sessions/"):
             parts = path.split("/")
             sid = parts[2]
+            if not self._owned("session", sid, user):
+                return self._deny("session", sid)
             if method == "POST" and len(parts) == 4 and parts[3] == "delete":
                 ok = self.sessions.delete(sid)
                 return (200, {"deleted": True}) if ok else (
@@ -231,7 +262,13 @@ class RagServer:
             session = None
             history = body.get("history")
             if body.get("session_id"):
-                session = self.sessions.get_or_create(body["session_id"])
+                sid = body["session_id"]
+                if not self._owned("session", sid, user):
+                    return self._deny("session", sid)
+                fresh = self.sessions.get(sid) is None
+                session = self.sessions.get_or_create(sid)
+                if fresh:
+                    self._own("session", sid, user)
                 history = history or session.recent(10)  # last-10 rounds,
                 #                                          query/route.ts:17-75
             if body.get("mode") == "normal":
@@ -329,6 +366,7 @@ class RagServer:
             with self._lock:
                 run = EvalService(self.agent).run(n=int(body.get("n", 3)))
             run_id = self.eval_store.save_run(run)
+            self._own("eval", run_id, user)
             return 200, {
                 "run_id": run_id,
                 "status": run.status,
@@ -341,10 +379,15 @@ class RagServer:
                 ],
             }
         if method == "GET" and path == "/eval":
-            return 200, {"runs": self.eval_store.list()}
+            return 200, {"runs": [
+                r for r in self.eval_store.list()
+                if self._owned("eval", r.get("run_id", r.get("id", "")),
+                               user)]}
         if path.startswith("/eval/"):
             parts = path.split("/")
             run_id = parts[2]
+            if not self._owned("eval", run_id, user):
+                return self._deny("eval run", run_id)
             if method == "POST" and len(parts) == 4 and parts[3] == "delete":
                 ok = self.eval_store.delete(run_id)
                 return (200, {"deleted": True}) if ok else (
@@ -357,9 +400,22 @@ class RagServer:
         if self.codebases is not None and path.startswith("/codebases"):
             from tpurag.api.code_routes import handle_codebase
 
+            cb_parts = [p for p in path.split("/") if p]
+            if len(cb_parts) >= 2 and not self._owned(
+                    "codebase", cb_parts[1], user):
+                return self._deny("codebase", cb_parts[1])
             resp = handle_codebase(self.codebases, method, path, body)
             if resp is not None:
-                return resp
+                status, payload = resp
+                if status == 200 and method == "POST" \
+                        and len(cb_parts) == 1 and "id" in payload:
+                    self._own("codebase", payload["id"], user)
+                if status == 200 and method == "GET" \
+                        and len(cb_parts) == 1 and "codebases" in payload:
+                    payload = dict(payload, codebases=[
+                        c for c in payload["codebases"]
+                        if self._owned("codebase", c.get("id", ""), user)])
+                return status, payload
         return 404, {"error": f"no route {method} {path}"}
 
     # -- SSE streams -------------------------------------------------------
@@ -371,9 +427,15 @@ class RagServer:
         when `path` is not a streaming route."""
         path, _, qs = path.partition("?")
         params = dict(p.split("=", 1) for p in qs.split("&") if "=" in p)
-        if self.auth is not None and self.auth.verify(token) is None:
-            return None
+        user = None
+        if self.auth is not None:
+            user = self.auth.verify(token)
+            if user is None:
+                return None
         parts = path.strip("/").split("/")
+        if (len(parts) >= 2 and parts[0] == "codebases"
+                and not self._owned("codebase", parts[1], user)):
+            return None  # 404s below (ownership, like the JSON routes)
         if (method == "GET" and len(parts) == 3 and parts[0] == "documents"
                 and parts[2] == "process"):
             return self._process_stream(parts[1])

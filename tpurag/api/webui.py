@@ -82,6 +82,22 @@ INDEX_HTML = """<!doctype html>
     <button>Send</button>
   </form>
 </section>
+<section>
+  <h2>Knowledge graph</h2>
+  <form id="gform"><button>Load graph</button>
+    <span id="gstats" class="meta" style="color:var(--dim)"></span></form>
+  <canvas id="gcanvas" width="640" height="420"
+          style="width:100%;background:var(--bg);border-radius:8px"></canvas>
+</section>
+<section>
+  <h2>Eval</h2>
+  <form id="eform">
+    <input id="en" type="text" value="3" style="max-width:5em">
+    <button>Run eval</button>
+  </form>
+  <div id="elog" style="max-height:380px;overflow-y:auto;font-size:13px">
+  </div>
+</section>
 </main>
 <script>
 const $ = (id) => document.getElementById(id);
@@ -157,6 +173,117 @@ $("cform").onsubmit = async (ev) => {
             esc(s.doc_name || String(s))).join(", ")}</div>` : "");
   } catch (e) { hold.innerHTML = `<span class=err>${esc(String(e))}</span>`; }
   $("chatlog").scrollTop = 1e9;
+};
+// --- knowledge graph: force-directed canvas (KnowledgeGraphV2.tsx
+// parity pane; self-contained — zero-egress deployments have no CDN) ---
+$("gform").onsubmit = async (ev) => {
+  ev.preventDefault();
+  $("gstats").textContent = "loading…";
+  try {
+    const r = await fetch("/graph", {headers: authHeaders()});
+    if (!r.ok) throw new Error((await r.json()).error || r.status);
+    const g = await r.json();
+    const nodes = (g.nodes || []).slice(0, 120);
+    const byId = Object.fromEntries(nodes.map(n => [n.id, n]));
+    const edges = (g.edges || []).filter(e => byId[e.source] && byId[e.target]);
+    $("gstats").textContent =
+      `${g.stats?.entities ?? nodes.length} entities · ` +
+      `${g.stats?.relations ?? edges.length} relations`;
+    const cv = $("gcanvas"), ctx = cv.getContext("2d");
+    const W = cv.width, H = cv.height;
+    nodes.forEach((n, i) => {
+      const a = 2 * Math.PI * i / nodes.length;
+      n.x = W/2 + 0.35*W*Math.cos(a); n.y = H/2 + 0.35*H*Math.sin(a);
+      n.vx = 0; n.vy = 0;
+    });
+    for (let it = 0; it < 200; it++) {       // springs + repulsion
+      for (const a of nodes) for (const b of nodes) {
+        if (a === b) continue;
+        let dx = a.x-b.x, dy = a.y-b.y, d2 = dx*dx+dy*dy+0.01;
+        const f = 800 / d2;
+        a.vx += f*dx; a.vy += f*dy;
+      }
+      for (const e of edges) {
+        const s = byId[e.source], t = byId[e.target];
+        const dx = t.x-s.x, dy = t.y-s.y;
+        const d = Math.sqrt(dx*dx+dy*dy)+0.01, f = 0.02*(d-80)/d;
+        s.vx += f*dx; s.vy += f*dy; t.vx -= f*dx; t.vy -= f*dy;
+      }
+      for (const n of nodes) {
+        n.vx += (W/2-n.x)*0.002; n.vy += (H/2-n.y)*0.002;  // gravity
+        n.x += Math.max(-5, Math.min(5, n.vx));
+        n.y += Math.max(-5, Math.min(5, n.vy));
+        n.vx *= 0.5; n.vy *= 0.5;
+        n.x = Math.max(10, Math.min(W-10, n.x));
+        n.y = Math.max(10, Math.min(H-10, n.y));
+      }
+    }
+    ctx.clearRect(0, 0, W, H);
+    ctx.strokeStyle = "#2c333b";
+    for (const e of edges) {
+      const s = byId[e.source], t = byId[e.target];
+      ctx.lineWidth = Math.min(3, 0.5 + (e.weight || 1) * 0.3);
+      ctx.beginPath(); ctx.moveTo(s.x, s.y); ctx.lineTo(t.x, t.y);
+      ctx.stroke();
+    }
+    const colors = {};
+    const palette = ["#4fc3f7","#81c784","#ffb74d","#ba68c8","#e57373",
+                     "#4db6ac","#f06292"];
+    for (const n of nodes) {
+      const c = colors[n.type] ??
+        (colors[n.type] = palette[Object.keys(colors).length % 7]);
+      ctx.fillStyle = c;
+      ctx.beginPath(); ctx.arc(n.x, n.y, 5, 0, 7); ctx.fill();
+    }
+    ctx.fillStyle = "#8b98a5"; ctx.font = "10px system-ui";
+    for (const n of nodes.slice(0, 50))
+      ctx.fillText(String(n.id).slice(0, 18), n.x + 7, n.y + 3);
+  } catch (e) { $("gstats").textContent = String(e); }
+};
+// --- live eval over SSE (dashboard/eval/page.tsx parity pane).
+// fetch-streaming instead of EventSource so the Bearer header works. ---
+$("eform").onsubmit = async (ev) => {
+  ev.preventDefault();
+  const log = $("elog");
+  log.innerHTML = "<div class=meta>starting…</div>";
+  try {
+    const r = await fetch("/eval/stream?n=" + (+$("en").value || 3),
+                          {headers: authHeaders()});
+    if (!r.ok || !r.body) throw new Error("eval stream unavailable");
+    const reader = r.body.getReader(), dec = new TextDecoder();
+    let buf = "";
+    for (;;) {
+      const {value, done} = await reader.read();
+      if (done) break;
+      buf += dec.decode(value, {stream: true});
+      let i;
+      while ((i = buf.indexOf("\\n\\n")) >= 0) {
+        const frame = buf.slice(0, i); buf = buf.slice(i + 2);
+        const evm = /event: (.*)/.exec(frame);
+        const dm = /data: (.*)/.exec(frame);
+        if (!evm || !dm) continue;
+        const kind = evm[1], d = JSON.parse(dm[1]);
+        if (kind === "status")
+          log.innerHTML = `<div class=meta>running ${d.total} questions…</div>`;
+        else if (kind === "progress")
+          log.insertAdjacentHTML("beforeend", `<div class=res>
+            <div class=meta>${d.progress}/${d.total}</div>
+            <div>${esc(d.question || "")}</div>
+            <div class=meta>${d.scores ? Object.entries(d.scores)
+              .map(([k, v]) => `${k}: ${(+v).toFixed(1)}`).join(" · ")
+              : "scoring…"}</div></div>`);
+        else if (kind === "complete")
+          log.insertAdjacentHTML("beforeend",
+            `<div class=res><b>run ${esc(d.run_id)}</b> · ` +
+            Object.entries(d.averages || {}).map(([k, v]) =>
+              `${k}: ${(+v).toFixed(2)}`).join(" · ") + "</div>");
+        else if (kind === "error")
+          log.insertAdjacentHTML("beforeend",
+            `<div class=err>${esc(d.error || "error")}</div>`);
+        log.scrollTop = 1e9;
+      }
+    }
+  } catch (e) { log.innerHTML = `<div class=err>${esc(String(e))}</div>`; }
 };
 stats();
 </script>
