@@ -1,0 +1,125 @@
+"""TPU-green smoke: compile + run the PRODUCT kernels at small shapes on
+the real chip and stamp the validated git SHA into BENCHMARKS.md
+(round-2 verdict item 7 — "passes on CPU interpret" must never be
+mistaken for "works on Mosaic"; the relay-dependent on-TPU runs are the
+only thing that exercises Mosaic layouts/precision).
+
+Covered product kernels (small shapes, seconds not minutes):
+  - dense_topk_pallas (tiled cosine scan, bf16)
+  - dense_topk_q8 (int8 sidecar scan + exact rescore)
+  - merge_segsum_topk via InvertedIndex.search (packed-key BM25 tail)
+  - ivf_scan_pallas (probe-scan, aligned layout, incl. int8)
+  - rrf_fuse (hybrid fusion, via KnowledgeBase.search)
+
+Usage: python benchmarks/tpu_smoke.py   (exits 2 if not on TPU)
+"""
+
+from __future__ import annotations
+
+import pathlib
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    backend = jax.default_backend()
+    if backend not in ("tpu", "axon"):
+        log(f"not on TPU (backend={backend}); smoke requires the chip")
+        sys.exit(2)
+    t_all = time.time()
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    n, d, b, k = 4096, 256, 8, 8
+
+    # 1. dense bf16 Pallas scan
+    from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
+
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    emb_dev = jnp.asarray(emb, jnp.bfloat16)
+    q_dev = jnp.asarray(q)
+    t0 = time.time()
+    v, i = dense_topk_pallas(q_dev, emb_dev, np.int32(n), k)
+    vx, ix = dense_topk_xla(q_dev, emb_dev, np.int32(n), k)
+    assert (np.asarray(i) == np.asarray(ix)).mean() > 0.9, "dense mismatch"
+    log(f"dense_topk_pallas ok ({time.time() - t0:.0f}s)")
+
+    # 2. int8 sidecar scan + rescore
+    from tpurag.kernels.quant import dense_topk_q8, quantize_rows
+
+    q8, qs = quantize_rows(jnp.asarray(emb))
+    t0 = time.time()
+    v8, i8 = dense_topk_q8(q_dev, q8, qs, np.int32(n), k,
+                           rescore_emb=emb_dev)
+    assert (np.asarray(i8)[:, 0] == np.asarray(ix)[:, 0]).mean() > 0.8
+    log(f"dense_topk_q8 ok ({time.time() - t0:.0f}s)")
+
+    # 3. BM25 packed merge through the product index
+    from tpurag.index.inverted import InvertedIndex
+
+    inv = InvertedIndex()
+    vocab = [f"w{j}" for j in range(300)]
+    inv.add_batch(range(256), [" ".join(rng.choice(vocab, 12))
+                               for _ in range(256)])
+    t0 = time.time()
+    s, ids = inv.search(["w1 w2 w3", "w7"], k=5)
+    assert ids.shape == (2, 5)
+    log(f"bm25 packed merge ok ({time.time() - t0:.0f}s)")
+
+    # 4. IVF probe-scan (f32 build -> aligned layout; int8 variant)
+    from tpurag.core.config import IVFConfig
+    from tpurag.index.ivf import IVFIndex
+
+    ivf = IVFIndex(IVFConfig(n_lists=16)).build_streaming(
+        lambda lo, hi: emb[lo:hi], n, quant=True, block=2048)
+    t0 = time.time()
+    sv, si = ivf.search(q, k=k, nprobe=8)
+    assert (np.asarray(si)[:, 0] >= 0).all()
+    log(f"ivf_scan_pallas(q8) ok ({time.time() - t0:.0f}s)")
+
+    # 5. hybrid through the KnowledgeBase facade
+    from tpurag import KnowledgeBase
+
+    kb = KnowledgeBase("smoke", dim=64)
+    kb.add_document("a", "alpha beta gamma " * 40)
+    kb.add_document("b", "delta epsilon zeta " * 40)
+    r = kb.search("alpha beta", top_k=4, mode="hybrid")
+    assert r.results
+    log("hybrid facade ok")
+
+    sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                         capture_output=True, text=True,
+                         cwd=pathlib.Path(__file__).parent.parent
+                         ).stdout.strip()
+    stamp = (f"TPU-green: commit {sha} validated on {backend} "
+             f"{time.strftime('%Y-%m-%d %H:%M')} "
+             f"(benchmarks/tpu_smoke.py, {time.time() - t_all:.0f}s)")
+    bm = pathlib.Path(__file__).parent.parent / "BENCHMARKS.md"
+    lines = bm.read_text().splitlines()
+    lines = [ln for ln in lines if not ln.startswith("TPU-green: ")]
+    # keep the stamp directly under the title
+    lines.insert(2 if len(lines) > 2 else len(lines), stamp)
+    bm.write_text("\n".join(lines) + "\n")
+    print(stamp)
+
+
+if __name__ == "__main__":
+    main()
