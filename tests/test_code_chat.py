@@ -185,6 +185,29 @@ class TestCodebaseRoutes:
         code, out = _req(base, "GET", "/codebases/lc/file?path=nope.py")
         assert code == 404
 
+        # lightrag graph build over the codebase chunks (SSE POST,
+        # codebases/[id]/lightrag/route.ts parity) then graph export.
+        code, out = _req(base, "GET", "/codebases/lc/lightrag")
+        assert code == 409  # not built yet
+        req = urllib.request.Request(
+            base + "/codebases/lc/lightrag", data=b"{}", method="POST",
+            headers={"Content-Type": "application/json"})
+        events = []
+        with urllib.request.urlopen(req, timeout=120) as r:
+            ev = None
+            for raw in r:
+                line = raw.decode().strip()
+                if line.startswith("event: "):
+                    ev = line[7:]
+                elif line.startswith("data: "):
+                    events.append((ev, json.loads(line[6:])))
+                    if ev in ("complete", "error"):
+                        break
+        assert events[-1][0] == "complete", events[-1]
+        assert events[-1][1]["entities"] >= 1
+        code, out = _req(base, "GET", "/codebases/lc/lightrag")
+        assert code == 200 and out["nodes"]
+
     def test_unknown_codebase(self, cb_server):
         base, _, _ = cb_server
         code, _ = _req(base, "GET", "/codebases/ghost")

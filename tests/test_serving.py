@@ -392,6 +392,19 @@ class TestMultiKBAndAuth:
         assert auth.verify("garbage") is None and auth.verify(None) is None
 
 
+def test_eval_generate_route(server):
+    """POST /eval/generate (eval/generate/route.ts parity): the question
+    set without running the eval."""
+    base, _ = server
+    code, out = _req(base, "POST", "/eval/generate", {"n": 4})
+    assert code == 200
+    qs = out["questions"]
+    assert len(qs) >= 4
+    assert all(q["question"] for q in qs)
+    cats = {q.get("category") for q in qs}
+    assert "tool" in cats  # fixed + tool questions always present
+
+
 def test_web_console_served_at_root(server):
     """GET / serves the static console (api/webui.py) as text/html;
     the page drives the same /search, /chat and /stats routes."""

@@ -34,6 +34,7 @@ class Codebase:
     structure: Optional[dict] = None
     files: list = dataclasses.field(default_factory=list)
     error: str = ""
+    graph: object = None      # per-codebase entity graph (lightrag route)
 
 
 class CodebaseManager:
@@ -161,6 +162,12 @@ def handle_codebase(mgr: CodebaseManager, method: str, path: str,
         res = mgr.chat(cb.cb_id, body["question"])
         return 200, {"answer": res.answer, "sourceNodes": res.sources,
                      "keywords": res.keywords}
+    if sub == "lightrag" and method == "GET":
+        # graph export for the codebase (codebases/[id]/lightrag GET)
+        if cb.graph is None:
+            return 409, {"error": "no graph built: POST "
+                                  f"/codebases/{cb.cb_id}/lightrag first"}
+        return 200, cb.graph.export_graph()
     if sub == "module-graph" and method == "GET":
         if cb.module_graph is None:
             return 409, {"error": "not processed"}
@@ -240,3 +247,43 @@ def process_stream(mgr: CodebaseManager, cb_id: str,
                        "files": len(cb.files),
                        "chunks": len(cb.kb) if cb.kb else 0,
                        "symbols": len(cb.symbols) if cb.symbols else 0}
+
+
+def lightrag_stream(mgr: CodebaseManager, cb_id: str,
+                    lock: threading.Lock, quick: bool = True,
+                    llm=None) -> Iterator[tuple[str, dict]]:
+    """SSE for POST /codebases/<id>/lightrag — build the codebase's
+    entity/relation graph from its indexed chunks (the reference's
+    second, quick-mode graph build, codebases/[id]/lightrag/route.ts:
+    quickMode samples a subset; full mode ingests every chunk)."""
+    cb = mgr.codebases.get(cb_id)
+    if cb is None:
+        yield "error", {"error": f"no codebase {cb_id}"}
+        return
+    if cb.status != "completed" or cb.kb is None:
+        yield "error", {"error": f"codebase {cb_id} is {cb.status}; "
+                                 "process it first"}
+        return
+    from tpurag.graph.index import GraphIndex
+
+    chunks = cb.kb.chunks
+    total = len(chunks)
+    cap = min(total, 128) if quick else total
+    yield "status", {"status": "building", "mode":
+                     "quick" if quick else "full", "chunks": cap}
+    g = GraphIndex(embedder=cb.kb.embedder)
+    step = max(cap // 20, 1)
+    for i in range(cap):
+        c = chunks[i]
+        if c.metadata.get("deleted"):
+            continue
+        with lock:
+            g.ingest_chunk(i, c.text, llm=llm or mgr.llm)
+        if (i + 1) % step == 0 or i + 1 == cap:
+            yield "progress", {"progress": round(100 * (i + 1) / cap),
+                               "entities": len(g.entities),
+                               "relations": len(g.relations)}
+    cb.graph = g
+    yield "complete", {"status": "completed",
+                       "entities": len(g.entities),
+                       "relations": len(g.relations)}

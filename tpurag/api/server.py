@@ -378,6 +378,17 @@ class RagServer:
                     for r in run.results
                 ],
             }
+        if method == "POST" and path == "/eval/generate":
+            # eval/generate/route.ts parity: produce the question set
+            # without running the eval (LLM-backed when available,
+            # heuristic otherwise).
+            from tpurag.eval.generator import generate_questions
+
+            llm = getattr(self.agent, "llm", None) if self.agent else None
+            qs_out = generate_questions(
+                self._kb(body), n=int(body.get("n", 5)), llm=llm)
+            return 200, {"questions": [dataclasses.asdict(q)
+                                       for q in qs_out]}
         if method == "GET" and path == "/eval":
             return 200, {"runs": [
                 r for r in self.eval_store.list()
@@ -449,6 +460,16 @@ class RagServer:
             from tpurag.api.code_routes import process_stream
 
             return process_stream(self.codebases, parts[1], self._lock)
+        if (self.codebases is not None and method == "POST"
+                and len(parts) == 3 and parts[0] == "codebases"
+                and parts[2] == "lightrag"):
+            from tpurag.api.code_routes import lightrag_stream
+
+            llm = getattr(self.agent, "llm", None) if self.agent else None
+            return lightrag_stream(
+                self.codebases, parts[1], self._lock,
+                quick=body.get("quickMode", body.get("quick", True))
+                is not False, llm=llm)
         return None
 
     def _process_stream(self, doc_id: str) -> Iterator[tuple[str, dict]]:
