@@ -149,6 +149,12 @@ def main():
         n, d, vocab = 100_000, 1024, 50_000
         batches = (1024, 768, 512)
         import os as _os
+        if _os.environ.get("TPURAG_BENCH_N"):
+            # Corpus-size override (e.g. TPURAG_BENCH_N=1000000 for the
+            # >=1M-chunk hybrid point): postings scale with n at a fixed
+            # ~50-postings/doc density, vocab with sqrt(n).
+            n = int(_os.environ["TPURAG_BENCH_N"])
+            vocab = max(50_000, int(5_000 * (n / 100_000) ** 0.5) * 10)
         if _os.environ.get("TPURAG_BENCH_BATCHES"):  # diagnostics
             batches = tuple(int(x) for x in
                             _os.environ["TPURAG_BENCH_BATCHES"].split(","))
@@ -164,6 +170,8 @@ def main():
         iters = 3
 
     k, t_query, df_max = 8, 8, 2048
+    if on_tpu and n > 100_000:
+        df_max = int(2048 * n / 100_000)  # keep postings/doc density
 
     from tpurag.index.inverted import _bucket_score, packed_cbits
     from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla

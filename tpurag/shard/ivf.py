@@ -260,18 +260,34 @@ class ShardedIVFIndex:
         exact oracle (the BASELINE gate), doubling from `start`
         (default: n_shards — one probe per shard)."""
         exact = np.asarray(exact_ids)
-        nprobe = max(int(start or self.n_shards), self.n_shards)
-        while nprobe <= self.n_lists * 2:
+
+        def recall_at(nprobe: int) -> float:
             _, ids = self.search(queries, k=k, nprobe=nprobe)
             got = np.asarray(ids)
-            recall = np.mean([
+            return float(np.mean([
                 len(set(got[i]) & set(exact[i])) / max(len(set(exact[i])), 1)
                 for i in range(exact.shape[0])
-            ])
-            if recall >= target_recall:
-                return nprobe
-            nprobe *= 2
-        return self.n_lists
+            ]))
+
+        cap = self.n_lists * 2
+        lo = 0
+        hi = max(int(start or self.n_shards), self.n_shards)
+        while hi <= cap and recall_at(hi) < target_recall:
+            lo, hi = hi, hi * 2
+        hi = min(hi, cap)
+        # Effective budgets move in steps of n_shards (per-shard probes
+        # are ceil(nprobe / S)); binary-search the minimal passing
+        # multiple inside the bracket, like IVFIndex.tune_nprobe.
+        step = self.n_shards
+        while hi - lo > step:
+            mid = ((lo + hi) // 2) // step * step
+            if mid <= lo:
+                break
+            if recall_at(mid) >= target_recall:
+                hi = mid
+            else:
+                lo = mid
+        return hi
 
     # -- persistence: one artifact per shard (SURVEY.md §5.4) --------------
 
