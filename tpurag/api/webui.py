@@ -128,6 +128,109 @@ function esc(s) {
 function hl(s) {  // **term** highlight markup -> <b>
   return esc(s).replace(/\\*\\*([^*]+)\\*\\*/g, "<b>$1</b>");
 }
+// Minimal mermaid FLOWCHART renderer (DiagramMessage.tsx parity pane;
+// zero-egress: no mermaid.js CDN). Other diagram types fall back to
+// the source block.
+function renderMermaid(src) {
+  const lines = src.trim().split("\\n").map(l => l.trim()).filter(Boolean);
+  const head = /^(flowchart|graph)\\s+(TD|TB|LR)/.exec(lines[0] || "");
+  if (!head) return null;
+  const vertical = head[2] !== "LR";
+  const nodes = {}, edges = [];
+  const arrowRe = /^(.*?)(?:--+>|-\\.+->|---)\\s*(?:\\|([^|]*)\\|)?\\s*(.*)$/;
+  const nodeRe = /^\\s*([A-Za-z0-9_.-]+)\\s*(?:[\\[({]+([^\\]})]*)[\\])}]+)?\\s*$/;
+  const addNode = (s) => {
+    const m = nodeRe.exec(s);
+    if (!m) return null;
+    const id = m[1], label = (m[2] || "").trim();
+    if (!nodes[id]) nodes[id] = {id, label: label || id};
+    else if (label) nodes[id].label = label;
+    return id;
+  };
+  for (const ln of lines.slice(1)) {
+    if (/^(subgraph|end|classDef|click|style)\\b/.test(ln)) continue;
+    const em = arrowRe.exec(ln);
+    if (em) {
+      const a = addNode(em[1]), b = addNode(em[3]);
+      if (a && b) edges.push({s: a, t: b, label: (em[2] || "").trim()});
+      continue;
+    }
+    addNode(ln);
+  }
+  const ids = Object.keys(nodes);
+  if (!ids.length) return null;
+  // layer = longest path from a root (cycle-capped)
+  const layer = {};
+  const depth = (id, seen) => {
+    if (layer[id] !== undefined) return layer[id];
+    if (seen.has(id) || seen.size > 200) return 0;
+    seen.add(id);
+    const ins = edges.filter(e => e.t === id);
+    const d = ins.length ? 1 + Math.max(...ins.map(e => depth(e.s, seen)))
+                         : 0;
+    layer[id] = d; return d;
+  };
+  ids.forEach(id => depth(id, new Set()));
+  const byLayer = {};
+  ids.forEach(id => (byLayer[layer[id]] ??= []).push(id));
+  const L = Object.keys(byLayer).length;
+  const NW = 130, NH = 32, GX = 60, GY = 46;
+  const maxRow = Math.max(...Object.values(byLayer).map(a => a.length));
+  const W = vertical ? maxRow * (NW + 24) : L * (NW + GX);
+  const H = vertical ? L * (NH + GY) : maxRow * (NH + 24);
+  const pos = {};
+  for (const [li, arr] of Object.entries(byLayer)) {
+    arr.forEach((id, i) => {
+      const along = (i + 0.5) / arr.length;
+      pos[id] = vertical
+        ? {x: along * W, y: (+li + 0.5) * (NH + GY)}
+        : {x: (+li + 0.5) * (NW + GX), y: along * H};
+    });
+  }
+  const sEsc = s => s.replace(/&/g, "&amp;").replace(/</g, "&lt;")
+                     .replace(/"/g, "&quot;");
+  let svg = `<svg viewBox="0 0 ${W} ${H}" style="max-width:100%;` +
+    `background:var(--bg);border-radius:8px" ` +
+    `xmlns="http://www.w3.org/2000/svg">` +
+    `<defs><marker id="arr" viewBox="0 0 10 10" refX="9" refY="5" ` +
+    `markerWidth="7" markerHeight="7" orient="auto-start-reverse">` +
+    `<path d="M0,0L10,5L0,10z" fill="#8b98a5"/></marker></defs>`;
+  for (const e of edges) {
+    const a = pos[e.s], b = pos[e.t];
+    if (!a || !b) continue;
+    const sy = vertical ? a.y + NH / 2 : a.y;
+    const ty = vertical ? b.y - NH / 2 : b.y;
+    const sx = vertical ? a.x : a.x + NW / 2;
+    const tx = vertical ? b.x : b.x - NW / 2;
+    svg += `<line x1="${sx}" y1="${sy}" x2="${tx}" y2="${ty}" ` +
+      `stroke="#8b98a5" marker-end="url(#arr)"/>`;
+    if (e.label)
+      svg += `<text x="${(sx + tx) / 2}" y="${(sy + ty) / 2 - 3}" ` +
+        `fill="#8b98a5" font-size="10" text-anchor="middle">` +
+        sEsc(e.label.slice(0, 24)) + `</text>`;
+  }
+  for (const id of ids) {
+    const p = pos[id];
+    svg += `<rect x="${p.x - NW / 2}" y="${p.y - NH / 2}" width="${NW}" ` +
+      `height="${NH}" rx="7" fill="#24424f" stroke="#4fc3f7"/>` +
+      `<text x="${p.x}" y="${p.y + 4}" fill="#e6edf3" font-size="11" ` +
+      `text-anchor="middle">` +
+      sEsc(nodes[id].label.slice(0, 20)) + `</text>`;
+  }
+  return svg + "</svg>";
+}
+function renderAnswer(text) {
+  // split out ```mermaid fences; render flowcharts, else show source
+  const parts = text.split(/```(?:mermaid)?\\n?/);
+  let out = "";
+  for (let i = 0; i < parts.length; i++) {
+    if (i % 2 === 0) { out += esc(parts[i]); continue; }
+    let svg = null;
+    try { svg = renderMermaid(parts[i]); } catch (e) { svg = null; }
+    out += svg || `<pre style="overflow-x:auto">${esc(parts[i])}</pre>`;
+  }
+  return out;
+}
 async function stats() {
   try {
     const r = await fetch("/stats", {headers: authHeaders()});
@@ -167,7 +270,7 @@ $("cform").onsubmit = async (ev) => {
     const out = await api("/chat",
       {question: q, session_id: session});
     session = out.session_id || session;
-    hold.innerHTML = esc(out.answer || "") +
+    hold.innerHTML = renderAnswer(out.answer || "") +
       ((out.sources || []).length
         ? `<div class=src>sources: ${out.sources.map(s =>
             esc(s.doc_name || String(s))).join(", ")}</div>` : "");
