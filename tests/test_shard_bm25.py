@@ -119,6 +119,39 @@ def test_sharded_bm25_empty_and_missing_terms(rng):
     np.testing.assert_array_equal(i1, i2)
 
 
+def test_sharded_bm25_termless_docs(rng):
+    """Docs that tokenize to nothing: layouts are empty but n_docs > 0 —
+    search must return empties, not crash."""
+    mesh = make_mesh([("data", 8)])
+    sharded = ShardedInvertedIndex(BM25Config(), mesh=mesh)
+    for i in range(12):
+        sharded.add(i, "!!! ???")
+    s, i = sharded.search(["anything"], k=4)
+    assert (i == -1).all()
+
+
+def test_mesh_kb_with_sharded_bm25_roundtrip(rng, tmp_path):
+    """KnowledgeBase(mesh) wires the sharded keyword leg; hybrid works
+    and save/load round-trips the partitioned postings."""
+    from tpurag import KnowledgeBase
+
+    mesh = make_mesh([("data", 8)])
+    kb = KnowledgeBase("m", dim=64, mesh=mesh)
+    assert isinstance(kb.inverted, ShardedInvertedIndex)
+    docs = corpus(rng, 96)
+    for i, t in enumerate(docs):
+        kb.add_document(f"doc{i}", t)
+    r = kb.search(docs[7][:30], top_k=5, mode="hybrid")
+    assert r.results
+    rk = kb.search("quick fox", top_k=5, mode="keyword")
+    kb.save(tmp_path / "kb")
+    kb2 = KnowledgeBase.load(tmp_path / "kb", mesh=mesh)
+    assert isinstance(kb2.inverted, ShardedInvertedIndex)
+    rk2 = kb2.search("quick fox", top_k=5, mode="keyword")
+    assert [x.chunk_id for x in rk.results] == \
+        [x.chunk_id for x in rk2.results]
+
+
 def test_sharded_bm25_save_load(rng, tmp_path):
     _, sharded = build_pair(rng, n=200)
     base_s, base_i = sharded.search(QUERIES, k=8)

@@ -213,6 +213,10 @@ class ShardedInvertedIndex:
             return (jnp.asarray(s), jnp.asarray(i)) if as_device else (s, i)
         self._ensure_stacked()
         widths, mats_dev = self._stacked
+        if not widths:  # docs exist but none produced a term
+            s = np.full((bsz, k), NEG_INF, np.float32)
+            i = np.full((bsz, k), -1, np.int32)
+            return (jnp.asarray(s), jnp.asarray(i)) if as_device else (s, i)
         S = self.n_shards
         df_live = max(self.n_docs, 1)
         df_cap = int(self.config.max_df_ratio * df_live)
