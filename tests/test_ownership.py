@@ -88,6 +88,47 @@ def test_sessions_scoped_to_creator(srv):
     assert code == 200
 
 
+def test_session_recreate_cannot_hijack(srv):
+    """POST /sessions with an EXISTING id must not wipe the history or
+    reassign ownership (review finding)."""
+    s, alice, bob = srv
+    s.handle("POST", "/sessions", {"session_id": "keep"}, token=alice)
+    sess = s.sessions.get("keep")
+    sess.append("user", "precious history")
+    code, _ = s.handle("POST", "/sessions", {"session_id": "keep"},
+                       token=bob)
+    assert code == 404                       # bob can't take it over
+    assert s.sessions.get("keep").messages   # history intact
+    code, out = s.handle("POST", "/sessions", {"session_id": "keep"},
+                         token=alice)
+    assert code == 200 and out["session_id"] == "keep"
+    assert s.sessions.get("keep").messages   # owner re-POST: no wipe
+
+
+def test_ownership_survives_restart(tmp_path):
+    """Owners persist in data_dir/owners.json: a restart must not strip
+    scoping from resources that themselves persist (review finding)."""
+    from tpurag.api.sessions import TokenAuth
+
+    auth = TokenAuth()
+    kb = KnowledgeBase("default", dim=32)
+    s1 = RagServer(kb, auth=auth, data_dir=str(tmp_path))
+    s1.users.register("alice", "pw")
+    _, r = s1.handle("POST", "/auth/login",
+                     {"username": "alice", "password": "pw"})
+    tok = r["token"]
+    s1.handle("POST", "/sessions", {"session_id": "mine"}, token=tok)
+    # same auth (token secret) + data_dir, fresh server object
+    s2 = RagServer(KnowledgeBase("default", dim=32), auth=auth,
+                   data_dir=str(tmp_path))
+    s2.users.register("bob", "pw2")
+    _, rb = s2.handle("POST", "/auth/login",
+                      {"username": "bob", "password": "pw2"})
+    assert s2._owners[("session", "mine")] == "alice"
+    code, _ = s2.handle("GET", "/sessions/mine", {}, token=rb["token"])
+    assert code == 404
+
+
 def test_eval_runs_scoped(srv):
     s, alice, bob = srv
     # no agent configured -> eval POST 503s; simulate a stored run

@@ -100,6 +100,30 @@ def test_dense_host_store_save_load_both_ways(tmp_path):
         np.testing.assert_array_equal(ids, base)
 
 
+def test_dense_disk_backing_roundtrip(tmp_path):
+    """Disk-backed host store: build, grow through a doubling, reload
+    WITH a backing path (review finding: load had no way to stay
+    disk-backed, so a 20 GB KB would OOM the host that built it)."""
+    import jax
+
+    from tpurag.index.dense import DenseIndex
+
+    rng = np.random.default_rng(2)
+    idx = DenseIndex(32, store="host", backing=tmp_path / "emb.npy",
+                     capacity=128)
+    idx.add(rng.standard_normal((500, 32)).astype(np.float32))  # grows
+    assert isinstance(idx._emb, np.memmap)
+    idx.drop_page_cache()
+    q = rng.standard_normal((3, 32)).astype(np.float32)
+    _, base = jax.device_get(idx.search(q, 5))
+    idx.save(tmp_path / "art")
+    re = DenseIndex.load(tmp_path / "art", store="host",
+                         backing=tmp_path / "emb2.npy")
+    assert isinstance(re._emb, np.memmap)
+    _, ids = jax.device_get(re.search(q, 5))
+    np.testing.assert_array_equal(ids, base)
+
+
 def _clustered(n, d, seed=0, centers=32, noise=0.25):
     rng = np.random.default_rng(seed)
     c = rng.standard_normal((centers, d)).astype(np.float32)
@@ -193,7 +217,7 @@ def test_kb_host_store_end_to_end(tmp_path):
 
 
 _RSS_SCRIPT = r"""
-import resource, sys
+import sys
 import jax; jax.config.update("jax_platforms", "cpu")
 import numpy as np
 from tpurag.core.config import IVFConfig
@@ -210,13 +234,23 @@ def source(lo, hi):                     # synthesized per block: the
     return blk
 
 
-base = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KB on linux
+def hwm_kb():
+    # NOT getrusage: ru_maxrss is inherited across fork and NOT reset
+    # by execve, so a subprocess of a fat pytest parent reports the
+    # parent's watermark. VmHWM tracks this process's own mm.
+    for line in open("/proc/self/status"):
+        if line.startswith("VmHWM"):
+            return int(line.split()[1])
+    return 0
+
+
+base = hwm_kb()
 # sample_size capped so the O(sample x n_lists) k-means working set —
 # constant in n, the right trade at 10M — stays below this small
 # corpus; what this test gates is that nothing scales with N.
 idx = IVFIndex(IVFConfig(n_lists=256, sample_size=32768)).build_streaming(
     source, N, seed=0, quant=True, keep_rescore=False, block=1 << 15)
-peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+peak = hwm_kb()
 q = source(0, 8)
 _, ids = idx.search(q, k=10, nprobe=16)
 assert (np.asarray(ids)[:, 0] >= 0).all()

@@ -72,13 +72,17 @@ def test_reject_private_host_blocks_internal_targets(monkeypatch):
 
     monkeypatch.setattr(
         socket, "getaddrinfo",
-        lambda h, p: [(2, 1, 6, "", ("169.254.169.254", 0))])
+        lambda h, p, **kw: [(2, 1, 6, "", ("169.254.169.254", 0))])
     with pytest.raises(PermissionError):
         _reject_private_host("http://metadata.internal/latest")
     monkeypatch.setattr(
         socket, "getaddrinfo",
-        lambda h, p: [(2, 1, 6, "", ("93.184.216.34", 0))])
+        lambda h, p, **kw: [(2, 1, 6, "", ("93.184.216.34", 0))])
     _reject_private_host("http://example.com/")  # public: allowed
+    # the pinned connection uses the SAME vetted address (no re-resolve)
+    from tpurag.agent.web import _vetted_ip
+
+    assert _vetted_ip("example.com") == "93.184.216.34"
     monkeypatch.setenv("TPURAG_WEB_ALLOW_PRIVATE", "1")
     _reject_private_host("http://127.0.0.1/")    # explicit opt-out
 

@@ -51,37 +51,72 @@ def strip_html(raw: str, cap: int = TEXT_CAP) -> str:
     return text
 
 
-def _reject_private_host(url: str) -> None:
-    """SSRF guard for LLM-controlled page fetches: resolve the host and
+def _vetted_ip(host: str) -> str:
+    """SSRF guard for LLM-controlled page fetches: resolve the host ONCE,
     refuse loopback / private / link-local / reserved ranges (cloud
-    metadata, internal services). Override with
+    metadata, internal services) — and return the vetted address so the
+    connection can PIN it (a second independent resolution would be a
+    DNS-rebinding TOCTOU hole). Override with
     ``TPURAG_WEB_ALLOW_PRIVATE=1`` for intentionally-internal targets."""
-    if os.environ.get("TPURAG_WEB_ALLOW_PRIVATE", "") == "1":
-        return
     import ipaddress
     import socket
 
-    host = urllib.parse.urlsplit(url).hostname or ""
     try:
-        infos = socket.getaddrinfo(host, None)
+        infos = socket.getaddrinfo(host, None, proto=socket.IPPROTO_TCP)
     except OSError as e:
         raise RuntimeError(f"cannot resolve host {host!r}: {e}") from e
+    allow = os.environ.get("TPURAG_WEB_ALLOW_PRIVATE", "") == "1"
     for info in infos:
         ip = ipaddress.ip_address(info[4][0])
-        if (ip.is_private or ip.is_loopback or ip.is_link_local
+        if not allow and (
+                ip.is_private or ip.is_loopback or ip.is_link_local
                 or ip.is_reserved or ip.is_multicast or ip.is_unspecified):
             raise PermissionError(
                 f"refusing to fetch private/internal address {ip} "
                 f"(host {host!r}); set TPURAG_WEB_ALLOW_PRIVATE=1 to allow")
+    return infos[0][4][0]
 
 
-class _GuardedRedirects(urllib.request.HTTPRedirectHandler):
-    """Re-apply the private-host check on every redirect hop, so a public
-    URL cannot 302 into loopback/metadata."""
+def _reject_private_host(url: str) -> None:
+    """Back-compat vet-only entry point (see _vetted_ip)."""
+    if os.environ.get("TPURAG_WEB_ALLOW_PRIVATE", "") == "1":
+        return
+    host = urllib.parse.urlsplit(url).hostname or ""
+    _vetted_ip(host)
 
-    def redirect_request(self, req, fp, code, msg, headers, newurl):
-        _reject_private_host(newurl)
-        return super().redirect_request(req, fp, code, msg, headers, newurl)
+
+def _pinned_handlers():
+    """urllib handlers that vet + pin the resolved IP on EVERY open
+    (including redirect hops): the socket connects to the vetted
+    address while TLS SNI / certificate checks and the Host header
+    keep the original hostname."""
+    import http.client
+    import socket
+
+    class _PinnedHTTP(http.client.HTTPConnection):
+        def connect(self):
+            ip = _vetted_ip(self.host)
+            self.sock = socket.create_connection(
+                (ip, self.port), self.timeout)
+
+    class _PinnedHTTPS(http.client.HTTPSConnection):
+        def connect(self):
+            ip = _vetted_ip(self.host)
+            sock = socket.create_connection((ip, self.port), self.timeout)
+            self.sock = self._context.wrap_socket(
+                sock, server_hostname=self.host)
+
+    class H(urllib.request.HTTPHandler):
+        def http_open(self, req):
+            return self.do_open(_PinnedHTTP, req)
+
+    class HS(urllib.request.HTTPSHandler):
+        def https_open(self, req):
+            return self.do_open(
+                lambda host, timeout=None: _PinnedHTTPS(
+                    host, timeout=timeout, context=self._context), req)
+
+    return H, HS
 
 
 def _http_get(url: str, timeout: float, accept: str,
@@ -91,8 +126,8 @@ def _http_get(url: str, timeout: float, accept: str,
     req = urllib.request.Request(
         url, headers={"User-Agent": _UA, "Accept": accept})
     if guard_private:
-        _reject_private_host(url)
-        opener = urllib.request.build_opener(_GuardedRedirects)
+        h, hs = _pinned_handlers()
+        opener = urllib.request.build_opener(h, hs)
         open_fn = lambda: opener.open(req, timeout=timeout)  # noqa: E731
     else:  # configured SearXNG instances are often intentionally local
         open_fn = lambda: urllib.request.urlopen(  # noqa: E731

@@ -277,8 +277,11 @@ def lightrag_stream(mgr: CodebaseManager, cb_id: str,
         c = chunks[i]
         if c.metadata.get("deleted"):
             continue
-        with lock:
-            g.ingest_chunk(i, c.text, llm=llm or mgr.llm)
+        # No server-wide lock here: `g` is stream-local and the embedder
+        # forward is a read-only jax call — holding RagServer._lock per
+        # chunk would stall every mutation route behind potentially
+        # thousands of LLM extraction calls (review finding).
+        g.ingest_chunk(i, c.text, llm=llm or mgr.llm)
         if (i + 1) % step == 0 or i + 1 == cap:
             yield "progress", {"progress": round(100 * (i + 1) / cap),
                                "entities": len(g.entities),

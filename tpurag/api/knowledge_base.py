@@ -181,9 +181,11 @@ class KnowledgeBase:
             return self._search_batch_locked(queries, p, mode, vectors)
 
     def _search_batch_locked(self, queries, p, mode, vectors=None):
-        if vectors is not None:
+        if mode == "keyword":
+            qv = None  # the keyword leg never embeds — skip the encoder
+        elif vectors is not None:
             qv = vectors
-        elif mode != "keyword" and hasattr(self.embedder, "encode_async"):
+        elif hasattr(self.embedder, "encode_async"):
             # Keep the query embedding ON DEVICE (async dispatch): the
             # dense leg consumes it directly, dropping one blocking
             # host round-trip per request (round-2 verdict item 6 — a
@@ -229,7 +231,23 @@ class KnowledgeBase:
                         self.dense.embeddings[self._ivf_built_at:
                                               self.dense.n_active],
                         np.float32), self.dense.dtype)
+                elif self.store == "host":
+                    # Host store: slice to n_active, NOT capacity — the
+                    # trailing padding would be a multi-GB device upload
+                    # per query (review finding). Pad to a pow2 bucket
+                    # so tail growth compiles O(log n) variants.
+                    from tpurag.kernels.runtime import round_up as _ru
+
+                    raw = np.asarray(self.dense.embeddings[
+                        self._ivf_built_at:self.dense.n_active])
+                    bucket = 1 << max(int(_ru(tail, 128)) - 1, 1).bit_length()
+                    if bucket > len(raw):
+                        raw = np.concatenate([raw, np.zeros(
+                            (bucket - len(raw), raw.shape[1]), raw.dtype)])
+                    tail_emb = raw
                 else:
+                    # Device store: the capacity slice stays in HBM (no
+                    # transfer) and keeps a stable compiled shape.
                     tail_emb = self.dense.embeddings[self._ivf_built_at:]
                 kk = min(p.final_top_k, tail)
                 t_s, t_i = dense_topk_xla(
@@ -380,7 +398,8 @@ class KnowledgeBase:
     @classmethod
     def load(cls, directory, embedder: Optional[Embedder] = None,
              config: Optional[EngineConfig] = None,
-             mesh=None, store: Optional[str] = None) -> "KnowledgeBase":
+             mesh=None, store: Optional[str] = None,
+             backing=None) -> "KnowledgeBase":
         """mesh: optional — reload the dense corpus row-sharded over its
         'data' axis (and the IVF partition, if it was saved sharded).
         store: override the persisted storage mode (e.g. reload a
@@ -405,10 +424,16 @@ class KnowledgeBase:
                     tokenizer=tok)
         quant = bool(meta.get("quant", False))
         kb = cls(meta["name"], embedder=embedder, config=config,
-                 dim=meta["dim"], mesh=mesh, quant=quant, store=store)
+                 dim=meta["dim"], mesh=mesh, quant=quant, store=store,
+                 backing=None)  # throwaway ctor index, replaced below
         kb.dense = DenseIndex.load(d / "dense", mesh=mesh, quant=quant,
-                                   store=store)
-        if mesh is not None and (d / "inverted").is_dir():
+                                   store=store, backing=backing)
+        if (d / "inverted").is_dir():  # doc-partitioned (mesh) save
+            if mesh is None:
+                raise ValueError(
+                    "this KB was saved with a doc-partitioned (sharded) "
+                    "keyword index; pass the mesh it was built on to "
+                    "KnowledgeBase.load (or re-ingest single-device)")
             from tpurag.shard.bm25 import ShardedInvertedIndex
 
             kb.inverted = ShardedInvertedIndex.load(

@@ -73,8 +73,20 @@ class RagServer:
         # the session user, chat/query/route.ts:17-75): resources
         # created by an authenticated user are only visible/usable by
         # that user; unowned resources (boot-time KBs, auth-off
-        # creations) stay accessible to everyone.
+        # creations) stay accessible to everyone. Persisted to
+        # data_dir/owners.json (when a data_dir is given, like
+        # EvalStore) so a restart cannot strip ownership from the
+        # sessions/eval runs that themselves persist (review finding).
         self._owners: dict[tuple[str, str], str] = {}
+        self._owners_file = (self.data_dir / "owners.json"
+                             if data_dir else None)
+        if self._owners_file is not None and self._owners_file.exists():
+            import json as _json
+
+            raw = _json.loads(self._owners_file.read_text())
+            self._owners = {(k.split("\x00", 1)[0],
+                             k.split("\x00", 1)[1]): v
+                            for k, v in raw.items()}
         self._lock = threading.Lock()
         import os as _os
 
@@ -100,6 +112,12 @@ class RagServer:
     def _own(self, kind: str, rid: str, user: Optional[str]) -> None:
         if user:
             self._owners[(kind, str(rid))] = user
+            if self._owners_file is not None:
+                import json as _json
+
+                self._owners_file.write_text(_json.dumps(
+                    {f"{k}\x00{r}": u
+                     for (k, r), u in self._owners.items()}))
 
     def _owned(self, kind: str, rid: str, user: Optional[str]) -> bool:
         owner = self._owners.get((kind, str(rid)))
@@ -215,7 +233,15 @@ class RagServer:
                 s for s in self.sessions.list()
                 if self._owned("session", s.get("session_id", ""), user)]}
         if method == "POST" and path == "/sessions":
-            s = self.sessions.create(body.get("session_id"))
+            sid = body.get("session_id")
+            if sid and self.sessions.get(sid) is not None:
+                # Existing session: NEVER recreate (create() would wipe
+                # its history and reassign ownership — hijack vector,
+                # review finding); owner gets it back, others get 404.
+                if not self._owned("session", sid, user):
+                    return self._deny("session", sid)
+                return 200, {"session_id": sid}
+            s = self.sessions.create(sid)
             self._own("session", s.session_id, user)
             return 200, {"session_id": s.session_id}
         if path.startswith("/sessions/"):

@@ -91,12 +91,17 @@ def _download_github_zip(owner: str, repo: str, branch: str,
 
 
 def fetch_repo(url_or_path: str, dest: str | None = None,
-               branch: str = "main", progress=None,
+               branch: str | None = None, progress=None,
                env=os.environ) -> pathlib.Path:
     """Acquire a repository: local directories pass through; remote URLs
     need TPURAG_WEB_FETCH=1 and try the GitHub archive zip first, then
     fall back to `git clone --depth 1 --single-branch`
-    (repo-fetcher.ts:185-232 order)."""
+    (repo-fetcher.ts:185-232 order).
+
+    branch=None (default) means the remote's DEFAULT branch: the zip
+    path tries 'main'; the git fallback clones without --branch. An
+    EXPLICIT branch is honored strictly — a missing branch fails
+    instead of silently indexing the default branch (review finding)."""
     p = pathlib.Path(url_or_path)
     if p.exists() and p.is_dir():
         return p
@@ -108,29 +113,19 @@ def fetch_repo(url_or_path: str, dest: str | None = None,
     gh = parse_github_url(url_or_path)
     if gh is not None:
         try:
-            return _download_github_zip(gh[0], gh[1], branch, dest_p,
-                                        progress)
+            return _download_github_zip(gh[0], gh[1], branch or "main",
+                                        dest_p, progress)
         except Exception:
             pass  # fall back to git (repo-fetcher.ts:214)
     if progress:
         progress("Cloning", 10)
     url = (f"https://github.com/{gh[0]}/{gh[1]}.git" if gh
            else url_or_path)
-    try:
-        subprocess.run(
-            ["git", "clone", "--depth", "1", "--single-branch",
-             "--branch", branch, url, str(dest_p)],
-            check=True, capture_output=True, timeout=300)
-    except subprocess.CalledProcessError:
-        # The requested branch may not exist (e.g. default branch is
-        # "master", not "main"); retry on the remote's default branch
-        # like the reference's plain clone (repo-fetcher.ts:219).
-        if any(dest_p.iterdir()) if dest_p.exists() else False:
-            shutil.rmtree(dest_p)
-        subprocess.run(
-            ["git", "clone", "--depth", "1", "--single-branch",
-             url, str(dest_p)],
-            check=True, capture_output=True, timeout=300)
+    cmd = ["git", "clone", "--depth", "1", "--single-branch"]
+    if branch:
+        cmd += ["--branch", branch]
+    subprocess.run(cmd + [url, str(dest_p)],
+                   check=True, capture_output=True, timeout=300)
     if progress:
         progress("Cloning", 100)
     return dest_p

@@ -156,12 +156,15 @@ class DenseIndex:
                         shape=(new_cap, self.dim))
                     step = max(HOST_SCAN_BLOCK, 1)
                     for s in range(0, self.capacity, step):
-                        grown[s:s + step] = self._emb[s:s + step]
+                        e = min(s + step, self.capacity)
+                        grown[s:e] = self._emb[s:e]
                     grown.flush()
                     del self._emb
+                    # rename keeps the inode `grown` maps — no reopen
+                    # (an npy reopen would also lose the ml_dtypes bf16
+                    # descr, which round-trips as void in the header)
                     tmp.replace(self._backing)
-                    self._emb = np.lib.format.open_memmap(
-                        self._backing, mode="r+")
+                    self._emb = grown
                 else:
                     grown = np.zeros((new_cap, self.dim), self._emb.dtype)
                     grown[: self.capacity] = self._emb
@@ -410,12 +413,17 @@ class DenseIndex:
 
     @classmethod
     def load(cls, path, mesh=None, data_axis: str = "data",
-             quant: bool = False, store: str = "device") -> "DenseIndex":
+             quant: bool = False, store: str = "device",
+             backing=None) -> "DenseIndex":
         """quant: rebuild the int8 scan sidecar after the rows load (the
         sidecar is derived data — never persisted).
 
         store='host': reload into host RAM instead of HBM (same artifact
-        format; block-copied from the mmap, never materialized as f32)."""
+        format; block-copied from the mmap, never materialized as f32).
+        backing: with store='host', reload into a DISK-backed memmap at
+        this path instead of RAM — without it a 10M-row KB that was
+        built disk-backed would OOM the host it was built on (review
+        finding)."""
         path = pathlib.Path(path)
         meta_file = path.parent / (path.name + ".meta.json")
         if not meta_file.exists():  # legacy round-1 .npz (fp32)
@@ -424,7 +432,7 @@ class DenseIndex:
             idx = cls(meta["dim"], dtype=meta["dtype"],
                       capacity=max(meta["n_active"], 128),
                       mesh=mesh, data_axis=data_axis, quant=quant,
-                      store=store)
+                      store=store, backing=backing)
             if meta["n_active"]:
                 idx._grow_to(meta["n_active"])
                 if store == "host":
@@ -441,7 +449,8 @@ class DenseIndex:
         meta = json.loads(meta_file.read_text())
         idx = cls(meta["dim"], dtype=meta["dtype"],
                   capacity=max(meta["n_active"], 128),
-                  mesh=mesh, data_axis=data_axis, quant=quant, store=store)
+                  mesh=mesh, data_axis=data_axis, quant=quant, store=store,
+                  backing=backing)
 
         def as_storage(arr):
             if idx.dtype == jnp.bfloat16:

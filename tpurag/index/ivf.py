@@ -497,6 +497,10 @@ class IVFIndex:
                     [idx, np.full(pad, total - 1, np.int32)])
             idx_dev = jnp.asarray(idx)
             dest = _scatter_rows(dest, jnp.asarray(rows_q), idx_dev)
+            # Bound in-flight copies: backends that ignore donation
+            # (CPU) would otherwise stack one O(total) dest per block
+            # until GC catches up — the opposite of a bounded build.
+            dest.block_until_ready()
             if dest_fp is not None:
                 # Re-read the ORIGINAL rows for the rescore copy — a
                 # dequantized int8 round-trip would bake quantization

@@ -300,20 +300,39 @@ class ShardedInvertedIndex:
     # -- persistence -----------------------------------------------------------
 
     def save(self, path) -> None:
+        import json
         import pathlib
 
         path = pathlib.Path(path)
         path.mkdir(parents=True, exist_ok=True)
+        # Shard count is part of the DATA layout (doc g -> part g%S as
+        # local g//S): a reload under a different S would corrupt every
+        # global id silently (review finding) — record and validate it.
+        (path / "meta.json").write_text(json.dumps(
+            {"n_shards": self.n_shards, "n_docs": self.n_docs}))
         for p, part in enumerate(self.parts):
             part.save(path / f"part{p:03d}")
 
     @classmethod
     def load(cls, path, config: Optional[BM25Config] = None, *, mesh: Mesh,
              data_axis: str = "data") -> "ShardedInvertedIndex":
+        import json
         import pathlib
 
         idx = cls(config, mesh=mesh, data_axis=data_axis)
         path = pathlib.Path(path)
+        meta_f = path / "meta.json"
+        saved_s = (json.loads(meta_f.read_text())["n_shards"]
+                   if meta_f.exists()
+                   else len(list(path.glob("part*.meta.json"))) or
+                   len({p.name.split(".")[0]
+                        for p in path.glob("part*")}))
+        if saved_s != idx.n_shards:
+            raise ValueError(
+                f"sharded BM25 index was saved with {saved_s} shards; "
+                f"the current mesh has {idx.n_shards} on "
+                f"{data_axis!r} — doc routing (g % S) is baked into the "
+                "partition, reload on a matching mesh or re-ingest")
         idx.parts = [InvertedIndex.load(path / f"part{p:03d}",
                                         idx.config)
                      for p in range(idx.n_shards)]

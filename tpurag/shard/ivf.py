@@ -272,9 +272,13 @@ class ShardedIVFIndex:
         cap = self.n_lists * 2
         lo = 0
         hi = max(int(start or self.n_shards), self.n_shards)
-        while hi <= cap and recall_at(hi) < target_recall:
-            lo, hi = hi, hi * 2
-        hi = min(hi, cap)
+        while hi < cap and recall_at(hi) < target_recall:
+            lo, hi = hi, min(hi * 2, cap)
+        if hi >= cap and recall_at(cap) < target_recall:
+            # Target unreachable even probing everything: return the
+            # full budget (n_lists), never an over-probe that still
+            # fails (review finding).
+            return self.n_lists
         # Effective budgets move in steps of n_shards (per-shard probes
         # are ceil(nprobe / S)); binary-search the minimal passing
         # multiple inside the bracket, like IVFIndex.tune_nprobe.
