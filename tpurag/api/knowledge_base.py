@@ -320,11 +320,14 @@ class KnowledgeBase:
         if self.dense.mesh is not None:
             from tpurag.shard.ivf import ShardedIVFIndex
 
-            vecs = np.asarray(self.dense.embeddings[:n], np.float32)
+            # Streaming build here too: bounded row blocks via
+            # dense.get_rows instead of a full host fp32 copy (40 GB at
+            # the 10M v5e-8 BASELINE config).
             self._ivf = ShardedIVFIndex(
                 self.config.ivf, mesh=self.dense.mesh,
                 data_axis=self.dense.data_axis,
-            ).build(vecs, dtype=self.dense.dtype, seed=seed)
+            ).build_streaming(self.dense.get_rows, n,
+                              dtype=self.dense.dtype, seed=seed)
         else:
             from tpurag.index.ivf import IVFIndex
 

@@ -219,6 +219,92 @@ def _assign_rows(rows, cents):
     return jnp.argmax(sc, axis=1).astype(jnp.int32)
 
 
+def sample_kmeans(source, n: int, n_lists: int, cfg, rng) -> np.ndarray:
+    """k-means centroids from RANGED sample reads (bounded memory):
+    returns a writable (n_lists, D) f32 array."""
+    want = min(n, cfg.sample_size)
+    n_ranges = max(1, min(64, want // 1024)) if want > 2048 else 1
+    per = -(-want // n_ranges)
+    parts = []
+    for r in range(n_ranges):
+        lo = (r * n) // n_ranges
+        parts.append(_norm_block(source(lo, min(lo + per, n))))
+    sample = np.concatenate(parts)[:want]
+    del parts
+    init = sample[rng.choice(len(sample), n_lists, replace=False)]
+    return np.array(_kmeans(jnp.asarray(sample), jnp.asarray(init),
+                            cfg.kmeans_iters), np.float32)
+
+
+def stage_and_assign(source, n: int, d: int, stage_path, stage_np,
+                     quant: bool, block: int, cents: np.ndarray,
+                     note=lambda m: None):
+    """Pass 1 of a streaming build: stage normalized rows on disk
+    (per-row int8 when quant) and assign each block on device.
+    Returns (staged memmap, rscale (N,) f32 or None, assign (N,) i32)."""
+    staged = np.lib.format.open_memmap(
+        stage_path, mode="w+", dtype=stage_np, shape=(n, d))
+    rscale = np.empty(n, np.float32) if quant else None
+    assign = np.empty(n, np.int32)
+    cents_dev = jnp.asarray(cents)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        blk = _norm_block(source(s, e))
+        if quant:
+            m = np.abs(blk).max(axis=1)
+            sc = np.where(m > 0, m, 1.0) / 127.0
+            up = np.clip(np.rint(blk / sc[:, None]), -127, 127
+                         ).astype(np.int8)
+            staged[s:e] = up
+            rscale[s:e] = sc
+        else:
+            up = blk.astype(stage_np)
+            staged[s:e] = up
+        if e - s < block:  # pad: one compiled shape per block size
+            up = np.concatenate(
+                [up, np.zeros((block - (e - s), d), up.dtype)], axis=0)
+        assign[s:e] = np.asarray(
+            _assign_rows(jnp.asarray(up), cents_dev))[: e - s]
+        note(f"assigned {e}/{n}")
+    staged.flush()
+    return staged, rscale, assign
+
+
+def split_oversized_streaming(cents, assign, counts, factor, align,
+                              staged, rscale=None):
+    """split_oversized from DISK-staged rows (part centroids averaged
+    from the staged bytes; dequantized when rscale is given). Mutates
+    cents/assign in place where possible; returns (cents, assign,
+    counts)."""
+    n_lists = len(counts)
+    n = len(assign)
+    if not factor or not n_lists:
+        return cents, assign, counts
+    mean = max(int(np.ceil(n / max(n_lists, 1))), 8)
+    cap = int(round_up(int(np.ceil(factor * mean)), align))
+    big = np.where(counts > cap)[0]
+    extra = []
+    next_id = n_lists
+    for c in big:
+        rows_c = np.where(assign == c)[0]
+        for gi, g in enumerate(np.array_split(
+                rows_c, int(np.ceil(len(rows_c) / cap)))):
+            rows_f = staged[g].astype(np.float32)
+            if rscale is not None:
+                rows_f *= rscale[g][:, None]
+            m = rows_f.mean(axis=0)
+            m /= max(float(np.linalg.norm(m)), 1e-30)
+            if gi == 0:
+                cents[c] = m
+            else:
+                assign[g] = next_id
+                extra.append(m[None])
+                next_id += 1
+    if extra:
+        cents = np.concatenate([cents] + extra, axis=0)
+    return cents, assign, np.bincount(assign, minlength=next_id)
+
+
 class IVFIndex:
     """Built once from a snapshot of vectors (rebuild to refresh — the
     active/incremental segment stays on the exact path)."""
@@ -350,20 +436,7 @@ class IVFIndex:
                 progress(msg)
 
         # -- k-means on a sample: ranged reads only ------------------------
-        want = min(n, cfg.sample_size)
-        n_ranges = max(1, min(64, want // 1024)) if want > 2048 else 1
-        per = -(-want // n_ranges)
-        parts = []
-        for r in range(n_ranges):
-            lo = (r * n) // n_ranges
-            parts.append(_norm_block(source(lo, min(lo + per, n))))
-        sample = np.concatenate(parts)[:want]
-        del parts
-        init = sample[rng.choice(len(sample), n_lists, replace=False)]
-        cents = np.array(  # writable: split_oversized re-averages in place
-            _kmeans(jnp.asarray(sample), jnp.asarray(init),
-                    cfg.kmeans_iters), np.float32)
-        del sample
+        cents = sample_kmeans(source, n, n_lists, cfg, rng)
         note(f"k-means done ({n_lists} lists)")
 
         # -- pass 1: stage rows on disk + assign on device -----------------
@@ -373,38 +446,11 @@ class IVFIndex:
         stage.mkdir(parents=True, exist_ok=True)
         if quant:
             stage_np = np.dtype(np.int8)
-        elif jnp.dtype(dtype) == jnp.bfloat16:
-            import ml_dtypes
-
-            stage_np = np.dtype(ml_dtypes.bfloat16)
         else:
-            stage_np = np.dtype(np.float32)
-        staged = np.lib.format.open_memmap(
-            stage / "rows.npy", mode="w+", dtype=stage_np, shape=(n, d))
-        rscale = np.empty(n, np.float32) if quant else None
-        assign = np.empty(n, np.int32)
-        cents_dev = jnp.asarray(cents)
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            blk = _norm_block(source(s, e))
-            if quant:
-                m = np.abs(blk).max(axis=1)
-                sc = np.where(m > 0, m, 1.0) / 127.0
-                q = np.clip(np.rint(blk / sc[:, None]), -127, 127
-                            ).astype(np.int8)
-                staged[s:e] = q
-                rscale[s:e] = sc
-                up = q
-            else:
-                up = blk.astype(stage_np)
-                staged[s:e] = up
-            if e - s < block:  # pad: one compiled shape per block size
-                up = np.concatenate(
-                    [up, np.zeros((block - (e - s), d), up.dtype)], axis=0)
-            assign[s:e] = np.asarray(
-                _assign_rows(jnp.asarray(up), cents_dev))[: e - s]
-            note(f"assigned {e}/{n}")
-        staged.flush()
+            stage_np = _np_storage(dtype)
+        staged, rscale, assign = stage_and_assign(
+            source, n, d, stage / "rows.npy", stage_np, quant, block,
+            cents, note=note)
         n_lists_before = n_lists
 
         # -- split oversized clusters (streamed part centroids) ------------
@@ -413,32 +459,10 @@ class IVFIndex:
         align = IVF_ALIGN if n >= 2 * IVF_ALIGN * n_lists else 8
         self.align = align
         counts = np.bincount(assign, minlength=n_lists)
-        if cfg.max_cluster_factor and n_lists:
-            mean = max(int(np.ceil(n / max(n_lists, 1))), 8)
-            cap = int(round_up(
-                int(np.ceil(cfg.max_cluster_factor * mean)), align))
-            big = np.where(counts > cap)[0]
-            extra = []
-            next_id = n_lists
-            for c in big:
-                rows_c = np.where(assign == c)[0]
-                for gi, g in enumerate(np.array_split(
-                        rows_c, int(np.ceil(len(rows_c) / cap)))):
-                    rows_f = staged[g].astype(np.float32)
-                    if quant:
-                        rows_f *= rscale[g][:, None]
-                    m = rows_f.mean(axis=0)
-                    m /= max(float(np.linalg.norm(m)), 1e-30)
-                    if gi == 0:
-                        cents[c] = m
-                    else:
-                        assign[g] = next_id
-                        extra.append(m[None])
-                        next_id += 1
-            if extra:
-                cents = np.concatenate([cents] + extra, axis=0)
-            n_lists = next_id
-            counts = np.bincount(assign, minlength=n_lists)
+        cents, assign, counts = split_oversized_streaming(
+            cents, assign, counts, cfg.max_cluster_factor, align,
+            staged, rscale)
+        n_lists = len(counts)
         self.nprobe_scale = n_lists / max(n_lists_before, 1)
 
         # -- layout (identical shapes/contracts to build()) ----------------

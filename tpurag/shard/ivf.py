@@ -229,6 +229,138 @@ class ShardedIVFIndex:
         self.n_lists = n_lists
         return self
 
+    def build_streaming(self, source, n: int, *, mesh: Optional[Mesh] = None,
+                        dtype=jnp.bfloat16, seed: int = 0,
+                        block: int = 1 << 18, stage_dir=None,
+                        progress=None) -> "ShardedIVFIndex":
+        """Build the cluster-partitioned layout from a BLOCK SOURCE in
+        bounded host memory (the mesh-path twin of
+        IVFIndex.build_streaming): k-means on ranged sample reads,
+        disk-staged rows + device-assigned blocks, then each block
+        scatters straight into the data-sharded device matrix — the
+        host never materializes the corpus (the old path needed ~40 GB
+        of fp32 at the 10M v5e-8 BASELINE config)."""
+        import shutil
+        import tempfile
+
+        from tpurag.index.ivf import (_np_storage, _scatter_rows,
+                                      sample_kmeans,
+                                      split_oversized_streaming,
+                                      stage_and_assign)
+        from tpurag.kernels.ivf_scan import IVF_ALIGN, IVF_SCAN_EXTENT
+
+        if mesh is not None:
+            self.mesh = mesh
+        assert self.mesh is not None, "ShardedIVFIndex needs a mesh"
+        s_count = self.n_shards
+        cfg = self.config
+
+        def note(msg):
+            if progress:
+                progress(msg)
+
+        d = int(np.asarray(source(0, 1)).shape[1])
+        n_lists = min(cfg.n_lists, max(n // 8, 1))
+        rng = np.random.default_rng(seed)
+        cents = sample_kmeans(source, n, n_lists, cfg, rng)
+        note(f"k-means done ({n_lists} lists)")
+
+        own_stage = stage_dir is None
+        stage = pathlib.Path(stage_dir
+                             or tempfile.mkdtemp(prefix="tpurag_sivf_"))
+        stage.mkdir(parents=True, exist_ok=True)
+        staged, _, assign = stage_and_assign(
+            source, n, d, stage / "rows.npy", _np_storage(dtype),
+            False, block, cents, note=note)
+
+        align = IVF_ALIGN if n >= 2 * IVF_ALIGN * n_lists else 8
+        self.align = align
+        counts = np.bincount(assign, minlength=n_lists)
+        cents, assign, counts = split_oversized_streaming(
+            cents, assign, counts, cfg.max_cluster_factor, align, staged)
+        n_lists = len(counts)
+        self.c_max = int(round_up(max(int(counts.max()), 1), 8))
+        bins = partition_clusters(counts, s_count)
+        self.c_local = max(
+            int(round_up(max((len(b) for b in bins), default=1), 8)), 8)
+        c_pad = int(round_up(self.c_max, IVF_SCAN_EXTENT))
+        pad_load = max((int(sum(int(round_up(int(counts[c]), align))
+                               for c in b)) for b in bins), default=0)
+        n_local = max(int(round_up(
+            int(round_up(max(pad_load, 1), align))
+            + c_pad + IVF_SCAN_EXTENT,
+            align)), align)
+
+        # Per-cluster placement (shard id, local start) — then a global
+        # destination index per ORIGINAL row, so arrival-order blocks
+        # scatter directly into the sharded matrix.
+        shard_of = np.zeros(n_lists, np.int64)
+        pos_of = np.zeros(n_lists, np.int64)
+        li_of = np.zeros(n_lists, np.int64)
+        cents_g = np.zeros((s_count * self.c_local, d), np.float32)
+        table_g = np.full((s_count * self.c_local, self.c_max), -1,
+                          np.int32)
+        starts_g = np.zeros((s_count * self.c_local,), np.int32)
+        counts_g = np.zeros((s_count * self.c_local,), np.int32)
+        for s, clusters in enumerate(bins):
+            pos = 0
+            for li, c in enumerate(clusters):
+                m = int(counts[c])
+                shard_of[c], pos_of[c], li_of[c] = s, pos, li
+                cents_g[s * self.c_local + li] = cents[c]
+                table_g[s * self.c_local + li, :m] = np.arange(
+                    pos, pos + m, dtype=np.int32)
+                starts_g[s * self.c_local + li] = pos
+                counts_g[s * self.c_local + li] = m
+                pos += int(round_up(m, align))
+
+        order = np.argsort(assign, kind="stable")
+        starts_nopad = np.zeros(n_lists + 1, np.int64)
+        np.cumsum(counts, out=starts_nopad[1:])
+        cl_sorted = assign[order]
+        within = np.arange(n) - starts_nopad[cl_sorted]
+        dest_sorted = (shard_of[cl_sorted] * n_local
+                       + pos_of[cl_sorted] + within)
+        dest_orig = np.empty(n, np.int64)
+        dest_orig[order] = dest_sorted
+        ids_g = np.full((s_count * n_local,), -1, np.int32)
+        ids_g[dest_sorted] = order.astype(np.int32)
+        del order, cl_sorted, within, dest_sorted
+
+        sh2 = NamedSharding(self.mesh, P(self.data_axis, None))
+        sh1 = NamedSharding(self.mesh, P(self.data_axis))
+        emb_g = jax.device_put(
+            jnp.zeros((s_count * n_local, d), dtype), sh2)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            rows = np.asarray(staged[s:e])
+            idx = dest_orig[s:e].astype(np.int32)
+            if e - s < block:  # total-1 is always tail padding
+                pad = block - (e - s)
+                rows = np.concatenate(
+                    [rows, np.zeros((pad, d), rows.dtype)], axis=0)
+                idx = np.concatenate(
+                    [idx, np.full(pad, s_count * n_local - 1, np.int32)])
+            emb_g = _scatter_rows(emb_g, jnp.asarray(rows),
+                                  jnp.asarray(idx))
+            emb_g.block_until_ready()  # bound copies where donation is off
+            note(f"packed {e}/{n}")
+        del staged
+        if own_stage:
+            shutil.rmtree(stage, ignore_errors=True)
+        if emb_g.sharding != sh2:  # scatter must not silently reshard
+            emb_g = jax.device_put(emb_g, sh2)
+
+        self.cents_g = jax.device_put(jnp.asarray(cents_g), sh2)
+        self.emb_g = emb_g
+        self.table_g = jax.device_put(jnp.asarray(table_g), sh2)
+        self.ids_g = jax.device_put(jnp.asarray(ids_g), sh1)
+        self.starts_g = jax.device_put(jnp.asarray(starts_g), sh1)
+        self.counts_g = jax.device_put(jnp.asarray(counts_g), sh1)
+        self.n = n
+        self.n_lists = n_lists
+        return self
+
     def _nprobe_local(self, nprobe: int) -> int:
         per = -(-min(nprobe, self.n_lists) // self.n_shards)
         return max(min(per, self.c_local), 1)
