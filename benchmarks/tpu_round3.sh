@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round-3 TPU validation sequence — run SOLO (one TPU process at a time;
+# never run concurrently with pytest or another python on this 1-core
+# host: trace+lower is CPU-bound and contention inflates it 10-20x).
+# Each step is bounded with `timeout` from launch (never SIGTERM a TPU
+# process mid-remote-compile: a 2026-08-17 kill took the relay down).
+set -x
+cd "$(dirname "$0")/.." || exit 1
+
+# 1. TPU-green stamp: product kernels at small shapes + SHA into BENCHMARKS.md
+timeout 1200 python benchmarks/tpu_smoke.py || exit 1
+
+# 2. Headline re-warm (also refreshes .jax_cache for the driver's run)
+timeout 900 python bench.py || exit 1
+
+# 3. >=1M-chunk hybrid point (fresh compiles at the wider ladder)
+TPURAG_BENCH_N=1000000 timeout 3600 python bench.py
+
+# 4. Product-path 10M (host ingest ~20 min + ~21 GB relay upload + ladder)
+timeout 14400 python benchmarks/kb_10m.py
