@@ -14,7 +14,7 @@ timeout 1200 python benchmarks/tpu_smoke.py || exit 1
 timeout 900 python bench.py || exit 1
 
 # 3. >=1M-chunk hybrid point (fresh compiles at the wider ladder)
-TPURAG_BENCH_N=1000000 timeout 3600 python bench.py
+TPURAG_BENCH_N=1000000 timeout 3600 python bench.py || exit 1
 
 # 4. Product-path 10M (host ingest ~20 min + ~21 GB relay upload + ladder)
-timeout 14400 python benchmarks/kb_10m.py
+timeout 14400 python benchmarks/kb_10m.py || exit 1

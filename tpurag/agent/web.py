@@ -20,6 +20,7 @@ import html
 import json
 import os
 import re
+import urllib.error
 import urllib.parse
 import urllib.request
 
@@ -54,10 +55,25 @@ def strip_html(raw: str, cap: int = TEXT_CAP) -> str:
 def _vetted_ip(host: str) -> str:
     """SSRF guard for LLM-controlled page fetches: resolve the host ONCE,
     refuse loopback / private / link-local / reserved ranges (cloud
-    metadata, internal services) — and return the vetted address so the
-    connection can PIN it (a second independent resolution would be a
-    DNS-rebinding TOCTOU hole). Override with
-    ``TPURAG_WEB_ALLOW_PRIVATE=1`` for intentionally-internal targets."""
+    metadata, internal services) — and return the first vetted address
+    (a second independent resolution would be a DNS-rebinding TOCTOU
+    hole). Override with ``TPURAG_WEB_ALLOW_PRIVATE=1`` for
+    intentionally-internal targets."""
+    return _vetted_ips(host)[0]
+
+
+def _reject_private_host(url: str) -> None:
+    """Back-compat vet-only entry point (see _vetted_ip)."""
+    if os.environ.get("TPURAG_WEB_ALLOW_PRIVATE", "") == "1":
+        return
+    host = urllib.parse.urlsplit(url).hostname or ""
+    _vetted_ip(host)
+
+
+def _vetted_ips(host: str) -> list[str]:
+    """All vetted addresses for `host` (see _vetted_ip) — connect tries
+    them in order, preserving stdlib create_connection's multi-address
+    fallback (dual-stack hosts whose first record is unreachable)."""
     import ipaddress
     import socket
 
@@ -74,35 +90,50 @@ def _vetted_ip(host: str) -> str:
             raise PermissionError(
                 f"refusing to fetch private/internal address {ip} "
                 f"(host {host!r}); set TPURAG_WEB_ALLOW_PRIVATE=1 to allow")
-    return infos[0][4][0]
+    return [i[4][0] for i in infos]
 
 
-def _reject_private_host(url: str) -> None:
-    """Back-compat vet-only entry point (see _vetted_ip)."""
-    if os.environ.get("TPURAG_WEB_ALLOW_PRIVATE", "") == "1":
-        return
-    host = urllib.parse.urlsplit(url).hostname or ""
-    _vetted_ip(host)
-
-
-def _pinned_handlers():
-    """urllib handlers that vet + pin the resolved IP on EVERY open
-    (including redirect hops): the socket connects to the vetted
-    address while TLS SNI / certificate checks and the Host header
-    keep the original hostname."""
-    import http.client
+def _connect_vetted(host: str, port: int, timeout):
     import socket
+
+    err = None
+    for ip in _vetted_ips(host):
+        try:
+            return socket.create_connection((ip, port), timeout)
+        except OSError as e:
+            err = e
+    raise err or OSError(f"no vetted address connected for {host!r}")
+
+
+class _SchemeLockedRedirects(urllib.request.HTTPRedirectHandler):
+    """Only http(s) redirect targets: the default handler also allows
+    ftp://, which would hop to an UNGUARDED handler with a fresh,
+    unvetted resolution (review finding)."""
+
+    def redirect_request(self, req, fp, code, msg, headers, newurl):
+        scheme = urllib.parse.urlsplit(newurl).scheme
+        if scheme not in ("http", "https"):
+            raise urllib.error.HTTPError(
+                newurl, code, f"refusing {scheme!r} redirect", headers, fp)
+        return super().redirect_request(req, fp, code, msg, headers,
+                                        newurl)
+
+
+def _pinned_opener():
+    """An opener with ONLY http/https support, where every connection
+    (including redirect hops) vets + pins the resolved IPs: the socket
+    connects to a vetted address while TLS SNI / certificate checks and
+    the Host header keep the original hostname. No ftp/file/data
+    handlers exist in this opener at all."""
+    import http.client
 
     class _PinnedHTTP(http.client.HTTPConnection):
         def connect(self):
-            ip = _vetted_ip(self.host)
-            self.sock = socket.create_connection(
-                (ip, self.port), self.timeout)
+            self.sock = _connect_vetted(self.host, self.port, self.timeout)
 
     class _PinnedHTTPS(http.client.HTTPSConnection):
         def connect(self):
-            ip = _vetted_ip(self.host)
-            sock = socket.create_connection((ip, self.port), self.timeout)
+            sock = _connect_vetted(self.host, self.port, self.timeout)
             self.sock = self._context.wrap_socket(
                 sock, server_hostname=self.host)
 
@@ -116,7 +147,12 @@ def _pinned_handlers():
                 lambda host, timeout=None: _PinnedHTTPS(
                     host, timeout=timeout, context=self._context), req)
 
-    return H, HS
+    opener = urllib.request.OpenerDirector()
+    for h in (urllib.request.HTTPDefaultErrorHandler(),
+              urllib.request.HTTPErrorProcessor(),
+              _SchemeLockedRedirects(), H(), HS()):
+        opener.add_handler(h)
+    return opener
 
 
 def _http_get(url: str, timeout: float, accept: str,
@@ -126,8 +162,7 @@ def _http_get(url: str, timeout: float, accept: str,
     req = urllib.request.Request(
         url, headers={"User-Agent": _UA, "Accept": accept})
     if guard_private:
-        h, hs = _pinned_handlers()
-        opener = urllib.request.build_opener(h, hs)
+        opener = _pinned_opener()
         open_fn = lambda: opener.open(req, timeout=timeout)  # noqa: E731
     else:  # configured SearXNG instances are often intentionally local
         open_fn = lambda: urllib.request.urlopen(  # noqa: E731

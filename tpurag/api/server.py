@@ -83,11 +83,17 @@ class RagServer:
         if self._owners_file is not None and self._owners_file.exists():
             import json as _json
 
-            raw = _json.loads(self._owners_file.read_text())
-            self._owners = {(k.split("\x00", 1)[0],
-                             k.split("\x00", 1)[1]): v
-                            for k, v in raw.items()}
+            try:
+                raw = _json.loads(self._owners_file.read_text())
+                self._owners = {(k.split("\x00", 1)[0],
+                                 k.split("\x00", 1)[1]): v
+                                for k, v in raw.items()}
+            except (ValueError, IndexError):
+                # a torn write must not brick the server; scoping falls
+                # back to unowned until resources are re-owned
+                self._owners = {}
         self._lock = threading.Lock()
+        self._own_lock = threading.Lock()  # owners map + file writes
         import os as _os
 
         self.search_timeout_s = float(
@@ -109,15 +115,23 @@ class RagServer:
 
     # -- ownership ---------------------------------------------------------
 
-    def _own(self, kind: str, rid: str, user: Optional[str]) -> None:
-        if user:
-            self._owners[(kind, str(rid))] = user
-            if self._owners_file is not None:
-                import json as _json
+    def _persist_owners_locked(self) -> None:
+        if self._owners_file is None:
+            return
+        import json as _json
+        import os as _os
 
-                self._owners_file.write_text(_json.dumps(
-                    {f"{k}\x00{r}": u
-                     for (k, r), u in self._owners.items()}))
+        tmp = self._owners_file.with_suffix(".tmp")
+        tmp.write_text(_json.dumps(
+            {f"{k}\x00{r}": u for (k, r), u in self._owners.items()}))
+        _os.replace(tmp, self._owners_file)  # atomic: no torn file
+
+    def _own(self, kind: str, rid: str, user: Optional[str]) -> None:
+        if not user:
+            return
+        with self._own_lock:  # racing threads must not drop each other's
+            self._owners[(kind, str(rid))] = user  # just-written entry
+            self._persist_owners_locked()
 
     def _owned(self, kind: str, rid: str, user: Optional[str]) -> bool:
         owner = self._owners.get((kind, str(rid)))
@@ -234,15 +248,20 @@ class RagServer:
                 if self._owned("session", s.get("session_id", ""), user)]}
         if method == "POST" and path == "/sessions":
             sid = body.get("session_id")
-            if sid and self.sessions.get(sid) is not None:
-                # Existing session: NEVER recreate (create() would wipe
-                # its history and reassign ownership — hijack vector,
-                # review finding); owner gets it back, others get 404.
-                if not self._owned("session", sid, user):
-                    return self._deny("session", sid)
-                return 200, {"session_id": sid}
-            s = self.sessions.create(sid)
-            self._own("session", s.session_id, user)
+            with self._own_lock:
+                # check-then-act under the ownership lock: two threads
+                # racing the same id must not both create (wipe) it
+                if sid and self.sessions.get(sid) is not None:
+                    # Existing session: NEVER recreate (create() would
+                    # wipe history and reassign ownership — hijack
+                    # vector); owner gets it back, others get 404.
+                    if not self._owned("session", sid, user):
+                        return self._deny("session", sid)
+                    return 200, {"session_id": sid}
+                s = self.sessions.create(sid)
+                if user:
+                    self._owners[("session", s.session_id)] = user
+                    self._persist_owners_locked()
             return 200, {"session_id": s.session_id}
         if path.startswith("/sessions/"):
             parts = path.split("/")
@@ -289,12 +308,14 @@ class RagServer:
             history = body.get("history")
             if body.get("session_id"):
                 sid = body["session_id"]
-                if not self._owned("session", sid, user):
-                    return self._deny("session", sid)
-                fresh = self.sessions.get(sid) is None
-                session = self.sessions.get_or_create(sid)
-                if fresh:
-                    self._own("session", sid, user)
+                with self._own_lock:  # same check-then-act race as
+                    if not self._owned("session", sid, user):  # /sessions
+                        return self._deny("session", sid)
+                    fresh = self.sessions.get(sid) is None
+                    session = self.sessions.get_or_create(sid)
+                    if fresh and user:
+                        self._owners[("session", sid)] = user
+                        self._persist_owners_locked()
                 history = history or session.recent(10)  # last-10 rounds,
                 #                                          query/route.ts:17-75
             if body.get("mode") == "normal":

@@ -152,10 +152,14 @@ function renderMermaid(src) {
     const em = arrowRe.exec(ln);
     if (em) {
       const a = addNode(em[1]), b = addNode(em[3]);
-      if (a && b) edges.push({s: a, t: b, label: (em[2] || "").trim()});
+      // chained edges (A --> B --> C) / inline '--label-->' syntax land
+      // here with an unparseable operand: fall back to the SOURCE block
+      // rather than silently rendering an incomplete diagram
+      if (!a || !b) return null;
+      edges.push({s: a, t: b, label: (em[2] || "").trim()});
       continue;
     }
-    addNode(ln);
+    if (!addNode(ln)) return null;  // unsupported statement: show source
   }
   const ids = Object.keys(nodes);
   if (!ids.length) return null;

@@ -116,7 +116,10 @@ def fetch_repo(url_or_path: str, dest: str | None = None,
             return _download_github_zip(gh[0], gh[1], branch or "main",
                                         dest_p, progress)
         except Exception:
-            pass  # fall back to git (repo-fetcher.ts:214)
+            # A half-extracted zip leaves dest_p non-empty and git
+            # refuses to clone into it — clear the debris first.
+            if dest_p.exists() and any(dest_p.iterdir()):
+                shutil.rmtree(dest_p)
     if progress:
         progress("Cloning", 10)
     url = (f"https://github.com/{gh[0]}/{gh[1]}.git" if gh
