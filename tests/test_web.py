@@ -87,6 +87,62 @@ def test_reject_private_host_blocks_internal_targets(monkeypatch):
     _reject_private_host("http://127.0.0.1/")    # explicit opt-out
 
 
+def test_pinned_opener_end_to_end(monkeypatch):
+    """The guarded fetch path against a REAL local HTTP server
+    (TPURAG_WEB_ALLOW_PRIVATE=1 so loopback vets): body fetch, http(s)
+    redirect following, and the ftp-redirect scheme lock."""
+    import http.server
+    import threading
+
+    from tpurag.agent.web import _http_get
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/hop":
+                self.send_response(302)
+                self.send_header("Location", "/final")
+                self.end_headers()
+            elif self.path == "/ftp":
+                self.send_response(302)
+                self.send_header("Location", "ftp://127.0.0.1/steal")
+                self.end_headers()
+            else:
+                body = b"<p>pinned ok</p>"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        monkeypatch.setenv("TPURAG_WEB_ALLOW_PRIVATE", "1")
+        assert "pinned ok" in _http_get(f"{base}/final", 5, "*/*",
+                                        guard_private=True)
+        assert "pinned ok" in _http_get(f"{base}/hop", 5, "*/*",
+                                        guard_private=True)  # redirect
+        with pytest.raises(Exception) as ei:
+            _http_get(f"{base}/ftp", 5, "*/*", guard_private=True)
+        assert "ftp" in str(ei.value)  # scheme-locked redirect
+        # with the override OFF, loopback is refused at connect time
+        # (urllib wraps the connect-time PermissionError in URLError)
+        import urllib.error
+
+        monkeypatch.delenv("TPURAG_WEB_ALLOW_PRIVATE")
+        with pytest.raises((PermissionError,
+                            urllib.error.URLError)) as ei:
+            _http_get(f"{base}/final", 5, "*/*", guard_private=True)
+        assert "refusing" in str(ei.value)
+    finally:
+        srv.shutdown()
+
+
 def test_default_fetchers_flag_gated():
     assert default_fetchers(env={}) == []
     assert not web_enabled(env={})
