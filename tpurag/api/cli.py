@@ -47,7 +47,11 @@ def cmd_ingest(args):
     from tpurag.ingest.pipeline import ingest_documents
 
     embedder = None
-    if getattr(args, "encoder_ckpt", None):
+    if getattr(args, "hf_encoder", None):
+        from tpurag.models.encoder import EncoderEmbedder
+
+        embedder = EncoderEmbedder.from_hf(args.hf_encoder)
+    elif getattr(args, "encoder_ckpt", None):
         from tpurag.models.encoder import EncoderEmbedder
 
         embedder = EncoderEmbedder.load(args.encoder_ckpt)
@@ -56,12 +60,15 @@ def cmd_ingest(args):
 
         embedder = EncoderEmbedder()  # random-init on-chip encoder
     quant = bool(getattr(args, "quant", False))
-    if (embedder is not None or quant) \
+    store = getattr(args, "store", "device") or "device"
+    backing = getattr(args, "backing", None)
+    if (embedder is not None or quant or store != "device") \
             and not pathlib.Path(args.kb, "kb.json").exists():
         from tpurag import KnowledgeBase
 
         kb = KnowledgeBase(pathlib.Path(args.kb).name or "kb",
-                           embedder=embedder, quant=quant)
+                           embedder=embedder, quant=quant,
+                           store=store, backing=backing)
     else:
         kb = _load_kb(args.kb, create=True)
         if quant and not getattr(kb, "quant", False):
@@ -105,11 +112,25 @@ def cmd_search(args):
             print(f"[{c.doc_name}#{c.chunk_index}] score={score:.3f}")
             print(c.text[:300])
     else:
-        if args.mode == "ivf":
+        if args.mode == "ivf" and kb._ivf is None:  # persisted IVF wins
             kb.build_ivf()
         resp = kb.search(args.query, top_k=args.top_k, mode=args.mode)
         print(resp.format(args.top_k))
         print(f"\n-- {resp.stats}")
+
+
+def cmd_build_ivf(args):
+    """Snapshot the dense corpus into the IVF partition and persist it
+    (the low-latency serving mode; streaming build, bounded host
+    memory)."""
+    kb = _load_kb(args.kb)
+    ivf = kb.build_ivf(seed=args.seed)
+    kb.save(args.kb)
+    print(json.dumps({
+        "n": ivf.n, "n_lists": ivf.n_lists,
+        "quant": getattr(ivf, "emb_ivf_q8", None) is not None,
+        "fp_rescore": getattr(ivf, "emb_ivf", None) is not None,
+    }))
 
 
 def cmd_chat(args):
@@ -205,6 +226,16 @@ def cmd_stats(args):
 
 
 def main(argv=None):
+    import os
+
+    if os.environ.get("TPURAG_FORCE_CPU"):
+        # Some hosts' sitecustomize force-registers a TPU plugin and
+        # ignores JAX_PLATFORMS; pin CPU via jax.config before any
+        # backend init (a dead device relay otherwise hangs every
+        # command forever).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser(prog="tpurag")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -221,10 +252,25 @@ def main(argv=None):
     p.add_argument("--train-tokenizer", type=int, default=0, metavar="V",
                    help="train a BPE tokenizer (vocab size V) on the "
                         "ingested docs for the encoder")
+    p.add_argument("--store", choices=("device", "host"), default="device",
+                   help="corpus storage tier: HBM (default) or host "
+                        "RAM/disk — for corpora larger than device memory")
+    p.add_argument("--backing", default=None, metavar="PATH",
+                   help="with --store host: disk-backed memmap path "
+                        "(the raw corpus never has to fit host RAM)")
+    p.add_argument("--hf-encoder", default=None, metavar="DIR",
+                   help="embed with a local BERT-family HF checkpoint "
+                        "(models/import_hf.py; torch-verified numerics)")
     p.add_argument("--quant", action="store_true",
                    help="int8-sidecar dense scans with exact rescoring "
                         "(new KBs only; persisted in kb.json)")
     p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser("build-ivf", help="snapshot the corpus into the "
+                       "IVF partition (streaming, bounded host memory)")
+    p.add_argument("--kb", required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_build_ivf)
 
     p = sub.add_parser("search")
     p.add_argument("query")
