@@ -119,6 +119,16 @@ class _SchemeLockedRedirects(urllib.request.HTTPRedirectHandler):
                                         newurl)
 
 
+class _VettingRedirects(_SchemeLockedRedirects):
+    """Proxied deployments: the proxy resolves targets (IP pinning is
+    moot), so vet each redirect hop's HOSTNAME instead."""
+
+    def redirect_request(self, req, fp, code, msg, headers, newurl):
+        _reject_private_host(newurl)
+        return super().redirect_request(req, fp, code, msg, headers,
+                                        newurl)
+
+
 def _pinned_opener():
     """An opener with ONLY http/https support, where every connection
     (including redirect hops) vets + pins the resolved IPs: the socket
@@ -162,7 +172,14 @@ def _http_get(url: str, timeout: float, accept: str,
     req = urllib.request.Request(
         url, headers={"User-Agent": _UA, "Accept": accept})
     if guard_private:
-        opener = _pinned_opener()
+        if urllib.request.getproxies():
+            # Egress goes through a configured proxy: the proxy does the
+            # target resolution, so IP pinning would just bypass (and
+            # break) it — vet hostnames per hop and keep the scheme lock.
+            _reject_private_host(url)
+            opener = urllib.request.build_opener(_VettingRedirects)
+        else:
+            opener = _pinned_opener()
         open_fn = lambda: opener.open(req, timeout=timeout)  # noqa: E731
     else:  # configured SearXNG instances are often intentionally local
         open_fn = lambda: urllib.request.urlopen(  # noqa: E731

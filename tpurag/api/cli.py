@@ -21,12 +21,13 @@ import pathlib
 import sys
 
 
-def _load_kb(path: str, create: bool = False):
+def _load_kb(path: str, create: bool = False, store: str | None = None,
+             backing: str | None = None):
     from tpurag import KnowledgeBase
 
     p = pathlib.Path(path)
     if (p / "kb.json").exists():
-        return KnowledgeBase.load(p)
+        return KnowledgeBase.load(p, store=store, backing=backing)
     if create:
         return KnowledgeBase(p.name or "kb")
     sys.exit(f"no knowledge base at {path} (run `ingest` first)")
@@ -70,11 +71,19 @@ def cmd_ingest(args):
                            embedder=embedder, quant=quant,
                            store=store, backing=backing)
     else:
-        kb = _load_kb(args.kb, create=True)
+        # store/backing are honored on reload (KnowledgeBase.load
+        # overrides); the persisted embedder always wins.
+        kb = _load_kb(args.kb, create=True,
+                      store=(store if store != "device" else None),
+                      backing=backing)
         if quant and not getattr(kb, "quant", False):
             print("warning: --quant ignored — KB at %s already exists "
                   "without quantization (rebuild the KB to enable it)"
                   % args.kb, file=sys.stderr)
+        if embedder is not None:
+            print("warning: --encoder/--hf-encoder ignored — KB at %s "
+                  "already exists; its persisted embedder defines the "
+                  "vector space" % args.kb, file=sys.stderr)
     docs = []
     for src in args.paths:
         p = pathlib.Path(src)

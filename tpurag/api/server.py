@@ -85,10 +85,12 @@ class RagServer:
 
             try:
                 raw = _json.loads(self._owners_file.read_text())
+                if not isinstance(raw, dict):
+                    raise ValueError("owners.json is not an object")
                 self._owners = {(k.split("\x00", 1)[0],
                                  k.split("\x00", 1)[1]): v
                                 for k, v in raw.items()}
-            except (ValueError, IndexError):
+            except (ValueError, IndexError, TypeError, AttributeError):
                 # a torn write must not brick the server; scoping falls
                 # back to unowned until resources are re-owned
                 self._owners = {}
@@ -126,12 +128,18 @@ class RagServer:
             {f"{k}\x00{r}": u for (k, r), u in self._owners.items()}))
         _os.replace(tmp, self._owners_file)  # atomic: no torn file
 
+    def _own_locked(self, kind: str, rid: str,
+                    user: Optional[str]) -> None:
+        """Record + persist under an ALREADY-HELD _own_lock."""
+        if user:
+            self._owners[(kind, str(rid))] = user
+            self._persist_owners_locked()
+
     def _own(self, kind: str, rid: str, user: Optional[str]) -> None:
         if not user:
             return
         with self._own_lock:  # racing threads must not drop each other's
-            self._owners[(kind, str(rid))] = user  # just-written entry
-            self._persist_owners_locked()
+            self._own_locked(kind, rid, user)  # just-written entry
 
     def _owned(self, kind: str, rid: str, user: Optional[str]) -> bool:
         owner = self._owners.get((kind, str(rid)))
@@ -219,14 +227,16 @@ class RagServer:
                 if self._owned("kb", kid, user)]}
         if method == "POST" and path == "/knowledge-bases":
             kb_id = body.get("id", "")
-            if not kb_id or kb_id in self.kbs:
-                return 400, {"error": "missing or duplicate 'id'"}
             from tpurag.api.knowledge_base import KnowledgeBase
 
-            self.kbs[kb_id] = KnowledgeBase(
-                kb_id, dim=int(body["dim"]) if body.get("dim") else None,
-                config=self.kb.config)
-            self._own("kb", kb_id, user)
+            with self._own_lock:  # same create race as POST /sessions
+                if not kb_id or kb_id in self.kbs:
+                    return 400, {"error": "missing or duplicate 'id'"}
+                self.kbs[kb_id] = KnowledgeBase(
+                    kb_id,
+                    dim=int(body["dim"]) if body.get("dim") else None,
+                    config=self.kb.config)
+                self._own_locked("kb", kb_id, user)
             return 200, {"id": kb_id}
         if path.startswith("/knowledge-bases/"):
             kb_id = path.split("/")[2]
@@ -259,9 +269,7 @@ class RagServer:
                         return self._deny("session", sid)
                     return 200, {"session_id": sid}
                 s = self.sessions.create(sid)
-                if user:
-                    self._owners[("session", s.session_id)] = user
-                    self._persist_owners_locked()
+                self._own_locked("session", s.session_id, user)
             return 200, {"session_id": s.session_id}
         if path.startswith("/sessions/"):
             parts = path.split("/")
@@ -313,9 +321,8 @@ class RagServer:
                         return self._deny("session", sid)
                     fresh = self.sessions.get(sid) is None
                     session = self.sessions.get_or_create(sid)
-                    if fresh and user:
-                        self._owners[("session", sid)] = user
-                        self._persist_owners_locked()
+                    if fresh:
+                        self._own_locked("session", sid, user)
                 history = history or session.recent(10)  # last-10 rounds,
                 #                                          query/route.ts:17-75
             if body.get("mode") == "normal":
@@ -462,12 +469,19 @@ class RagServer:
             if len(cb_parts) >= 2 and not self._owned(
                     "codebase", cb_parts[1], user):
                 return self._deny("codebase", cb_parts[1])
+            if method == "POST" and len(cb_parts) == 1:
+                with self._own_lock:  # create race, as with sessions/KBs
+                    if body.get("id") in self.codebases.codebases:
+                        return 400, {"error": "duplicate codebase id"}
+                    resp = handle_codebase(self.codebases, method, path,
+                                           body)
+                    if resp and resp[0] == 200 and "id" in resp[1]:
+                        self._own_locked("codebase", resp[1]["id"], user)
+                    if resp is not None:
+                        return resp
             resp = handle_codebase(self.codebases, method, path, body)
             if resp is not None:
                 status, payload = resp
-                if status == 200 and method == "POST" \
-                        and len(cb_parts) == 1 and "id" in payload:
-                    self._own("codebase", payload["id"], user)
                 if status == 200 and method == "GET" \
                         and len(cb_parts) == 1 and "codebases" in payload:
                     payload = dict(payload, codebases=[

@@ -148,7 +148,7 @@ function renderMermaid(src) {
     return id;
   };
   for (const ln of lines.slice(1)) {
-    if (/^(subgraph|end|classDef|click|style)\\b/.test(ln)) continue;
+    if (/^(%%|subgraph\\b|end\\b|classDef\\b|click\\b|style\\b|linkStyle\\b|direction\\b)/.test(ln)) continue;
     const em = arrowRe.exec(ln);
     if (em) {
       const a = addNode(em[1]), b = addNode(em[3]);

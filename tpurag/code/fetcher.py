@@ -111,14 +111,17 @@ def fetch_repo(url_or_path: str, dest: str | None = None,
             f"{url_or_path!r} is not a local directory")
     dest_p = pathlib.Path(dest or tempfile.mkdtemp(prefix="tpurag_repo_"))
     gh = parse_github_url(url_or_path)
+    # Snapshot BEFORE the download: debris cleanup must never delete
+    # pre-existing caller content in dest.
+    was_empty = not dest_p.exists() or not any(dest_p.iterdir())
     if gh is not None:
         try:
             return _download_github_zip(gh[0], gh[1], branch or "main",
                                         dest_p, progress)
         except Exception:
             # A half-extracted zip leaves dest_p non-empty and git
-            # refuses to clone into it — clear the debris first.
-            if dest_p.exists() and any(dest_p.iterdir()):
+            # refuses to clone into it — clear OUR debris only.
+            if was_empty and dest_p.exists() and any(dest_p.iterdir()):
                 shutil.rmtree(dest_p)
     if progress:
         progress("Cloning", 10)
