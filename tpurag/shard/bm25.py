@@ -243,7 +243,6 @@ class ShardedInvertedIndex:
         rowid = np.zeros((S, bsz, t_max), np.int32)
         idf = np.zeros((S, bsz, t_max), np.float32)
         ladder = tuple(sorted(self.config.width_ladder or ()))
-        p_max = 16
         for s, part in enumerate(self.parts):
             lay = part._main
             v = len(lay.term_bucket)
@@ -255,11 +254,26 @@ class ShardedInvertedIndex:
                     bucketw[s, bi, ti] = lay.term_bucket[tid]
                     rowid[s, bi, ti] = lay.term_row[tid] + 1
                     idf[s, bi, ti] = w_idf
-                    p_max = max(p_max, int(lay.term_bucket[tid]))
-        for w in ladder:
-            if w >= p_max:
-                p_max = w
-                break
+
+        def ladder_w(p: int) -> int:
+            for w in ladder:
+                if w >= p:
+                    return w
+            return int(p)
+
+        # Width-class the batch like the single-device _score: each
+        # query runs at ITS OWN (padded) postings width / term count —
+        # one wide query must not pad every other query's lanes.
+        q_pmax = bucketw.max(axis=(0, 2))          # (bsz,) over shards
+        if self.config.width_classes and bsz > 1:
+            groups: dict[tuple[int, int], list[int]] = {}
+            for bi in range(bsz):
+                key = (ladder_w(max(int(q_pmax[bi]), 16)),
+                       _next_pow2(max(len(rows[bi]), 1)))
+                groups.setdefault(key, []).append(bi)
+        else:
+            groups = {(ladder_w(max(int(q_pmax.max()), 16)), t_max):
+                      list(range(bsz))}
 
         # Overfetch past tombstones (translated to global ids below).
         dead = {l * S + p for p, part in enumerate(self.parts)
@@ -267,14 +281,28 @@ class ShardedInvertedIndex:
         extra = round_up(len(dead), 8) if dead else 0
         max_local = max(len(part.doc_len) for part in self.parts)
         kk = min(k + extra, max(self.n_docs, 1))
-        k_local = min(kk, t_max * p_max)  # a shard yields <= t*p lanes
-        kk = min(kk, S * k_local)
-        scores, ids = sharded_bm25_topk(
-            jnp.asarray(bucketw), jnp.asarray(rowid), jnp.asarray(idf),
-            mats_dev, k=kk, k_local=k_local, p_max=p_max, t=t_max,
-            widths=widths, use_pallas=not interpret_mode(),
-            cbits=packed_cbits(max_local, self.config.packed_merge),
-            mesh=self.mesh, data_axis=self.data_axis)
+        cbits = packed_cbits(max_local, self.config.packed_merge)
+        use_pallas = not interpret_mode()
+        scores = jnp.full((bsz, kk), NEG_INF, jnp.float32)
+        ids = jnp.full((bsz, kk), -1, jnp.int32)
+        for (p_cls, t_cls), members in groups.items():
+            sel = np.asarray(members, np.int32)
+            k_local = min(kk, t_cls * p_cls)  # <= t*p lanes per shard
+            kk_cls = min(kk, S * k_local)
+            s_c, i_c = sharded_bm25_topk(
+                jnp.asarray(bucketw[:, sel, :t_cls]),
+                jnp.asarray(rowid[:, sel, :t_cls]),
+                jnp.asarray(idf[:, sel, :t_cls]),
+                mats_dev, k=kk_cls, k_local=k_local, p_max=p_cls,
+                t=t_cls, widths=widths, use_pallas=use_pallas,
+                cbits=cbits, mesh=self.mesh, data_axis=self.data_axis)
+            if kk_cls < kk:
+                s_c = jnp.pad(s_c, ((0, 0), (0, kk - kk_cls)),
+                              constant_values=NEG_INF)
+                i_c = jnp.pad(i_c, ((0, 0), (0, kk - kk_cls)),
+                              constant_values=-1)
+            scores = scores.at[jnp.asarray(sel)].set(s_c)
+            ids = ids.at[jnp.asarray(sel)].set(i_c)
         if dead:
             dead_dev = jnp.asarray(np.fromiter(dead, np.int32, len(dead)))
             hit = jnp.isin(ids, dead_dev)
