@@ -22,6 +22,12 @@ Mutations (add/delete) route to the owning part and invalidate the
 stacked device layout; the next search rebuilds it (compacting every
 part), mirroring the single index's compaction policy at shard
 granularity.
+
+A packing bonus at scale: the merge kernel's packed-key form needs
+31 - doc_bits >= 12 contribution bits, so a single-device index loses
+it past ~512k docs — but shards score LOCAL ids (doc_bits of n/S), so
+the packed merge stays on to ~4M docs on an 8-shard mesh (cbits is
+computed from max LOCAL doc count below).
 """
 
 from __future__ import annotations
