@@ -62,3 +62,82 @@ def test_inverted_index_uses_native(native):
     idx.add(0, "the quick brown fox 混合搜索")
     s, i = idx.search(["quick fox"], k=1)
     assert int(i[0][0]) == 0
+
+
+def _grouped_from_pairs(texts, native):
+    """Reference grouping derived from the pair ABI (v1), mirroring the
+    numpy argsort path batch_postings replaces."""
+    import numpy as np
+
+    terms, doc_nt, pairs = native.batch_term_counts(texts)
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.uint32), doc_nt)
+    order = np.argsort(pairs[:, 0], kind="stable")
+    return terms, pairs[order, 0], doc_of[order], pairs[order, 1]
+
+
+def test_batch_postings_matches_pair_abi(native):
+    if not native.postings_available():
+        pytest.skip("grouped-postings ABI unavailable")
+    import numpy as np
+
+    texts = CASES + ["the quick fox", "fox fox fox 你好世界", "", "中 文"]
+    terms, doc_total, gcount, gdoc, gcnt = native.batch_postings(texts)
+    rterms, ridx, rdoc, rcnt = _grouped_from_pairs(texts, native)
+    assert terms == rterms  # same first-occurrence intern order
+    # group sizes: docs containing each term
+    exp_count = np.bincount(ridx, minlength=len(terms)).astype(np.uint32)
+    np.testing.assert_array_equal(gcount, exp_count)
+    np.testing.assert_array_equal(gdoc, rdoc)
+    np.testing.assert_array_equal(gcnt, rcnt)
+
+
+def test_batch_postings_doc_totals(native):
+    if not native.postings_available():
+        pytest.skip("grouped-postings ABI unavailable")
+    texts = CASES + ["fox fox fox"]
+    _, doc_total, _, _, _ = native.batch_postings(texts)
+    for t, n in zip(texts, doc_total):
+        assert int(n) == len(tokenize(t))
+
+
+def test_batch_postings_fuzz(native, rng):
+    if not native.postings_available():
+        pytest.skip("grouped-postings ABI unavailable")
+    import numpy as np
+
+    alphabet = list("abc XYZ 09_ 中文字 、。 ひら 가나 !@#\n\t")
+    texts = ["".join(rng.choice(alphabet, size=rng.integers(0, 120)))
+             for _ in range(40)]
+    terms, doc_total, gcount, gdoc, gcnt = native.batch_postings(texts)
+    rterms, ridx, rdoc, rcnt = _grouped_from_pairs(texts, native)
+    assert terms == rterms
+    np.testing.assert_array_equal(
+        gcount, np.bincount(ridx, minlength=len(terms)).astype(np.uint32))
+    np.testing.assert_array_equal(gdoc, rdoc)
+    np.testing.assert_array_equal(gcnt, rcnt)
+    for t, n in zip(texts, doc_total):
+        assert int(n) == len(tokenize(t))
+
+
+def test_add_batch_legacy_pair_fallback(native, monkeypatch):
+    """With the grouped ABI masked off, add_batch falls back to the pair
+    ABI and still matches sequential add() (keeps the v1 path covered
+    now that the default is v2)."""
+    from tpurag.index import inverted
+    from tpurag.index.inverted import InvertedIndex
+
+    if inverted._native is None or not inverted._native.batch_available():
+        pytest.skip("native batch ABI unavailable")
+    monkeypatch.setattr(inverted._native, "postings_available",
+                        lambda: False)
+    docs = [f"tok{i % 5} shared word 你好" for i in range(12)]
+    a, b = InvertedIndex(), InvertedIndex()
+    a.add_batch(list(range(12)), docs)
+    for i, t in enumerate(docs):
+        b.add(i, t)
+    assert set(a.vocab) == set(b.vocab)
+    assert a.doc_len == b.doc_len
+    for term, ta in a.vocab.items():
+        tb = b.vocab[term]
+        assert a._postings_doc[ta] == b._postings_doc[tb]
+        assert a._postings_tf[ta] == b._postings_tf[tb]

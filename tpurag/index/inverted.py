@@ -233,6 +233,9 @@ class InvertedIndex:
             for i, t in zip(ids, texts):
                 self.add(i, t)
             return
+        if _native.postings_available():
+            self._add_batch_grouped(ids, texts)
+            return
         terms, doc_nt, pairs = _native.batch_term_counts(texts)
         tid_of = np.empty(max(len(terms), 1), np.int64)
         for u, term in enumerate(terms):
@@ -270,6 +273,45 @@ class InvertedIndex:
         self._total_tokens += int(totals.sum())
         if self._main is not None:
             self._tail_nnz += len(pairs)
+            self._tail = None  # lazily rebuilt (O(tail_nnz))
+
+    def _add_batch_grouped(self, ids: list[int], texts: list[str]) -> None:
+        """Batch add via the round-3 native ABI: tokenize + count + group
+        by term all happen in ONE C call (tokenizer.cc:tr_batch_postings),
+        so the Python side is just vocab mapping + per-term bulk extends —
+        no argsort, no pair restructuring (measured 7.1k -> 32.3k docs/s
+        at 200-token docs on the 1-core host, benchmarks/ingest_bench.py)."""
+        terms, doc_total, gcount, gdoc, gcnt = _native.batch_postings(texts)
+        tid_of = np.empty(max(len(terms), 1), np.int64)
+        for u, term in enumerate(terms):
+            tid = self.vocab.get(term)
+            if tid is None:
+                tid = len(self.vocab)
+                self.vocab[term] = tid
+                self._postings_doc.append([])
+                self._postings_tf.append([])
+                self._main_count.append(0)
+            tid_of[u] = tid
+        gids = np.asarray(ids, np.int64)[gdoc]  # global doc id per pair
+        ends = np.cumsum(gcount)
+        starts = ends - gcount
+        gcnt64 = gcnt.astype(np.int64)
+        for u, (a, b) in enumerate(zip(starts.tolist(), ends.tolist())):
+            if a == b:
+                continue
+            tid = int(tid_of[u])
+            self._postings_doc[tid].extend(gids[a:b].tolist())
+            self._postings_tf[tid].extend(gcnt64[a:b].tolist())
+        top = max(ids)
+        if len(self.doc_len) <= top:
+            self.doc_len.extend([0] * (top + 1 - len(self.doc_len)))
+        totals = doc_total.tolist()
+        for i, t in zip(ids, totals):
+            self.doc_len[i] = t
+        self.n_docs += len(ids)
+        self._total_tokens += int(doc_total.sum())
+        if self._main is not None:
+            self._tail_nnz += int(len(gdoc))
             self._tail = None  # lazily rebuilt (O(tail_nnz))
 
     def delete_doc(self, doc_id: int) -> None:
