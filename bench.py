@@ -172,6 +172,13 @@ def main():
     k, t_query, df_max = 8, 8, 2048
     if on_tpu and n > 100_000:
         df_max = int(2048 * n / 100_000)  # keep postings/doc density
+    # Impact-ordered pruning (BM25Config.head_m): terms with df > head_m
+    # score only their top-head_m-impact postings — the recommended
+    # production config past ~512k docs, where exact scoring's wide
+    # width classes fall off the Pallas merge onto the XLA HBM-bounce
+    # tail (index/inverted.py _bucket_score gate; measured at 1M exact:
+    # 53ms/batch-512 vs ~an order less pruned). 0 = exact.
+    head_m = int(os.environ.get("TPURAG_BENCH_HEADM", "0"))
 
     from tpurag.index.inverted import _bucket_score, packed_cbits
     from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
@@ -195,7 +202,29 @@ def main():
         # the relay, and the first execution waits on that queue.
         import ml_dtypes
 
-        emb_dev = jnp.asarray(emb.astype(ml_dtypes.bfloat16))
+        emb_h = emb.astype(ml_dtypes.bfloat16)
+        if emb_h.nbytes > 256 * 2**20:
+            # Chunked upload: a single multi-GB device_put stalls the
+            # relay tunnel indefinitely (observed 2026-08-18: the 1M
+            # point's 2GB transfer hung >25min with zero bytes moving;
+            # same failure family as the documented 4GB-constant break).
+            # Ship 256MB row blocks, sync each, concatenate on device.
+            rows = max(1, (256 * 2**20) // (emb_h.shape[1] * 2))
+            rows = -(-rows // 2048) * 2048  # keep tile alignment
+            blocks = []
+            for i in range(0, emb_h.shape[0], rows):
+                blk = jnp.asarray(emb_h[i:i + rows])
+                blk.block_until_ready()
+                blocks.append(blk)
+                log(f"corpus upload: {min(i + rows, emb_h.shape[0])}"
+                    f"/{emb_h.shape[0]} rows")
+            emb_dev = (jnp.concatenate(blocks, axis=0) if len(blocks) > 1
+                       else blocks[0])
+            emb_dev.block_until_ready()
+            del blocks
+        else:
+            emb_dev = jnp.asarray(emb_h)
+        del emb_h
     else:
         emb_dev = jnp.asarray(emb, jnp.float32)
 
@@ -220,7 +249,8 @@ def main():
     term_row = np.zeros(vocab, np.int32)
     by_width: dict[int, list[int]] = {}
     for tidx in range(vocab):
-        wdt = max(_next_pow2(int(df[tidx])), 16)
+        m_eff = min(int(df[tidx]), head_m) if head_m else int(df[tidx])
+        wdt = max(_next_pow2(m_eff), 16)
         term_bucket[tidx] = wdt
         term_row[tidx] = len(by_width.setdefault(wdt, []))
         by_width[wdt].append(tidx)
@@ -234,9 +264,16 @@ def main():
         imp_mat = np.zeros((len(tids_w) + 1, wdt), np.float32)
         for row, tidx in enumerate(tids_w):
             m = int(df[tidx])
-            doc_mat[row + 1, :m] = np.sort(
-                rng.choice(n, m, replace=False).astype(np.int32))
-            imp_mat[row + 1, :m] = rng.uniform(0.3, 2.2, m)
+            docs = np.sort(rng.choice(n, m, replace=False).astype(np.int32))
+            imps = rng.uniform(0.3, 2.2, m).astype(np.float32)
+            if head_m and m > head_m:
+                # Mirror _build_layout's head path: keep the top-head_m
+                # postings by impact, doc-sorted.
+                top = np.argpartition(-imps, head_m - 1)[:head_m]
+                top = top[np.argsort(docs[top], kind="stable")]
+                docs, imps, m = docs[top], imps[top], head_m
+            doc_mat[row + 1, :m] = docs
+            imp_mat[row + 1, :m] = imps
             nnz += m
         mats.append((jnp.asarray(doc_mat), jnp.asarray(imp_mat)))
     mats = tuple(mats)
@@ -400,7 +437,8 @@ def main():
         "metric": "hybrid_qps_per_chip",
         "value": round(best["qps"], 1),
         "unit": f"QPS (top-{k} RRF, {n // 1000}k chunks, dim {d}, "
-                f"batch {best['b']}, p50 batch latency "
+                + (f"head_m={head_m}, " if head_m else "")
+                + f"batch {best['b']}, p50 batch latency "
                 f"{best['p50_ms']:.2f}ms < {P50_GATE_MS:.0f}ms gate"
                 f"{'' if compliant else ' MISSED'}, backend {backend})",
         "vs_baseline": round(best["qps"] / BASELINE_QPS, 3),

@@ -229,3 +229,48 @@ def test_packed_cbits_policy():
     assert packed_cbits(100_000) == 14
     assert packed_cbits(1_000_000) == 0   # < 12 bits left -> unpacked
     assert packed_cbits(100_000, enabled=False) == 0
+
+
+def test_pallas_merge_width_gate():
+    """Vmem-safety predicate boundaries (v5e scoped-vmem limit 16MB):
+    W=16384 unpacked rows (128KB) compile at ~13.4M scoped; W=32768
+    unpacked was observed to need 26.8M and fail. Packing halves the
+    bytes per lane and shifts the boundary one pow2 up."""
+    from tpurag.kernels.bm25_pallas import pallas_merge_ok
+
+    assert pallas_merge_ok(16384, 0)     # headline ladder max (t=8, p=2048)
+    assert not pallas_merge_ok(32768, 0)  # the 1M-corpus OOM shape
+    assert pallas_merge_ok(32768, 12)     # packed: one int32/lane
+    assert not pallas_merge_ok(65536, 12)
+
+
+def test_wide_class_routes_to_xla_tail(rng):
+    """A width class past PALLAS_MAX_ROW_BYTES must take the exact XLA
+    segsum tail even when the caller asks for Pallas: on CPU the fused
+    kernel at interpret=False would fail outright, so this running at
+    all (and matching use_pallas=False) proves the reroute. This is the
+    exact shape (t=8, p_max=4096, unpacked) whose Mosaic compile OOMed
+    scoped vmem on v5e at the 1M-doc bench point."""
+    from tpurag.index.inverted import _bucket_score
+    from tpurag.kernels.bm25_pallas import pallas_merge_ok
+
+    t, p_max, n_terms, g = 8, 4096, 4, 8
+    assert not pallas_merge_ok(t * p_max, 0)
+    doc_mat = np.full((n_terms + 1, p_max), 2**30, np.int32)
+    imp_mat = np.zeros((n_terms + 1, p_max), np.float32)
+    for r in range(1, n_terms + 1):
+        m = int(rng.integers(2100, p_max))
+        doc_mat[r, :m] = np.sort(
+            rng.choice(100_000, m, replace=False)).astype(np.int32)
+        imp_mat[r, :m] = rng.uniform(0.2, 2.0, m)
+    mats = ((jnp.asarray(doc_mat), jnp.asarray(imp_mat)),)
+    bucketw = np.full((g, t), p_max, np.int32)
+    rowid = rng.integers(1, n_terms + 1, (g, t)).astype(np.int32)
+    idf = rng.uniform(0.5, 2.5, (g, t)).astype(np.float32)
+    args = (jnp.asarray(bucketw), jnp.asarray(rowid), jnp.asarray(idf),
+            mats)
+    kw = dict(k=10, p_max=p_max, t=t, widths=(p_max,), cbits=0)
+    v1, i1 = _bucket_score(*args, use_pallas=True, **kw)
+    v0, i0 = _bucket_score(*args, use_pallas=False, **kw)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-5)

@@ -54,7 +54,7 @@ import numpy as np
 from tpurag.core.config import BM25Config
 from tpurag.ingest.tokenizer import tokenize, tokenize_query
 from tpurag.kernels.bm25 import rank_compat, segsum_topk_candidates
-from tpurag.kernels.bm25_pallas import merge_segsum_topk
+from tpurag.kernels.bm25_pallas import merge_segsum_topk, pallas_merge_ok
 from tpurag.kernels.runtime import NEG_INF, interpret_mode, round_up
 
 try:  # C++-accelerated tokenize/count path (optional).
@@ -122,6 +122,15 @@ def _bucket_score(bucketw, rowid, idf, mats, k: int, p_max: int, t: int,
         con = interleave(con)
     doc = doc.reshape(g, t * p_max)
     con = con.reshape(g, t * p_max)
+    if use_pallas and not pallas_merge_ok(t * p_max, cbits):
+        # Wide classes (a query term with df > ~2048 at default t=8):
+        # the fused kernel's whole-row-in-VMEM form exceeds the 16MB
+        # scoped-vmem limit past 16K unpacked lanes (observed on v5e:
+        # W=32768 wants 26.8M and the compile fails after ~1h). The
+        # exact XLA tail tiles through HBM; correctness is identical
+        # (tests/test_bm25_segsum.py parity), only the rare wide
+        # classes pay HBM-bounce latency.
+        use_pallas = False
     if use_pallas:
         return merge_segsum_topk(doc, con, k=k,
                                  p=p_max if t > 1 else t * p_max, t=t,

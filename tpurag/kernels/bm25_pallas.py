@@ -31,6 +31,23 @@ from tpurag.kernels.topk import select_topk
 
 _BIG = 2**30
 
+# Widest candidate row (bytes) the fused kernel may take. The kernel
+# keeps whole (tile_b, W) rows resident in VMEM and fully unrolls each
+# bitonic merge level, so the Mosaic scoped-vmem stack grows with row
+# bytes: at W=16384 unpacked (128KB rows) the estimate is ~13.4M —
+# under the 16MB limit — while W=32768 unpacked was observed to need
+# 26.81M on v5e and fail to compile ("Ran out of memory in memory
+# space vmem ... scoped"). Wider classes (huge-df terms, e.g. any
+# >=1M-doc corpus where a query term has df>2048) must take the exact
+# XLA segsum tail, which tiles through HBM instead.
+PALLAS_MAX_ROW_BYTES = 1 << 17
+
+
+def pallas_merge_ok(w: int, cbits: int = 0) -> bool:
+    """True if a (B, w) candidate row fits the fused kernel's VMEM
+    budget (packed rows carry one int32/lane, unpacked two arrays)."""
+    return w * (4 if cbits else 8) <= PALLAS_MAX_ROW_BYTES
+
 
 def _merge_segsum_kernel(*refs, k: int, p: int, w: int, t: int,
                          cbits: int = 0):
@@ -205,6 +222,11 @@ def bm25_topk_fused(starts, lens, idf, post_doc, post_impact, n_valid,
     from tpurag.kernels.bm25 import _gather_candidates
 
     b, t = starts.shape
+    if not pallas_merge_ok(t * p_max, cbits):
+        from tpurag.kernels.bm25 import bm25_topk_segsum
+
+        return bm25_topk_segsum(starts, lens, idf, post_doc, post_impact,
+                                n_valid, k=k, p_max=p_max)
     doc, contrib = _gather_candidates(starts, lens, idf, post_doc,
                                       post_impact, n_valid, p_max)
     doc = doc.reshape(b, t, p_max)
