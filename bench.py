@@ -237,7 +237,10 @@ def main():
     if quant:
         from tpurag.kernels.quant import quantize_rows
 
-        q8_dev, qscale_dev = quantize_rows(jnp.asarray(emb))
+        # Quantize from the device-resident bf16 corpus (same source as
+        # production quant=True KBs) — re-uploading emb as fp32 would be
+        # a single 4GB device_put at 1M rows, which stalls the relay.
+        q8_dev, qscale_dev = quantize_rows(emb_dev)
         emb_dev = (q8_dev, qscale_dev, emb_dev)
 
     # Synthetic Zipf inverted index in the production bucket-matrix layout

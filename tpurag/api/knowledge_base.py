@@ -327,7 +327,8 @@ class KnowledgeBase:
                 self.config.ivf, mesh=self.dense.mesh,
                 data_axis=self.dense.data_axis,
             ).build_streaming(self.dense.get_rows, n,
-                              dtype=self.dense.dtype, seed=seed)
+                              dtype=self.dense.dtype, seed=seed,
+                              release=self.dense.drop_page_cache)
         else:
             from tpurag.index.ivf import IVFIndex
 
@@ -336,7 +337,8 @@ class KnowledgeBase:
             # fp32 (40 GB x2 at 10M x 1024 — round-2 verdict item 2).
             self._ivf = IVFIndex(self.config.ivf).build_streaming(
                 self.dense.get_rows, n, dtype=self.dense.dtype,
-                seed=seed, quant=self.quant)
+                seed=seed, quant=self.quant,
+                release=self.dense.drop_page_cache)
         self._ivf_built_at = n
         return self._ivf
 

@@ -236,11 +236,32 @@ def sample_kmeans(source, n: int, n_lists: int, cfg, rng) -> np.ndarray:
                             cfg.kmeans_iters), np.float32)
 
 
+def drop_memmap_pages(arr) -> None:
+    """Flush a memmap's dirty pages and advise the kernel to release
+    its resident ones. Streaming builds walk multi-GB staging/corpus
+    memmaps end to end; without this every touched page stays charged
+    to the process (measured 61 GB ru_maxrss on the 10M x 1024 product
+    build vs ~11 GB for the actual working set). No-op for plain
+    arrays."""
+    import mmap as _mmap
+
+    base = getattr(arr, "_mmap", None)
+    if base is None:
+        return
+    if isinstance(arr, np.memmap):
+        arr.flush()
+    if hasattr(base, "madvise"):
+        base.madvise(_mmap.MADV_DONTNEED)
+
+
 def stage_and_assign(source, n: int, d: int, stage_path, stage_np,
                      quant: bool, block: int, cents: np.ndarray,
-                     note=lambda m: None):
+                     note=lambda m: None, release=None):
     """Pass 1 of a streaming build: stage normalized rows on disk
     (per-row int8 when quant) and assign each block on device.
+    release: optional callback dropping the SOURCE's page cache (e.g.
+    DenseIndex.drop_page_cache), called every few blocks alongside the
+    staging memmap's own page drop.
     Returns (staged memmap, rscale (N,) f32 or None, assign (N,) i32)."""
     staged = np.lib.format.open_memmap(
         stage_path, mode="w+", dtype=stage_np, shape=(n, d))
@@ -266,7 +287,14 @@ def stage_and_assign(source, n: int, d: int, stage_path, stage_np,
         assign[s:e] = np.asarray(
             _assign_rows(jnp.asarray(up), cents_dev))[: e - s]
         note(f"assigned {e}/{n}")
+        if (s // block) % 8 == 7:
+            drop_memmap_pages(staged)
+            if release is not None:
+                release()
     staged.flush()
+    drop_memmap_pages(staged)
+    if release is not None:
+        release()
     return staged, rscale, assign
 
 
@@ -405,7 +433,7 @@ class IVFIndex:
                         seed: int = 0, quant: bool = False,
                         block: int = 1 << 18, stage_dir=None,
                         keep_rescore: Optional[bool] = None,
-                        progress=None) -> "IVFIndex":
+                        progress=None, release=None) -> "IVFIndex":
         """Build from a BLOCK SOURCE in bounded host memory (round-2
         verdict item 2: the old path materialized the whole corpus as
         host fp32 — ~40 GB twice at 10M x 1024 — so the product API could
@@ -450,7 +478,7 @@ class IVFIndex:
             stage_np = _np_storage(dtype)
         staged, rscale, assign = stage_and_assign(
             source, n, d, stage / "rows.npy", stage_np, quant, block,
-            cents, note=note)
+            cents, note=note, release=release)
         n_lists_before = n_lists
 
         # -- split oversized clusters (streamed part centroids) ------------
@@ -462,6 +490,7 @@ class IVFIndex:
         cents, assign, counts = split_oversized_streaming(
             cents, assign, counts, cfg.max_cluster_factor, align,
             staged, rscale)
+        drop_memmap_pages(staged)  # split walked the fat clusters
         n_lists = len(counts)
         self.nprobe_scale = n_lists / max(n_lists_before, 1)
 
@@ -538,6 +567,10 @@ class IVFIndex:
                         axis=0)
                 dest_fp = _scatter_rows(dest_fp, jnp.asarray(fp), idx_dev)
             note(f"packed {e}/{n}")
+            if (s // block) % 8 == 7:
+                drop_memmap_pages(staged)
+                if dest_fp is not None and release is not None:
+                    release()  # the rescore path re-reads the source
         del staged
         if own_stage:
             shutil.rmtree(stage, ignore_errors=True)

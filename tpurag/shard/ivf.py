@@ -232,7 +232,7 @@ class ShardedIVFIndex:
     def build_streaming(self, source, n: int, *, mesh: Optional[Mesh] = None,
                         dtype=jnp.bfloat16, seed: int = 0,
                         block: int = 1 << 18, stage_dir=None,
-                        progress=None) -> "ShardedIVFIndex":
+                        progress=None, release=None) -> "ShardedIVFIndex":
         """Build the cluster-partitioned layout from a BLOCK SOURCE in
         bounded host memory (the mesh-path twin of
         IVFIndex.build_streaming): k-means on ranged sample reads,
@@ -244,7 +244,7 @@ class ShardedIVFIndex:
         import tempfile
 
         from tpurag.index.ivf import (_np_storage, _scatter_rows,
-                                      sample_kmeans,
+                                      drop_memmap_pages, sample_kmeans,
                                       split_oversized_streaming,
                                       stage_and_assign)
         from tpurag.kernels.ivf_scan import IVF_ALIGN, IVF_SCAN_EXTENT
@@ -271,13 +271,14 @@ class ShardedIVFIndex:
         stage.mkdir(parents=True, exist_ok=True)
         staged, _, assign = stage_and_assign(
             source, n, d, stage / "rows.npy", _np_storage(dtype),
-            False, block, cents, note=note)
+            False, block, cents, note=note, release=release)
 
         align = IVF_ALIGN if n >= 2 * IVF_ALIGN * n_lists else 8
         self.align = align
         counts = np.bincount(assign, minlength=n_lists)
         cents, assign, counts = split_oversized_streaming(
             cents, assign, counts, cfg.max_cluster_factor, align, staged)
+        drop_memmap_pages(staged)  # split walked the fat clusters
         n_lists = len(counts)
         self.c_max = int(round_up(max(int(counts.max()), 1), 8))
         bins = partition_clusters(counts, s_count)
@@ -345,6 +346,8 @@ class ShardedIVFIndex:
                                   jnp.asarray(idx))
             emb_g.block_until_ready()  # bound copies where donation is off
             note(f"packed {e}/{n}")
+            if (s // block) % 8 == 7:
+                drop_memmap_pages(staged)
         del staged
         if own_stage:
             shutil.rmtree(stage, ignore_errors=True)
