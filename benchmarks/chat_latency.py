@@ -253,23 +253,37 @@ def server_latency(n_docs: int, on_tpu: bool):
             warm(q)
         with concurrent.futures.ThreadPoolExecutor(16) as ex:
             list(ex.map(warm, queries))
+        # A failed request (timeout, reset) must not abort the whole
+        # run — count it and keep measuring; a non-zero error count is
+        # itself a result the summary reports.
+        errors = []
+
+        def tolerant(q):
+            try:
+                return one(q)
+            except Exception as e:
+                errors.append(repr(e))
+                return None
+
         # Sequential pass: per-request service latency with no queueing.
-        seq = []
-        for q in queries[:64]:
-            seq.append(one(q))
+        seq = [v for q in queries[:64] if (v := tolerant(q)) is not None]
         lat = []
         t_start = time.perf_counter()
         with concurrent.futures.ThreadPoolExecutor(16) as ex:
-            for v in ex.map(one, queries):
-                lat.append(v)
+            for v in ex.map(tolerant, queries):
+                if v is not None:
+                    lat.append(v)
         wall = time.perf_counter() - t_start
+        if errors:
+            log(f"[server] {len(errors)} failed requests, e.g. {errors[0]}")
         return {
             "n_docs": n_docs, "clients": 16, "requests": len(queries),
+            "errors": len(errors),
             "seq_p50_ms": pctl(seq, 50) * 1e3,
             "seq_p99_ms": pctl(seq, 99) * 1e3,
             "e2e_p50_ms": pctl(lat, 50) * 1e3,
             "e2e_p99_ms": pctl(lat, 99) * 1e3,
-            "throughput_qps": len(queries) / wall,
+            "throughput_qps": len(lat) / wall,
         }
     finally:
         srv.shutdown()

@@ -706,11 +706,14 @@ class RagServer:
 
             def _write(self, code, out):
                 data = json.dumps(out, ensure_ascii=False).encode()
-                self.send_response(code)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(data)))
-                self.end_headers()
-                self.wfile.write(data)
+                try:
+                    self.send_response(code)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client gave up waiting; nothing to salvage
 
             def do_GET(self):
                 self._respond("GET")
@@ -718,7 +721,17 @@ class RagServer:
             def do_POST(self):
                 self._respond("POST")
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        class Httpd(ThreadingHTTPServer):
+            # socketserver's default accept backlog is 5. When device
+            # syncs hold the GIL, the accept loop lags and concurrent
+            # clients overflow it — with tcp_abort_on_overflow=0 the
+            # kernel silently completes their handshake, then RSTs the
+            # first data segment (observed as ConnectionResetError
+            # under a 16-client load test). Size it for bursts.
+            request_queue_size = 128
+            daemon_threads = True
+
+        self._httpd = Httpd((host, port), Handler)
         if background:
             t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
             t.start()
