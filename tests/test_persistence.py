@@ -94,3 +94,42 @@ def test_kb_roundtrip_uses_new_format(tmp_path):
     kb2 = KnowledgeBase.load(tmp_path / "kb")
     r = kb2.search("alpha beta", top_k=2)
     assert r.results and r.results[0].doc_name == "a"
+
+
+def test_kb_bm25_scoring_config_persists(tmp_path):
+    """head_m truncates the device layout at build/compaction time, so
+    the scoring semantics must travel with the saved KB: a reload that
+    silently reverted to exact would re-lay future tail segments under
+    different semantics than the persisted matrices."""
+    import dataclasses
+
+    from tpurag import KnowledgeBase
+    from tpurag.core.config import EngineConfig
+
+    base = EngineConfig()
+    cfg = dataclasses.replace(
+        base, bm25=dataclasses.replace(base.bm25, head_m=64))
+    kb = KnowledgeBase("p", dim=32, config=cfg)
+    kb.add_document("a", "alpha beta gamma content")
+    kb.save(tmp_path / "kb")
+    kb2 = KnowledgeBase.load(tmp_path / "kb")
+    assert kb2.config.bm25.head_m == 64
+    assert not kb2.config.bm25.exact_scoring
+    r = kb2.search("alpha beta", top_k=2)
+    assert r.results and r.results[0].doc_name == "a"
+    # An explicit config argument still wins over the persisted one.
+    kb3 = KnowledgeBase.load(tmp_path / "kb", config=base)
+    assert kb3.config.bm25.head_m == 0
+
+
+def test_kb_legacy_meta_without_bm25_loads(tmp_path):
+    from tpurag import KnowledgeBase
+
+    kb = KnowledgeBase("p", dim=32)
+    kb.add_document("a", "alpha beta gamma content")
+    kb.save(tmp_path / "kb")
+    meta = json.loads((tmp_path / "kb" / "kb.json").read_text())
+    del meta["bm25"]  # KBs saved before the scoring-config field
+    (tmp_path / "kb" / "kb.json").write_text(json.dumps(meta))
+    kb2 = KnowledgeBase.load(tmp_path / "kb")
+    assert kb2.config.bm25.head_m == 0

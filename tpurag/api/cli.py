@@ -63,12 +63,22 @@ def cmd_ingest(args):
     quant = bool(getattr(args, "quant", False))
     store = getattr(args, "store", "device") or "device"
     backing = getattr(args, "backing", None)
-    if (embedder is not None or quant or store != "device") \
+    head_m = int(getattr(args, "bm25_head", 0) or 0)
+    config = None
+    if head_m:
+        import dataclasses
+
+        from tpurag.core.config import EngineConfig
+
+        base = EngineConfig()
+        config = dataclasses.replace(
+            base, bm25=dataclasses.replace(base.bm25, head_m=head_m))
+    if (embedder is not None or quant or store != "device" or config) \
             and not pathlib.Path(args.kb, "kb.json").exists():
         from tpurag import KnowledgeBase
 
         kb = KnowledgeBase(pathlib.Path(args.kb).name or "kb",
-                           embedder=embedder, quant=quant,
+                           embedder=embedder, quant=quant, config=config,
                            store=store, backing=backing)
     else:
         # store/backing are honored on reload (KnowledgeBase.load
@@ -80,6 +90,11 @@ def cmd_ingest(args):
             print("warning: --quant ignored — KB at %s already exists "
                   "without quantization (rebuild the KB to enable it)"
                   % args.kb, file=sys.stderr)
+        if head_m and kb.config.bm25.head_m != head_m:
+            print("warning: --bm25-head ignored — KB at %s already "
+                  "exists with head_m=%d (its persisted scoring config "
+                  "wins; rebuild to change it)"
+                  % (args.kb, kb.config.bm25.head_m), file=sys.stderr)
         if embedder is not None:
             print("warning: --encoder/--hf-encoder ignored — KB at %s "
                   "already exists; its persisted embedder defines the "
@@ -270,6 +285,11 @@ def main(argv=None):
     p.add_argument("--hf-encoder", default=None, metavar="DIR",
                    help="embed with a local BERT-family HF checkpoint "
                         "(models/import_hf.py; torch-verified numerics)")
+    p.add_argument("--bm25-head", type=int, default=0, metavar="M",
+                   help="impact-ordered BM25 pruning: terms with df>M "
+                        "keep only their top-M-impact postings "
+                        "(recommended 2048 past ~512k docs; 0 = exact; "
+                        "persists with the KB)")
     p.add_argument("--quant", action="store_true",
                    help="int8-sidecar dense scans with exact rescoring "
                         "(new KBs only; persisted in kb.json)")

@@ -385,6 +385,12 @@ class KnowledgeBase:
             "dim": self.dim,
             "quant": self.quant,
             "store": self.store,
+            # Scoring-semantics config travels with the index: head_m
+            # truncates the device layout at build/compaction time, so
+            # a reload that silently reverted to exact (or vice versa)
+            # would re-lay future segments under different semantics.
+            "bm25": {"head_m": self.config.bm25.head_m,
+                     "exact_scoring": self.config.bm25.exact_scoring},
             "embedder": emb_info,
             "ivf": ivf_kind,
             "ivf_built_at": self._ivf_built_at,
@@ -428,6 +434,12 @@ class KnowledgeBase:
                     d / "encoder", seq_len=info.get("seq_len", 128),
                     tokenizer=tok)
         quant = bool(meta.get("quant", False))
+        if config is None and meta.get("bm25"):
+            import dataclasses
+
+            base = EngineConfig()
+            config = dataclasses.replace(
+                base, bm25=dataclasses.replace(base.bm25, **meta["bm25"]))
         kb = cls(meta["name"], embedder=embedder, config=config,
                  dim=meta["dim"], mesh=mesh, quant=quant, store=store,
                  backing=None)  # throwaway ctor index, replaced below
