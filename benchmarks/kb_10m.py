@@ -182,6 +182,26 @@ def main():
                         vectors=qv[:4])
     out["kb_search_batch4_ms"] = round((time.time() - t0) * 1e3, 1)
     out["kb_search_hits"] = sum(len(x.results) for x in r)
+
+    # -- hybrid_ivf: IVF dense leg + BM25 + RRF (the >=1M hybrid
+    # operating point — the exact dense scan IS the whole hybrid budget
+    # at this scale, so hybrid QPS rides the probe-scan instead) -------
+    if keyword:
+        qtexts = [f"t{int(c) % 997} z{int(c) % 89}" for c in qc]
+        for bb in (8, b):
+            t0 = time.time()
+            r = kb.search_batch(qtexts[:bb], top_k=k, mode="hybrid_ivf",
+                                vectors=qv[:bb])
+            first = time.time() - t0
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                r = kb.search_batch(qtexts[:bb], top_k=k,
+                                    mode="hybrid_ivf", vectors=qv[:bb])
+                ts.append(time.time() - t0)
+            out[f"hybrid_ivf_b{bb}_ms"] = round(min(ts) * 1e3, 2)
+            out[f"hybrid_ivf_b{bb}_first_s"] = round(first, 1)
+            out[f"hybrid_ivf_b{bb}_hits"] = sum(len(x.results) for x in r)
     print(json.dumps(out, indent=2))
 
 

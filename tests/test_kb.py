@@ -172,3 +172,50 @@ def test_kb_thread_safety_stress():
     assert not errors, errors[:4]
     resp = kb.search("alpha", top_k=5, mode="keyword")
     assert resp.results
+
+
+def _full_probe_cfg():
+    import dataclasses
+
+    base = EngineConfig()
+    return dataclasses.replace(
+        base, ivf=dataclasses.replace(base.ivf, n_lists=4, n_probe=4))
+
+
+def test_hybrid_ivf_matches_hybrid_at_full_probe():
+    """With nprobe = n_lists the IVF dense leg is exhaustive, so
+    mode='hybrid_ivf' must rank exactly like mode='hybrid' (same BM25
+    leg, same RRF semantics, only the dense candidate source differs)."""
+    kb = KnowledgeBase("h-ivf", config=_full_probe_cfg())
+    for name, text in DOCS.items():
+        kb.add_document(name, text)
+    kb.build_ivf()
+    for q in ("fox mammals", "bake bread yeast", "jit compiles"):
+        a = kb.search(q, top_k=3, mode="hybrid")
+        b = kb.search(q, top_k=3, mode="hybrid_ivf")
+        assert [r.chunk_id for r in a.results] == \
+               [r.chunk_id for r in b.results], q
+        assert [r.found_in for r in a.results] == \
+               [r.found_in for r in b.results], q
+
+
+def test_hybrid_ivf_sees_post_snapshot_tail():
+    """Chunks added after build_ivf() are covered by the exact
+    active-tail merge inside the dense leg AND by the (always-current)
+    keyword leg."""
+    kb = KnowledgeBase("h-ivf-tail", config=_full_probe_cfg())
+    for name, text in DOCS.items():
+        kb.add_document(name, text)
+    kb.build_ivf()
+    kb.add_document("espresso", "Espresso is brewed by forcing hot "
+                                "water through finely ground coffee.")
+    r = kb.search("espresso ground coffee", top_k=3, mode="hybrid_ivf")
+    assert r.results and r.results[0].doc_name == "espresso"
+    assert "vector" in r.results[0].found_in
+
+
+def test_hybrid_ivf_requires_ivf():
+    kb = KnowledgeBase("h-ivf-missing")
+    kb.add_document("a", "alpha beta gamma")
+    with pytest.raises(ValueError, match="build_ivf"):
+        kb.search("alpha", top_k=2, mode="hybrid_ivf")

@@ -136,7 +136,8 @@ def cmd_search(args):
             print(f"[{c.doc_name}#{c.chunk_index}] score={score:.3f}")
             print(c.text[:300])
     else:
-        if args.mode == "ivf" and kb._ivf is None:  # persisted IVF wins
+        if args.mode in ("ivf", "hybrid_ivf") and kb._ivf is None:
+            # persisted IVF wins; build on the fly otherwise
             kb.build_ivf()
         resp = kb.search(args.query, top_k=args.top_k, mode=args.mode)
         print(resp.format(args.top_k))
@@ -305,7 +306,8 @@ def main(argv=None):
     p.add_argument("query")
     p.add_argument("--kb", required=True)
     p.add_argument("--mode", default="hybrid",
-                   choices=["hybrid", "vector", "keyword", "graph", "ivf"])
+                   choices=["hybrid", "vector", "keyword", "graph", "ivf",
+                            "hybrid_ivf"])
     p.add_argument("--top-k", type=int, default=5)
     p.set_defaults(fn=cmd_search)
 

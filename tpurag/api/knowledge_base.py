@@ -208,71 +208,88 @@ class KnowledgeBase:
             scores, ids = self.inverted.search(queries, p.final_top_k)
             bits = np.where(ids >= 0, 2, 0)
         elif mode == "ivf":
-            if self._ivf is None:
-                raise ValueError("no IVF index: call kb.build_ivf() first")
-            s, i = self._ivf.search(qv, k=p.final_top_k)
+            s, i = self._ivf_leg(qv, p.final_top_k)
             scores, ids = np.asarray(s), np.asarray(i)
-            # Rows added after the IVF snapshot are covered by an exact
-            # scan of just the tail segment (growable-segment design:
-            # IVF partition + active segment, compacted by build_ivf()).
-            tail = self.dense.n_active - self._ivf_built_at
-            if tail > 0:
-                import jax.numpy as jnp_
-
-                from tpurag.index.dense import l2_normalize
-                from tpurag.kernels.dense import dense_topk_xla
-                from tpurag.kernels.topk import merge_topk
-
-                if self.dense.mesh is not None:
-                    # Mesh layout: gather the (small) tail to the default
-                    # device — slicing a row-sharded matrix mid-shard
-                    # would force an implicit reshard every query.
-                    tail_emb = jnp_.asarray(np.asarray(
-                        self.dense.embeddings[self._ivf_built_at:
-                                              self.dense.n_active],
-                        np.float32), self.dense.dtype)
-                elif self.store == "host":
-                    # Host store: slice to n_active, NOT capacity — the
-                    # trailing padding would be a multi-GB device upload
-                    # per query (review finding). Pad to a pow2 bucket
-                    # so tail growth compiles O(log n) variants.
-                    from tpurag.kernels.runtime import round_up as _ru
-
-                    raw = np.asarray(self.dense.embeddings[
-                        self._ivf_built_at:self.dense.n_active])
-                    bucket = 1 << max(int(_ru(tail, 128)) - 1, 1).bit_length()
-                    if bucket > len(raw):
-                        raw = np.concatenate([raw, np.zeros(
-                            (bucket - len(raw), raw.shape[1]), raw.dtype)])
-                    tail_emb = raw
-                else:
-                    # Device store: the capacity slice stays in HBM (no
-                    # transfer) and keeps a stable compiled shape.
-                    tail_emb = self.dense.embeddings[self._ivf_built_at:]
-                kk = min(p.final_top_k, tail)
-                t_s, t_i = dense_topk_xla(
-                    l2_normalize(qv).astype(tail_emb.dtype), tail_emb,
-                    jnp_.int32(tail), kk)
-                t_i = jnp_.where(t_i >= 0, t_i + self._ivf_built_at, -1)
-                if kk < p.final_top_k:
-                    padw = p.final_top_k - kk
-                    t_s = jnp_.pad(t_s, ((0, 0), (0, padw)),
-                                   constant_values=NEG_INF)
-                    t_i = jnp_.pad(t_i, ((0, 0), (0, padw)),
-                                   constant_values=-1)
-                ms, mi = merge_topk(jnp_.asarray(scores), jnp_.asarray(ids),
-                                    t_s, t_i, p.final_top_k)
-                scores, ids = np.asarray(ms), np.asarray(mi)
             keep = scores >= p.min_vector_score
             scores = np.where(keep, scores, np.float32(NEG_INF))
             ids = np.where(keep, ids, -1)
             bits = np.where(ids >= 0, 1, 0)
+        elif mode == "hybrid_ivf":
+            # The >=1M-corpus hybrid operating point: the exact dense
+            # scan's cost scales with N (it IS the whole 16.75ms budget
+            # at 1M x 1024, BENCHMARKS.md "Hybrid at 1M"), while the
+            # IVF probe-scan costs nprobe*c_max rows. Same BM25 leg and
+            # RRF semantics as mode='hybrid'; dense candidates come
+            # from the IVF partition + exact active-tail merge.
+            scores, ids, bits = hybrid_search(
+                self.dense, self.inverted, qv, queries, p,
+                dense_search=self._ivf_leg)
         else:
             raise ValueError(f"unknown mode {mode!r}")
         return [
             self._assemble(q, scores[b], ids[b], bits[b])
             for b, q in enumerate(queries)
         ]
+
+    def _ivf_leg(self, qv, k: int):
+        """Device-side dense leg over the IVF partition, k candidates:
+        probe-scan + exact scan of the post-snapshot active tail
+        (growable-segment design: IVF partition + active segment,
+        compacted by build_ivf()). Returns (scores, ids) jax arrays."""
+        import jax.numpy as jnp_
+
+        if self._ivf is None:
+            raise ValueError("no IVF index: call kb.build_ivf() first")
+        s, i = self._ivf.search(qv, k=k)
+        if self.dense.mesh is not None:
+            # Sharded IVF output: commit to the default device so the
+            # downstream merge/fusion never mixes shardings in one op.
+            s, i = jnp_.asarray(np.asarray(s)), jnp_.asarray(np.asarray(i))
+        tail = self.dense.n_active - self._ivf_built_at
+        if tail <= 0:
+            return jnp_.asarray(s), jnp_.asarray(i)
+        from tpurag.index.dense import l2_normalize
+        from tpurag.kernels.dense import dense_topk_xla
+        from tpurag.kernels.topk import merge_topk
+
+        if self.dense.mesh is not None:
+            # Mesh layout: gather the (small) tail to the default
+            # device — slicing a row-sharded matrix mid-shard
+            # would force an implicit reshard every query.
+            tail_emb = jnp_.asarray(np.asarray(
+                self.dense.embeddings[self._ivf_built_at:
+                                      self.dense.n_active],
+                np.float32), self.dense.dtype)
+        elif self.store == "host":
+            # Host store: slice to n_active, NOT capacity — the
+            # trailing padding would be a multi-GB device upload
+            # per query (review finding). Pad to a pow2 bucket
+            # so tail growth compiles O(log n) variants.
+            from tpurag.kernels.runtime import round_up as _ru
+
+            raw = np.asarray(self.dense.embeddings[
+                self._ivf_built_at:self.dense.n_active])
+            bucket = 1 << max(int(_ru(tail, 128)) - 1, 1).bit_length()
+            if bucket > len(raw):
+                raw = np.concatenate([raw, np.zeros(
+                    (bucket - len(raw), raw.shape[1]), raw.dtype)])
+            tail_emb = raw
+        else:
+            # Device store: the capacity slice stays in HBM (no
+            # transfer) and keeps a stable compiled shape.
+            tail_emb = self.dense.embeddings[self._ivf_built_at:]
+        kk = min(k, tail)
+        t_s, t_i = dense_topk_xla(
+            l2_normalize(qv).astype(tail_emb.dtype), tail_emb,
+            jnp_.int32(tail), kk)
+        t_i = jnp_.where(t_i >= 0, t_i + self._ivf_built_at, -1)
+        if kk < k:
+            padw = k - kk
+            t_s = jnp_.pad(t_s, ((0, 0), (0, padw)),
+                           constant_values=NEG_INF)
+            t_i = jnp_.pad(t_i, ((0, 0), (0, padw)),
+                           constant_values=-1)
+        return merge_topk(jnp_.asarray(s), jnp_.asarray(i), t_s, t_i, k)
 
     def _assemble(self, query: str, scores, ids, bits) -> SearchResponse:
         from tpurag.index.inverted import highlight

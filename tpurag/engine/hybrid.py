@@ -40,15 +40,21 @@ def hybrid_search(
     query_vecs,
     query_texts: list[str],
     preset: HybridPreset,
+    dense_search=None,
 ):
     """Batch hybrid search.
+
+    dense_search: optional (query_vecs, k) -> (scores, ids) device-leg
+    override — e.g. the KB's IVF+tail leg (mode='hybrid_ivf'), whose
+    probe-scan cost scales with nprobe·c_max instead of the corpus.
 
     Returns (scores, ids, src_bits) — (B, final_top_k) arrays; empty slots
     are (-inf, -1, 0).
     """
     import jax
 
-    v_scores, v_ids = dense.search(query_vecs, preset.vector_top_k)
+    v_scores, v_ids = (dense_search or dense.search)(
+        query_vecs, preset.vector_top_k)
     v_scores, v_ids = apply_min_score(v_scores, v_ids, preset.min_vector_score)
 
     if inverted is not None and len(inverted) > 0:
