@@ -161,3 +161,32 @@ def test_sharded_bm25_save_load(rng, tmp_path):
     s, i = re.search(QUERIES, k=8)
     np.testing.assert_array_equal(base_i, i)
     np.testing.assert_allclose(base_s, s, rtol=2e-4, atol=1e-5)
+
+
+def test_mesh_kb_hybrid_ivf_full_probe_parity(rng):
+    """mode='hybrid_ivf' on a mesh KB: the sharded IVF dense leg (all
+    clusters probed => exhaustive) + sharded BM25 + RRF must rank like
+    mode='hybrid' on the same mesh KB."""
+    import dataclasses
+
+    from tpurag import KnowledgeBase
+    from tpurag.core.config import EngineConfig
+
+    mesh = make_mesh([("data", 8)])
+    base = EngineConfig()
+    cfg = dataclasses.replace(
+        base, ivf=dataclasses.replace(base.ivf, n_lists=8, n_probe=8))
+    kb = KnowledgeBase("m-hivf", dim=64, mesh=mesh, config=cfg)
+    docs = corpus(rng, 128)
+    for i, t in enumerate(docs):
+        kb.add_document(f"doc{i}", t)
+    kb.build_ivf()
+    for q in (docs[7][:30], "quick fox", "你好 世界"):
+        a = kb.search(q, top_k=5, mode="hybrid")
+        b = kb.search(q, top_k=5, mode="hybrid_ivf")
+        assert [r.chunk_id for r in a.results] == \
+               [r.chunk_id for r in b.results], q
+    # Post-snapshot adds are covered by the tail merge + live BM25 leg.
+    kb.add_document("fresh", "zebra stripes gallop " * 4)
+    r = kb.search("zebra stripes", top_k=5, mode="hybrid_ivf")
+    assert r.results and r.results[0].doc_name == "fresh"
