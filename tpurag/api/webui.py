@@ -68,7 +68,8 @@ INDEX_HTML = """<!doctype html>
     <input id="q" type="text" placeholder="query…" autofocus>
     <select id="mode">
       <option>hybrid</option><option>vector</option>
-      <option>keyword</option>
+      <option>keyword</option><option>ivf</option>
+      <option>hybrid_ivf</option>
     </select>
     <button>Search</button>
   </form>
