@@ -203,25 +203,30 @@ def main():
         import ml_dtypes
 
         emb_h = emb.astype(ml_dtypes.bfloat16)
+        del emb  # the fp32 copy (4GB at 1M) is dead past this cast
         if emb_h.nbytes > 256 * 2**20:
             # Chunked upload: a single multi-GB device_put stalls the
             # relay tunnel indefinitely (observed 2026-08-18: the 1M
             # point's 2GB transfer hung >25min with zero bytes moving;
             # same failure family as the documented 4GB-constant break).
-            # Ship 256MB row blocks, sync each, concatenate on device.
+            # Ship 256MB row blocks, each written into a preallocated
+            # device buffer via a DONATED dynamic_update_slice —
+            # concatenating the blocks instead would transiently hold
+            # 2x the corpus in HBM (blocks + result), OOMing uploads
+            # that fit at 1x.
             rows = max(1, (256 * 2**20) // (emb_h.shape[1] * 2))
             rows = -(-rows // 2048) * 2048  # keep tile alignment
-            blocks = []
+            write = jax.jit(
+                lambda buf, blk, at: jax.lax.dynamic_update_slice(
+                    buf, blk, (at, 0)),
+                donate_argnums=(0,))
+            emb_dev = jnp.zeros(emb_h.shape, emb_h.dtype)
             for i in range(0, emb_h.shape[0], rows):
-                blk = jnp.asarray(emb_h[i:i + rows])
-                blk.block_until_ready()
-                blocks.append(blk)
+                emb_dev = write(emb_dev, jnp.asarray(emb_h[i:i + rows]),
+                                np.int32(i))
+                emb_dev.block_until_ready()
                 log(f"corpus upload: {min(i + rows, emb_h.shape[0])}"
                     f"/{emb_h.shape[0]} rows")
-            emb_dev = (jnp.concatenate(blocks, axis=0) if len(blocks) > 1
-                       else blocks[0])
-            emb_dev.block_until_ready()
-            del blocks
         else:
             emb_dev = jnp.asarray(emb_h)
         del emb_h

@@ -254,8 +254,9 @@ def server_latency(n_docs: int, on_tpu: bool):
         with concurrent.futures.ThreadPoolExecutor(16) as ex:
             list(ex.map(warm, queries))
         # A failed request (timeout, reset) must not abort the whole
-        # run — count it and keep measuring; a non-zero error count is
-        # itself a result the summary reports.
+        # run — count it per pass and keep measuring; a non-zero error
+        # count is itself a result the summary reports. Percentiles of
+        # an all-failed pass report null rather than crashing.
         errors = []
 
         def tolerant(q):
@@ -265,8 +266,12 @@ def server_latency(n_docs: int, on_tpu: bool):
                 errors.append(repr(e))
                 return None
 
+        def ms(vals, p):
+            return pctl(vals, p) * 1e3 if vals else None
+
         # Sequential pass: per-request service latency with no queueing.
         seq = [v for q in queries[:64] if (v := tolerant(q)) is not None]
+        errors_seq, errors[:] = len(errors), []
         lat = []
         t_start = time.perf_counter()
         with concurrent.futures.ThreadPoolExecutor(16) as ex:
@@ -274,15 +279,17 @@ def server_latency(n_docs: int, on_tpu: bool):
                 if v is not None:
                     lat.append(v)
         wall = time.perf_counter() - t_start
-        if errors:
-            log(f"[server] {len(errors)} failed requests, e.g. {errors[0]}")
+        if errors_seq or errors:
+            log(f"[server] failed requests: {errors_seq} sequential, "
+                f"{len(errors)} concurrent"
+                + (f", e.g. {errors[0]}" if errors else ""))
         return {
             "n_docs": n_docs, "clients": 16, "requests": len(queries),
-            "errors": len(errors),
-            "seq_p50_ms": pctl(seq, 50) * 1e3,
-            "seq_p99_ms": pctl(seq, 99) * 1e3,
-            "e2e_p50_ms": pctl(lat, 50) * 1e3,
-            "e2e_p99_ms": pctl(lat, 99) * 1e3,
+            "errors_seq": errors_seq, "errors_concurrent": len(errors),
+            "seq_p50_ms": ms(seq, 50),
+            "seq_p99_ms": ms(seq, 99),
+            "e2e_p50_ms": ms(lat, 50),
+            "e2e_p99_ms": ms(lat, 99),
             "throughput_qps": len(lat) / wall,
         }
     finally:

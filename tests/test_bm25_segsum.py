@@ -233,19 +233,21 @@ def test_packed_cbits_policy():
 
 def test_pallas_merge_width_gate():
     """Vmem-safety predicate boundaries (v5e scoped-vmem limit 16MB):
-    W=16384 unpacked rows (128KB) compile at ~13.4M scoped; W=32768
-    unpacked was observed to need 26.8M and fail. Packing halves the
-    bytes per lane and shifts the boundary one pow2 up."""
+    W=16384 unpacked compiles at ~13.4M scoped; W=32768 fails at BOTH
+    layouts — 26.8M unpacked AND 19.7M packed (the 300k-corpus bench
+    point: packed_cbits(300k)=12 put a df~4096 class at W=32768 packed
+    and the Mosaic compile OOMed). Packing never moves the boundary."""
     from tpurag.kernels.bm25_pallas import pallas_merge_ok
 
     assert pallas_merge_ok(16384, 0)     # headline ladder max (t=8, p=2048)
+    assert pallas_merge_ok(16384, 12)
     assert not pallas_merge_ok(32768, 0)  # the 1M-corpus OOM shape
-    assert pallas_merge_ok(32768, 12)     # packed: one int32/lane
+    assert not pallas_merge_ok(32768, 12)  # the 300k-corpus OOM shape
     assert not pallas_merge_ok(65536, 12)
 
 
 def test_wide_class_routes_to_xla_tail(rng):
-    """A width class past PALLAS_MAX_ROW_BYTES must take the exact XLA
+    """A width class past PALLAS_MAX_MERGE_LANES must take the exact XLA
     segsum tail even when the caller asks for Pallas: on CPU the fused
     kernel at interpret=False would fail outright, so this running at
     all (and matching use_pallas=False) proves the reroute. This is the

@@ -108,12 +108,16 @@ def test_kb_bm25_scoring_config_persists(tmp_path):
 
     base = EngineConfig()
     cfg = dataclasses.replace(
-        base, bm25=dataclasses.replace(base.bm25, head_m=64))
+        base, bm25=dataclasses.replace(base.bm25, head_m=64, k1=2.0,
+                                       b=0.5, max_df_ratio=0.9))
     kb = KnowledgeBase("p", dim=32, config=cfg)
     kb.add_document("a", "alpha beta gamma content")
     kb.save(tmp_path / "kb")
     kb2 = KnowledgeBase.load(tmp_path / "kb")
     assert kb2.config.bm25.head_m == 64
+    assert kb2.config.bm25.k1 == 2.0          # impacts bake k1/b at
+    assert kb2.config.bm25.b == 0.5           # layout time — must travel
+    assert kb2.config.bm25.max_df_ratio == 0.9
     assert not kb2.config.bm25.exact_scoring
     r = kb2.search("alpha beta", top_k=2)
     assert r.results and r.results[0].doc_name == "a"

@@ -464,3 +464,24 @@ def test_concurrent_mutation_and_search_stress(server):
     code, out = _req(base, "POST", "/search",
                      {"query": "stress", "top_k": 8, "mode": "keyword"})
     assert code == 200 and out["results"], out
+
+
+def test_batch_failure_isolated_to_its_group(server):
+    """A failing request group (mode='hybrid_ivf' with no built IVF
+    partition — reachable from the console's mode selector) must not
+    poison the other groups the executor coalesced into the same
+    device batch, and must surface as a 500 on ITS request only."""
+    base, srv = server
+    reqs = [{"query": "bread yeast", "mode": "hybrid"},
+            {"query": "bread yeast", "mode": "hybrid_ivf"},
+            {"query": "jax xla", "mode": "vector"}]
+    out = srv._run_batch(reqs)
+    assert out[0].results and out[2].results      # healthy groups served
+    assert isinstance(out[1], Exception)          # only its group failed
+    assert "build_ivf" in str(out[1])
+    code, body = _req(base, "POST", "/search",
+                      {"query": "x", "mode": "hybrid_ivf"})
+    assert code == 500 and "build_ivf" in body["error"]
+    code, body = _req(base, "POST", "/search",
+                      {"query": "bread", "mode": "hybrid"})
+    assert code == 200 and body["results"]

@@ -402,11 +402,19 @@ class KnowledgeBase:
             "dim": self.dim,
             "quant": self.quant,
             "store": self.store,
-            # Scoring-semantics config travels with the index: head_m
-            # truncates the device layout at build/compaction time, so
-            # a reload that silently reverted to exact (or vice versa)
-            # would re-lay future segments under different semantics.
-            "bm25": {"head_m": self.config.bm25.head_m,
+            # Scoring-semantics config travels with the index: impacts
+            # are baked from k1/b at layout time and head_m truncates
+            # the layout, so a reload that silently reverted any of
+            # these to defaults would re-lay future segments (and
+            # re-score) under different semantics than the persisted
+            # matrices. (width_ladder/packed_merge etc. stay runtime
+            # performance knobs.)
+            "bm25": {"k1": self.config.bm25.k1,
+                     "b": self.config.bm25.b,
+                     "rank_compat_scores":
+                         self.config.bm25.rank_compat_scores,
+                     "max_df_ratio": self.config.bm25.max_df_ratio,
+                     "head_m": self.config.bm25.head_m,
                      "exact_scoring": self.config.bm25.exact_scoring},
             "embedder": emb_info,
             "ivf": ivf_kind,

@@ -180,9 +180,20 @@ class RagServer:
             groups.setdefault(key, []).append(i)
         for (kb_id, mode, preset), idxs in groups.items():
             ks = [int(requests[i].get("top_k", 8)) for i in idxs]
-            resps = self._kb({"kb": kb_id}).search_batch(
-                [requests[i]["query"] for i in idxs],
-                top_k=max(ks), mode=mode, preset=preset)
+            try:
+                resps = self._kb({"kb": kb_id}).search_batch(
+                    [requests[i]["query"] for i in idxs],
+                    top_k=max(ks), mode=mode, preset=preset)
+            except Exception as e:
+                # Isolate the failure to ITS group: one bad request
+                # (e.g. mode='hybrid_ivf' on a KB with no built IVF
+                # partition — reachable from the console's mode
+                # selector) must not 500 the unrelated requests the
+                # executor coalesced into this batch, nor discard
+                # groups already computed into `out`.
+                for i in idxs:
+                    out[i] = e
+                continue
             for i, resp, k in zip(idxs, resps, ks):
                 resp.results = resp.results[:k]
                 out[i] = resp
@@ -299,6 +310,8 @@ class RagServer:
             if not body.get("query"):
                 return 400, {"error": "missing 'query'"}
             resp = self.executor.query(body, timeout=self.search_timeout_s)
+            if isinstance(resp, Exception):
+                raise resp  # group-scoped failure -> 500 for THIS request
             return 200, {
                 "query": resp.query,
                 "results": [dataclasses.asdict(r) for r in resp.results],
@@ -728,8 +741,8 @@ class RagServer:
             # kernel silently completes their handshake, then RSTs the
             # first data segment (observed as ConnectionResetError
             # under a 16-client load test). Size it for bursts.
+            # (daemon_threads is already True on ThreadingHTTPServer.)
             request_queue_size = 128
-            daemon_threads = True
 
         self._httpd = Httpd((host, port), Handler)
         if background:

@@ -334,12 +334,9 @@ class DenseIndex:
         the corpus size. No-op for RAM/device stores."""
         if self.store != "host" or self._backing is None:
             return
-        import mmap as _mmap
+        from tpurag.utils.mem import drop_memmap_pages
 
-        self._emb.flush()
-        base = getattr(self._emb, "_mmap", None)
-        if base is not None and hasattr(base, "madvise"):
-            base.madvise(_mmap.MADV_DONTNEED)
+        drop_memmap_pages(self._emb)
 
     def get_rows(self, lo: int, hi: int) -> np.ndarray:
         """Host copy of rows [lo, hi) in the STORAGE dtype — the bounded

@@ -33,6 +33,7 @@ import numpy as np
 
 from tpurag.core.config import IVFConfig
 from tpurag.index.dense import l2_normalize
+from tpurag.utils.mem import drop_memmap_pages  # re-exported (shard/ivf uses it)
 from tpurag.kernels.runtime import NEG_INF, round_up
 from tpurag.kernels.topk import merge_topk, select_topk
 
@@ -234,24 +235,6 @@ def sample_kmeans(source, n: int, n_lists: int, cfg, rng) -> np.ndarray:
     init = sample[rng.choice(len(sample), n_lists, replace=False)]
     return np.array(_kmeans(jnp.asarray(sample), jnp.asarray(init),
                             cfg.kmeans_iters), np.float32)
-
-
-def drop_memmap_pages(arr) -> None:
-    """Flush a memmap's dirty pages and advise the kernel to release
-    its resident ones. Streaming builds walk multi-GB staging/corpus
-    memmaps end to end; without this every touched page stays charged
-    to the process (measured 61 GB ru_maxrss on the 10M x 1024 product
-    build vs ~11 GB for the actual working set). No-op for plain
-    arrays."""
-    import mmap as _mmap
-
-    base = getattr(arr, "_mmap", None)
-    if base is None:
-        return
-    if isinstance(arr, np.memmap):
-        arr.flush()
-    if hasattr(base, "madvise"):
-        base.madvise(_mmap.MADV_DONTNEED)
 
 
 def stage_and_assign(source, n: int, d: int, stage_path, stage_np,

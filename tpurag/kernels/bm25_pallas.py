@@ -31,22 +31,27 @@ from tpurag.kernels.topk import select_topk
 
 _BIG = 2**30
 
-# Widest candidate row (bytes) the fused kernel may take. The kernel
+# Widest candidate row (lanes) the fused kernel may take. The kernel
 # keeps whole (tile_b, W) rows resident in VMEM and fully unrolls each
-# bitonic merge level, so the Mosaic scoped-vmem stack grows with row
-# bytes: at W=16384 unpacked (128KB rows) the estimate is ~13.4M —
-# under the 16MB limit — while W=32768 unpacked was observed to need
-# 26.81M on v5e and fail to compile ("Ran out of memory in memory
-# space vmem ... scoped"). Wider classes (huge-df terms, e.g. any
-# >=1M-doc corpus where a query term has df>2048) must take the exact
-# XLA segsum tail, which tiles through HBM instead.
-PALLAS_MAX_ROW_BYTES = 1 << 17
+# bitonic merge level, so the Mosaic scoped-vmem stack grows with W:
+# W=16384 unpacked measures ~13.4M scoped — under the 16MB limit —
+# while W=32768 fails to compile at BOTH layouts ("Ran out of memory
+# in memory space vmem ... scoped"): 26.81M unpacked and 19.72M
+# PACKED (v5e, observed). Packing halves the candidate-row bytes but
+# the kernel still unpacks keys into (doc, contrib) intermediates for
+# the segsum, so the stack shrinks only ~26% — never enough to buy
+# the next pow2. The boundary is therefore W-only; wider classes
+# (huge-df terms, e.g. any >=300k-doc corpus where a query term has
+# df>2048) take the exact XLA segsum tail, which tiles through HBM.
+PALLAS_MAX_MERGE_LANES = 1 << 14
 
 
 def pallas_merge_ok(w: int, cbits: int = 0) -> bool:
     """True if a (B, w) candidate row fits the fused kernel's VMEM
-    budget (packed rows carry one int32/lane, unpacked two arrays)."""
-    return w * (4 if cbits else 8) <= PALLAS_MAX_ROW_BYTES
+    budget. cbits (packed layout) does not move the boundary — see
+    the measured scoped-vmem sizes above."""
+    del cbits
+    return w <= PALLAS_MAX_MERGE_LANES
 
 
 def _merge_segsum_kernel(*refs, k: int, p: int, w: int, t: int,
