@@ -1,0 +1,179 @@
+"""Probe: does a D-major (pre-transposed) corpus layout beat the current
+row-major one on the dense-scan matmul floor?
+
+The production kernel (kernels/dense.py) stores the corpus as (N, D)
+row-major and issues `dot_general` contracting dim 1 of both operands —
+an A @ B^T ("NT") matmul whose corpus tile DMA is fully contiguous but
+whose RHS reaches the MXU transposed. This probe measures stripped
+variants (matmul + running row-max, no top-k extraction) of:
+
+  v-NT: corpus (N, D), block (tile_n, D),  dot ((1,),(1,))   [current]
+  v-NN: corpus (D, N), block (D, tile_n),  dot ((1,),(0,))   [candidate]
+
+at the headline shape (100k x 1024 bf16) so the choice is driven by a
+measured number, not by guessing what Mosaic does with transposed
+operands. Run on the chip: python benchmarks/dense_nn_probe.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--d", type=int, default=1024)
+    ap.add_argument("--b", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=50)
+    args = ap.parse_args()
+
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpurag.kernels.runtime import NEG_INF, round_up
+
+    n, d, b = args.n, args.d, args.b
+    rng = np.random.default_rng(0)
+    n_pad = round_up(n, 4096)
+    emb = rng.standard_normal((n_pad, d)).astype(np.float32)
+    emb[n:] = 0
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    emb_nt = jnp.asarray(emb.astype(np.float32), jnp.bfloat16)          # (N, D)
+    emb_nn = jnp.asarray(np.ascontiguousarray(emb.T), jnp.bfloat16)     # (D, N)
+    q_dev = jnp.asarray(q, jnp.bfloat16)
+    iters = args.iters
+
+    def bench(fn, label, *arrs):
+        @jax.jit
+        def chained(x0, qq, *arrs):
+            def step(i, acc):
+                qi = qq * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+                return acc + fn(qi, *arrs)
+            return jax.lax.fori_loop(0, iters, step, x0)
+
+        t0 = time.perf_counter()
+        float(chained(jnp.float32(0.0), q_dev, *arrs))
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(chained(jnp.float32(0.0), q_dev, *arrs))
+            ts.append((time.perf_counter() - t0) / iters)
+        p50 = float(np.percentile(ts, 50))
+        print(f"{label:40s} p50={p50 * 1e3:7.3f}ms  min={min(ts) * 1e3:7.3f}ms"
+              f"  (compile {compile_s:.1f}s)", flush=True)
+        return p50
+
+    print(f"backend={jax.default_backend()} n={n} d={d} b={b} "
+          f"(theory: compute {2 * b * n_pad * d / 197e12 * 1e3:.2f}ms, "
+          f"1-pass DMA {n_pad * d * 2 / 819e9 * 1e3:.2f}ms)", flush=True)
+
+    # --- XLA calibration: full matmul + rowmax, both layouts ---
+    def xla_nt(qq, e):
+        s = jax.lax.dot_general(qq, e, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return jnp.max(s)
+
+    def xla_nn(qq, et):
+        s = jax.lax.dot_general(qq, et, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return jnp.max(s)
+
+    bench(xla_nt, "xla NT (q @ e^T) + max", emb_nt)
+    bench(xla_nn, "xla NN (q @ eT) + max", emb_nn)
+
+    # --- stripped Pallas variants: matmul + running row-max ---
+    def make(mode: str, tile_b: int, tile_n: int):
+        def kern_nt(q_ref, e_ref, out_ref, acc):
+            j = pl.program_id(1)
+
+            @pl.when(j == 0)
+            def _():
+                acc[:] = jnp.full_like(acc, NEG_INF)
+
+            s = jax.lax.dot_general(
+                q_ref[:], e_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc[:] = jnp.maximum(acc[:], jnp.max(s, axis=1, keepdims=True))
+
+            @pl.when(j == pl.num_programs(1) - 1)
+            def _():
+                out_ref[:] = acc[:]
+
+        def kern_nn(q_ref, e_ref, out_ref, acc):
+            j = pl.program_id(1)
+
+            @pl.when(j == 0)
+            def _():
+                acc[:] = jnp.full_like(acc, NEG_INF)
+
+            s = jax.lax.dot_general(
+                q_ref[:], e_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc[:] = jnp.maximum(acc[:], jnp.max(s, axis=1, keepdims=True))
+
+            @pl.when(j == pl.num_programs(1) - 1)
+            def _():
+                out_ref[:] = acc[:]
+
+        bp = round_up(b, tile_b)
+        grid = (bp // tile_b, n_pad // tile_n)
+        if mode == "nt":
+            in_spec = pl.BlockSpec((tile_n, d), lambda i, j: (j, 0),
+                                   memory_space=pltpu.VMEM)
+            kern = kern_nt
+        else:
+            in_spec = pl.BlockSpec((d, tile_n), lambda i, j: (0, j),
+                                   memory_space=pltpu.VMEM)
+            kern = kern_nn
+
+        def run(qq, e):
+            qq = jnp.pad(qq, ((0, bp - b), (0, 0)))
+            out = pl.pallas_call(
+                kern,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((tile_b, d), lambda i, j: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    in_spec,
+                ],
+                out_specs=pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((tile_b, 1), jnp.float32)],
+                out_shape=jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+            )(qq, e)
+            return jnp.max(out)
+
+        return run
+
+    for mode, e_arr in (("nt", emb_nt), ("nn", emb_nn)):
+        for tile_b, tile_n in [(128, 2048), (256, 2048), (512, 2048),
+                               (256, 4096), (512, 4096), (512, 1024)]:
+            try:
+                bench(make(mode, tile_b, tile_n),
+                      f"pallas {mode.upper()} tile_b={tile_b} tile_n={tile_n}",
+                      e_arr)
+            except Exception as e:
+                print(f"pallas {mode} tb={tile_b} tn={tile_n}: "
+                      f"{type(e).__name__}: {str(e)[:110]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
