@@ -1,0 +1,90 @@
+"""Probe: production dense_topk_pallas tile_b/chunk_n sweep at the
+headline shape (100k x 1024 bf16, b in {512, 1024}).
+
+The stripped NT-vs-NN probe (dense_nn_probe.py) showed tile_b=512 beats
+the auto-picked 256 on the bare matmul+rowmax (1.08 vs 1.16 ms at
+b=512); this sweep measures whether that survives the real kernel's
+top-k fold (bigger tiles = fewer corpus re-reads but more VMEM pressure
+and a wider merge). Run on the chip:
+  python benchmarks/dense_tile_probe.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--d", type=int, default=1024)
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=50)
+    args = ap.parse_args()
+
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpurag.kernels.dense import dense_topk_pallas
+    from tpurag.kernels.runtime import round_up
+
+    n, d, k = args.n, args.d, args.k
+    rng = np.random.default_rng(0)
+    n_pad = round_up(n, 2048)
+    emb = rng.standard_normal((n_pad, d)).astype(np.float32)
+    emb[n:] = 0
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+    emb_dev = jnp.asarray(emb, jnp.bfloat16)
+    nv = np.int32(n)
+    iters = args.iters
+
+    for b in (512, 1024):
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        q_dev = jnp.asarray(q, jnp.bfloat16)
+
+        for tile_b, chunk_n in ((128, None), (256, None), (256, 512),
+                                (512, 1024), (512, 512), (512, 256)):
+            import functools
+
+            fn = functools.partial(dense_topk_pallas, k=k, tile_b=tile_b,
+                                   chunk_n=chunk_n)
+
+            @jax.jit
+            def chained(qq, e, fn=fn):
+                def step(i, acc):
+                    qi = qq * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+                    v, _ = fn(qi, e, jnp.int32(nv))
+                    return acc + jnp.sum(v[:, 0])
+                return jax.lax.fori_loop(0, iters, step, jnp.float32(0.0))
+
+            try:
+                t0 = time.perf_counter()
+                float(chained(q_dev, emb_dev))
+                compile_s = time.perf_counter() - t0
+                ts = []
+                for _ in range(4):
+                    t0 = time.perf_counter()
+                    float(chained(q_dev, emb_dev))
+                    ts.append((time.perf_counter() - t0) / iters)
+                p50 = float(np.percentile(ts, 50))
+                print(f"b={b:5d} tile_b={tile_b:4d} chunk_n={chunk_n or 0:5d}  p50={p50 * 1e3:7.3f}ms"
+                      f"  min={min(ts) * 1e3:7.3f}ms  (compile {compile_s:.1f}s)",
+                      flush=True)
+            except Exception as e:
+                print(f"b={b} tile_b={tile_b} chunk_n={chunk_n}: {type(e).__name__}: "
+                      f"{str(e)[:110]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
