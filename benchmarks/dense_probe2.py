@@ -1,0 +1,301 @@
+"""Dense-scan anatomy v2 (round-4 roofline attack).
+
+Round-4 roofline.py showed every dense variant pinned at ~57 TFLOP/s
+(29% of v5e bf16 peak) regardless of grid order, while a square mm4096
+hits 133 TFLOP/s — the kernel is COMPUTE-bound with MXU headroom, not
+HBM-bound. This probe isolates where the time goes:
+
+  stage A: dot only (scores reduced to a scalar fold, no top-k)
+  stage B: dot + chunk-max early-skip test (no merge)
+  stage C: the full production kernel
+
+across (tile_b, tile_n, chunk_n) shapes, with SLOPE timing: each
+variant is timed at two chained iteration counts and the per-iter cost
+is the slope — the relay's per-dispatch RTT (~20-30ms) cancels exactly
+instead of smearing into the mean. mm probes consume jnp.sum(s) so XLA
+cannot slice-DCE the matmul (roofline.py's mm8192 "1147 TFLOP/s" bug).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import os
+    import pathlib
+
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpurag.kernels.dense import dense_topk_pallas, dense_topk_pallas_co
+    from tpurag.kernels.runtime import NEG_INF, next_pow2
+    from tpurag.kernels.topk import (emit_desc, fold_candidates_asc,
+                                     init_run_asc)
+
+    dev = jax.devices()[0]
+    print(f"backend={jax.default_backend()} kind={dev.device_kind}",
+          flush=True)
+    results = {}
+    I1, I2, reps = 20, 80, 5
+
+    def bench(make_chained, ops, label, work):
+        """Slope timing: per-iter = (t(I2) - t(I1)) / (I2 - I1)."""
+        times = {}
+        for iters in (I1, I2):
+            chained = make_chained(iters)
+            t0 = time.perf_counter()
+            low = chained.lower(jnp.float32(0.0), *ops)
+            comp = low.compile()
+            t_comp = time.perf_counter() - t0
+            float(comp(jnp.float32(0.0), *ops).block_until_ready())
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(comp(jnp.float32(0.0), *ops).block_until_ready())
+                ts.append(time.perf_counter() - t0)
+            times[iters] = min(ts)
+        per_iter = (times[I2] - times[I1]) / (I2 - I1)
+        rtt = times[I1] - I1 * per_iter
+        line = (f"{label:34s} {per_iter * 1e3:8.3f}ms/iter"
+                f" (rtt~{rtt * 1e3:5.1f}ms)")
+        if work.get("flops"):
+            line += f"  {work['flops'] / per_iter / 1e12:7.1f} TFLOP/s"
+        if work.get("bytes"):
+            line += f"  {work['bytes'] / per_iter / 1e9:7.1f} GB/s"
+        print(line + f"  (compile {t_comp:.1f}s)", flush=True)
+        results[label] = {"ms": per_iter * 1e3, "rtt_ms": rtt * 1e3,
+                          **{k: v for k, v in work.items() if v}}
+        return per_iter
+
+    rng = np.random.default_rng(0)
+
+    # ---- sanity: square matmul with full consumption --------------------
+    for mm in (4096, 8192):
+        a = jnp.asarray(rng.standard_normal((mm, mm)), jnp.bfloat16)
+        bm = jnp.asarray(rng.standard_normal((mm, mm)), jnp.bfloat16)
+
+        def make_mm(iters, mm=mm):
+            @jax.jit
+            def chained(x0, a, bm):
+                def step(i, acc):
+                    s = jax.lax.dot_general(
+                        a * (1.0 + i.astype(jnp.bfloat16) * 1e-6), bm,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    return acc + jnp.sum(s) * 1e-30
+                return jax.lax.fori_loop(0, iters, step, x0)
+            return chained
+
+        bench(make_mm, (a, bm), f"mm{mm} bf16 (sum-consumed)",
+              {"flops": 2 * mm**3})
+
+    # ---- pure-DMA HBM read probe (touch 8x128 per 4MB tile) -------------
+    n, d = 100_000, 1024
+    tile_n = 2048
+    n_pad = -(-n // tile_n) * tile_n
+    emb = rng.standard_normal((n_pad, d)).astype(np.float32)
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+    import ml_dtypes
+    emb_dev = jnp.asarray(emb.astype(ml_dtypes.bfloat16))
+    corpus_bytes = n_pad * d * 2
+
+    def touch_kern(e_ref, out_ref, acc):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+        acc[:] = acc[:] + e_ref[:8, :128].astype(jnp.float32)
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = acc[:]
+
+    touch = pl.pallas_call(
+        touch_kern,
+        grid=(n_pad // tile_n,),
+        in_specs=[pl.BlockSpec((tile_n, d), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, 128), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+    )
+
+    def make_touch(iters):
+        @jax.jit
+        def chained(x0, e):
+            def step(i, acc):
+                return acc + touch(e)[0, 0] * 0.0 + touch(e)[0, 1] * 1e-30
+            return jax.lax.fori_loop(0, iters // 2, step, x0)
+        return chained
+
+    bench(make_touch, (emb_dev,), "hbm pure-DMA touch 205MB",
+          {"bytes": corpus_bytes // 2})  # iters//2 steps x 2 reads = iters
+    # note: bytes per *loop iter* is 2 reads; work dict uses per-iter of
+    # the fori_loop, which is 2 corpus reads -> report per chained stream
+    # (the /2 above makes per-iter = one corpus read)
+
+    # ---- staged corpus-outer kernels ------------------------------------
+    _BIG_ID = 2**30
+
+    def staged_kernel(*refs, stage, k, tile_b, tile_n, chunk_n):
+        (q_ref, e_ref, out_ref, run_v, run_i) = refs
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        nn = pl.num_programs(0)
+        kp = run_v.shape[0]
+        col0 = pl.multiple_of(i * tile_b, tile_b)
+
+        @pl.when(j == 0)
+        def _init():
+            rv, ri = init_run_asc(run_v[:, pl.ds(col0, tile_b)],
+                                  run_i[:, pl.ds(col0, tile_b)], _BIG_ID)
+            run_v[:, pl.ds(col0, tile_b)] = rv
+            run_i[:, pl.ds(col0, tile_b)] = ri
+
+        q_tile = q_ref[pl.ds(col0, tile_b), :]
+        for c in range(tile_n // chunk_n):
+            s = jax.lax.dot_general(
+                q_tile, e_ref[c * chunk_n:(c + 1) * chunk_n, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if stage == "A":  # dot only: fold a cheap row into scratch
+                run_v[:8, pl.ds(col0, tile_b)] = (
+                    run_v[:8, pl.ds(col0, tile_b)] + s[:8, :tile_b] * 1e-30)
+                continue
+            base = j * tile_n + c * chunk_n
+            col = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            chunk_max = jnp.max(s)
+            run_min = jnp.min(run_v[kp - k, pl.ds(col0, tile_b)])
+            if stage == "B":  # dot + skip test, merge never fires
+                @pl.when(chunk_max > run_min + 1e9)
+                def _m(s=s, col=col):
+                    rv, ri = fold_candidates_asc(
+                        run_v[:, pl.ds(col0, tile_b)],
+                        run_i[:, pl.ds(col0, tile_b)], s, col, k, _BIG_ID)
+                    run_v[:, pl.ds(col0, tile_b)] = rv
+                    run_i[:, pl.ds(col0, tile_b)] = ri
+                continue
+
+            @pl.when(((j == 0) & (c == 0)) | (chunk_max > run_min))
+            def _merge(s=s, col=col):
+                rv, ri = fold_candidates_asc(
+                    run_v[:, pl.ds(col0, tile_b)],
+                    run_i[:, pl.ds(col0, tile_b)], s, col, k, _BIG_ID)
+                run_v[:, pl.ds(col0, tile_b)] = rv
+                run_i[:, pl.ds(col0, tile_b)] = ri
+
+        @pl.when(j == nn - 1)
+        def _emit():
+            ov, oi = emit_desc(run_v[:, pl.ds(col0, tile_b)],
+                               run_i[:, pl.ds(col0, tile_b)], k)
+            out_ref[:] = ov
+
+    def staged(stage, b, tile_b, tile_n, chunk_n, k=8):
+        bp = -(-b // tile_b) * tile_b
+        np2 = -(-n // tile_n) * tile_n
+        grid = (np2 // tile_n, bp // tile_b)
+        return pl.pallas_call(
+            functools.partial(staged_kernel, stage=stage, k=k,
+                              tile_b=tile_b, tile_n=tile_n,
+                              chunk_n=chunk_n),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bp, d), lambda jj, ii: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, d), lambda jj, ii: (jj, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_b, k), lambda jj, ii: (ii, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bp, k), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((next_pow2(k), bp), jnp.float32),
+                pltpu.VMEM((next_pow2(k), bp), jnp.int32),
+            ],
+        )
+
+    b = 1024
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q_bf = jnp.asarray(q.astype(ml_dtypes.bfloat16))
+    flops = 2 * b * n_pad * d
+
+    shapes = [
+        (256, 2048, 2048),
+        (256, 2048, 1024),
+        (512, 1024, 1024),
+        (512, 2048, 1024),
+        (1024, 1024, 512),
+        (1024, 2048, 512),
+    ]
+    for stage in ("A", "B", "C"):
+        for tb, tn, cn in shapes:
+            try:
+                fn = staged(stage, b, tb, tn, cn)
+            except Exception as e:
+                print(f"stage{stage} tb{tb} tn{tn} cn{cn}: build "
+                      f"{type(e).__name__}", flush=True)
+                continue
+
+            def make(iters, fn=fn):
+                @jax.jit
+                def chained(x0, qq, e):
+                    def step(i, acc):
+                        q2 = qq * (1.0 + i.astype(jnp.bfloat16) * 1e-6)
+                        out = fn(q2, e)
+                        return acc + out[0, 0] * 1e-30
+                    return jax.lax.fori_loop(0, iters, step, x0)
+                return chained
+
+            try:
+                bench(make, (q_bf, emb_dev),
+                      f"stage{stage} tb{tb} tn{tn} cn{cn}",
+                      {"flops": flops, "bytes": corpus_bytes})
+            except Exception as e:
+                print(f"stage{stage} tb{tb} tn{tn} cn{cn}: "
+                      f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+
+    # ---- production kernels, slope-timed, for a trustworthy headline ----
+    q_f32 = jnp.asarray(q)
+    n_valid = np.int32(n)
+    for name, fn in [
+        ("prod qo-auto b=1024", functools.partial(
+            dense_topk_pallas, k=8)),
+        ("prod co-tb256 b=1024", functools.partial(
+            dense_topk_pallas_co, k=8, tile_b=256)),
+    ]:
+        def make(iters, fn=fn):
+            @jax.jit
+            def chained(x0, qq, e):
+                def step(i, acc):
+                    q2 = qq * (1.0 + i.astype(jnp.float32) * 1e-7)
+                    v, _ = fn(q2, e, n_valid)
+                    return acc + v.sum() * 1e-30
+                return jax.lax.fori_loop(0, iters, step, x0)
+            return chained
+
+        bench(make, (q_f32, emb_dev), name,
+              {"flops": flops, "bytes": corpus_bytes})
+
+    out = pathlib.Path(__file__).parent / "results_dense_probe2.json"
+    out.write_text(json.dumps(results, indent=1))
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""Roofline audit of the dense scan (round-4 verdict item 1).
+
+Establishes the CHIP's measured ceilings (not nominal datasheet values):
+  1. peak MXU bf16 TFLOP/s — big square matmul chain
+  2. peak HBM read GB/s — Pallas streaming row-sum over the corpus
+then places the dense-scan kernels against them at the headline shape
+(100k x 1024 bf16):
+  3. dense_topk_pallas        (query-outer: corpus read B/tile_b times)
+  4. dense_topk_pallas_co     (corpus-outer: corpus read ONCE)
+
+Timing: `iters` chained device steps inside one jit (fori_loop) so the
+relay's ~24ms blocking-RTT artifact amortizes away; compile time is
+measured separately via AOT lower()/compile() (round-3 ADVICE fix).
+Big operands are explicit jit ARGUMENTS, not closure constants — AOT
+lowering embeds closed-over arrays as HLO literals, and a 205MB literal
+blows the remote-compile relay's request cap (HTTP 413).
+p50/min over `reps` timed launches.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import os
+    import pathlib
+
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpurag.kernels.dense import dense_topk_pallas, dense_topk_pallas_co
+
+    print(f"backend={jax.default_backend()} devices={jax.devices()}",
+          flush=True)
+    iters, reps = 50, 8
+    results = {}
+
+    def bench(chained, ops, label, work_per_iter):
+        """chained: jitted fn(x0, *ops) running `iters` device steps.
+        ops: the big device operands, passed as real arguments so the
+        AOT lowering ships parameter shapes, not literals."""
+        t0 = time.perf_counter()
+        low = chained.lower(jnp.float32(0.0), *ops)
+        comp = low.compile()
+        t_compile = time.perf_counter() - t0
+        float(comp(jnp.float32(0.0), *ops).block_until_ready())  # warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(comp(jnp.float32(0.0), *ops).block_until_ready())
+            ts.append((time.perf_counter() - t0) / iters)
+        p50 = float(np.percentile(ts, 50))
+        mn = float(min(ts))
+        line = f"{label:32s} p50={p50 * 1e3:8.3f}ms min={mn * 1e3:8.3f}ms"
+        if work_per_iter.get("flops"):
+            line += f"  {work_per_iter['flops'] / mn / 1e12:7.1f} TFLOP/s"
+        if work_per_iter.get("bytes"):
+            line += f"  {work_per_iter['bytes'] / mn / 1e9:7.1f} GB/s"
+        line += f"  (compile {t_compile:.1f}s)"
+        print(line, flush=True)
+        results[label] = {"p50_ms": p50 * 1e3, "min_ms": mn * 1e3,
+                          **{k: v for k, v in work_per_iter.items() if v}}
+        return p50, mn
+
+    # ---- 1. Peak MXU: square bf16 matmul chain --------------------------
+    rng = np.random.default_rng(0)
+    for mm in (2048, 4096, 8192):
+        a = jnp.asarray(rng.standard_normal((mm, mm)), jnp.bfloat16)
+        bmat = jnp.asarray(rng.standard_normal((mm, mm)), jnp.bfloat16)
+
+        @jax.jit
+        def mm_chained(x0, a, bmat):
+            def step(i, acc):
+                s = jax.lax.dot_general(
+                    a * (1.0 + i.astype(jnp.bfloat16) * 1e-6), bmat,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return acc + s[0, 0]
+            return jax.lax.fori_loop(0, iters, step, x0)
+
+        bench(mm_chained, (a, bmat), f"peak-mxu mm{mm} bf16",
+              {"flops": 2 * mm**3})
+
+    # ---- 2. Peak HBM read: Pallas streaming row-sum ---------------------
+    n, d = 100_000, 1024
+    tile_n = 2048
+    n_pad = -(-n // tile_n) * tile_n
+    emb = rng.standard_normal((n_pad, d)).astype(np.float32)
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+    import ml_dtypes
+    emb_dev = jnp.asarray(emb.astype(ml_dtypes.bfloat16))
+    corpus_bytes = n_pad * d * 2
+
+    def kern(e_ref, out_ref, acc):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+        acc[:] = acc[:] + jnp.sum(
+            e_ref[:].astype(jnp.float32), axis=0, keepdims=True
+        ).reshape(8, d // 8)[:, :128]
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = acc[:]
+
+    stream = pl.pallas_call(
+        kern,
+        grid=(n_pad // tile_n,),
+        in_specs=[pl.BlockSpec((tile_n, d), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, 128), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+    )
+
+    @jax.jit
+    def stream_chained(x0, e):
+        def step(i, acc):
+            return acc + stream(e)[0, 0] * 0.0 + stream(e)[0, 1]
+        return jax.lax.fori_loop(0, iters // 2, step, x0)
+
+    # two streams per step, iters//2 steps => iters corpus reads total
+    bench(stream_chained, (emb_dev,), "hbm-read pallas rowsum 205MB",
+          {"bytes": corpus_bytes})
+
+    # ---- 3/4. Dense kernels at headline shapes --------------------------
+    for b in (512, 1024):
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        q_dev = jnp.asarray(q)
+        n_valid = np.int32(n)
+        flops = 2 * b * n_pad * d
+
+        variants = [
+            ("qo-auto", functools.partial(dense_topk_pallas, k=8), None),
+            ("co-tb128", functools.partial(dense_topk_pallas_co, k=8,
+                                           tile_b=128), 1),
+            ("co-tb256", functools.partial(dense_topk_pallas_co, k=8,
+                                           tile_b=256), 1),
+            ("co-tb512", functools.partial(dense_topk_pallas_co, k=8,
+                                           tile_b=512), 1),
+        ]
+
+        for name, fn, reads in variants:
+            if reads is None:  # query-outer auto: tile_b=256 at b>=256
+                reads = -(-b // 256)
+
+            @jax.jit
+            def dense_chained(x0, q_dev, e, fn=fn):
+                def step(i, acc):
+                    qq = q_dev * (1.0 + i.astype(jnp.float32) * 1e-7)
+                    v, _ = fn(qq, e, n_valid)
+                    return acc + v.sum()
+                return jax.lax.fori_loop(0, iters, step, x0)
+
+            try:
+                bench(dense_chained, (q_dev, emb_dev),
+                      f"dense b={b} {name}",
+                      {"flops": flops, "bytes": corpus_bytes * reads})
+            except Exception as e:
+                print(f"dense b={b} {name}: {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+
+    out = pathlib.Path(__file__).parent / "results_roofline.json"
+    out.write_text(json.dumps(results, indent=1))
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -3,7 +3,8 @@ import numpy as np
 import pytest
 
 from tpurag.index.dense import DenseIndex, l2_normalize
-from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
+from tpurag.kernels.dense import (dense_topk_pallas, dense_topk_pallas_co,
+                                  dense_topk_xla)
 from tpurag.kernels.runtime import NEG_INF
 
 
@@ -81,6 +82,62 @@ def test_dense_topk_pallas_n_valid_and_padding(rng):
                                5, tile_b=8, tile_n=128, interpret=True)
     np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+
+@pytest.mark.parametrize(
+    "b,n,d,k,nv",
+    [
+        (7, 300, 64, 8, 300),     # b below one tile_b, odd shapes
+        (16, 5000, 128, 8, 4777),  # n_valid mid-tile masking
+        (130, 2500, 96, 5, 2500),  # multi query-tile, k not pow2
+        (3, 10, 32, 8, 4),         # k > n_valid: sentinel -1 ids
+        (9, 257, 130, 3, 200),     # d not lane-aligned, n not tile-aligned
+    ],
+)
+def test_dense_topk_corpus_outer_matches_xla(rng, b, n, d, k, nv):
+    q, emb = make_data(rng, n, d, b)
+    xv, xi = dense_topk_xla(jnp.asarray(q), jnp.asarray(emb), jnp.int32(nv), k)
+    pv, pi = dense_topk_pallas_co(jnp.asarray(q), jnp.asarray(emb),
+                                  jnp.int32(nv), k, tile_b=8, tile_n=256,
+                                  interpret=True)
+    xv, xi, pv, pi = map(np.asarray, (xv, xi, pv, pi))
+    valid = xv > NEG_INF / 2
+    np.testing.assert_array_equal(pi[valid], xi[valid])
+    assert np.all(pi[~valid] == -1)
+    np.testing.assert_allclose(pv[valid], xv[valid], atol=1e-5)
+
+
+def test_dense_topk_corpus_outer_chunked(rng):
+    # chunk_n < tile_n inside the corpus-outer grid order.
+    b, n, d, k = 12, 1200, 64, 8
+    q, emb = make_data(rng, n, d, b)
+    xv, xi = dense_topk_xla(jnp.asarray(q), jnp.asarray(emb), jnp.int32(n), k)
+    pv, pi = dense_topk_pallas_co(jnp.asarray(q), jnp.asarray(emb),
+                                  jnp.int32(n), k, tile_b=8, tile_n=256,
+                                  chunk_n=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+
+@pytest.mark.parametrize("fn", [dense_topk_pallas, dense_topk_pallas_co])
+def test_dense_topk_q4_extraction_path(rng, fn):
+    # chunk_n >= 512 routes extraction through select_topk_q4 (the
+    # quarter-split tournament): exercise it against the oracle.
+    b, n, d, k = 9, 1500, 64, 8
+    q, emb = make_data(rng, n, d, b)
+    xv, xi = dense_topk_xla(jnp.asarray(q), jnp.asarray(emb), jnp.int32(n), k)
+    pv, pi = fn(jnp.asarray(q), jnp.asarray(emb), jnp.int32(n),
+                k, tile_b=8, tile_n=512, chunk_n=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+
+def test_dense_topk_corpus_outer_batch_cap(rng):
+    q, emb = make_data(rng, n=256, d=32, b=8)
+    with pytest.raises(ValueError, match="caps batch"):
+        dense_topk_pallas_co(jnp.asarray(np.repeat(q, 1024, axis=0)),
+                             jnp.asarray(emb), jnp.int32(256), 8,
+                             tile_b=8, interpret=True)
 
 
 class TestDenseIndex:

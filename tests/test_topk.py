@@ -2,7 +2,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpurag.kernels.runtime import NEG_INF
-from tpurag.kernels.topk import merge_topk, merge_topk_cols, select_topk
+from tpurag.kernels.topk import (merge_topk, merge_topk_cols, select_topk,
+                                 select_topk_q4)
 
 
 def np_topk(scores, ids, k):
@@ -28,6 +29,78 @@ def test_select_topk_tie_break_smallest_id(rng):
     ids = np.array([[5, 2, 9, 1]], np.int32)
     vals, out = select_topk(jnp.asarray(scores), jnp.asarray(ids), 3)
     np.testing.assert_array_equal(np.asarray(out), [[2, 5, 9]])
+
+
+def test_select_topk_q4_matches_plain(rng):
+    b, n, k = 5, 2048, 8
+    scores = rng.standard_normal((b, n)).astype(np.float32)
+    ids = np.tile(np.arange(n, dtype=np.int32), (b, 1))
+    pv, pi = select_topk(jnp.asarray(scores), jnp.asarray(ids), k)
+    qv, qi = select_topk_q4(jnp.asarray(scores), jnp.asarray(ids), k)
+    np.testing.assert_allclose(np.asarray(qv), np.asarray(pv), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(qi), np.asarray(pi))
+
+
+def test_select_topk_q4_tie_break(rng):
+    # Equal values scattered across all four quarter slices: winner order
+    # must still be ascending by id, matching select_topk / lax.top_k.
+    n = 64
+    scores = np.zeros((1, n), np.float32)
+    scores[0, [3, 17, 33, 49]] = 1.0   # one tie in each quarter
+    scores[0, [5, 21]] = 0.5
+    ids = np.arange(n, dtype=np.int32)[None]
+    qv, qi = select_topk_q4(jnp.asarray(scores), jnp.asarray(ids), 6)
+    np.testing.assert_array_equal(np.asarray(qi), [[3, 17, 33, 49, 5, 21]])
+
+
+def test_select_topk_q4_exhaustion(rng):
+    # k greater than the number of finite candidates: exhausted slots
+    # must come back <= NEG_INF/2 so callers' -1 masking applies.
+    n, k = 32, 8
+    scores = np.full((2, n), NEG_INF, np.float32)
+    scores[0, [1, 30]] = [2.0, 3.0]
+    scores[1, 4] = 1.0
+    ids = np.tile(np.arange(n, dtype=np.int32), (2, 1))
+    qv, qi = select_topk_q4(jnp.asarray(scores), jnp.asarray(ids), k)
+    qv = np.asarray(qv)
+    np.testing.assert_array_equal(qv[0, :2], [3.0, 2.0])
+    np.testing.assert_array_equal(np.asarray(qi)[0, :2], [30, 1])
+    assert np.all(qv[0, 2:] <= NEG_INF / 2)
+    assert np.all(qv[1, 1:] <= NEG_INF / 2)
+
+
+def test_select_topk_q4_duplicate_neginf_ids(rng):
+    # BM25 segsum rows carry duplicate doc ids on NEG_INF (non-end)
+    # lanes; the winner's duplicates may be masked together but real
+    # values must all surface.
+    n, k = 16, 4
+    scores = np.full((1, n), NEG_INF, np.float32)
+    ids = np.arange(n, dtype=np.int32)[None].copy()
+    scores[0, 2] = 5.0
+    ids[0, 6] = 2      # NEG_INF duplicate of doc 2 in another quarter
+    scores[0, 9] = 4.0
+    qv, qi = select_topk_q4(jnp.asarray(scores), jnp.asarray(ids), k)
+    np.testing.assert_array_equal(np.asarray(qi)[0, :2], [2, 9])
+    np.testing.assert_array_equal(np.asarray(qv)[0, :2], [5.0, 4.0])
+
+
+def test_select_topk_q4_random_duplicates_vs_oracle(rng):
+    # Random data + random duplicate ids parked at NEG_INF: the real-
+    # valued (positive) results must match the plain path exactly.
+    b, n, k = 4, 512, 8
+    scores = rng.standard_normal((b, n)).astype(np.float32)
+    ids = np.tile(np.arange(n, dtype=np.int32), (b, 1))
+    dup = rng.integers(0, n, size=(b, 32))
+    for bi in range(b):
+        ids[bi, dup[bi]] = ids[bi, (dup[bi] * 7) % n]
+        scores[bi, dup[bi]] = NEG_INF
+    pv, pi = select_topk(jnp.asarray(scores), jnp.asarray(ids), k)
+    qv, qi = select_topk_q4(jnp.asarray(scores), jnp.asarray(ids), k)
+    pv, pi, qv, qi = map(np.asarray, (pv, pi, qv, qi))
+    live = pv > NEG_INF / 2
+    np.testing.assert_allclose(qv[live], pv[live], rtol=1e-6)
+    np.testing.assert_array_equal(qi[live], pi[live])
+    assert np.all(qv[~live] <= NEG_INF / 2)
 
 
 def test_merge_topk(rng):

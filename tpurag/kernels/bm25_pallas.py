@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpurag.kernels.runtime import NEG_INF, interpret_mode, round_up
-from tpurag.kernels.topk import select_topk
+from tpurag.kernels.topk import select_topk_auto
 
 _BIG = 2**30
 
@@ -137,7 +137,7 @@ def _merge_segsum_kernel(*refs, k: int, p: int, w: int, t: int,
         total = total + jnp.where((dj == doc) & (lane >= j), cj, 0.0)
 
     seg = jnp.where(is_end & (doc < big), total, NEG_INF)
-    vals, ids = select_topk(seg, doc, k)
+    vals, ids = select_topk_auto(seg, doc, k)
     out_v_ref[:] = vals
     out_i_ref[:] = ids
 

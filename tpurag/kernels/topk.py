@@ -47,6 +47,73 @@ def select_topk(scores: jax.Array, ids: jax.Array, k: int):
     )
 
 
+def select_topk_q4(scores: jax.Array, ids: jax.Array, k: int):
+    """Exact top-k via a quarter-split tournament — same contract and
+    tie-break order as select_topk, ~1.5x fewer VPU ops at k=8.
+
+    The row is split into 4 static stride-W/4 slices (static slices keep
+    Mosaic layouts intact; strided/even-odd halving would relayout).
+    A 5-exchange sorting network orders each lane's 4 slot candidates
+    lex-descending, then each of the k extraction passes runs over W/4
+    lanes instead of W: the winner is always some lane's slot-1 (slot-1
+    lex-dominates its lane; the global lex-max must be a slot-1), and
+    extraction shifts that lane's deeper slots up by one.
+
+    Tie-break correctness: for equal values, every deeper slot's id is
+    larger than its own lane's slot-1 id (lex order), so the min-id
+    winner among slot-1 entries is the min-id winner overall — matching
+    select_topk / lax.top_k order exactly.
+
+    Exhausted slots surface as (NEG_INF, stale-id); callers already mask
+    ids where vals <= NEG_INF/2 (same contract as select_topk, which
+    emits the ids of NEG_INF lanes too).
+
+    Requires W % 4 == 0 and W // 4 >= k; use select_topk otherwise.
+    """
+    w = scores.shape[1]
+    q = w // 4
+    s = scores.astype(jnp.float32)
+    vs = [s[:, i * q:(i + 1) * q] for i in range(4)]
+    ii = [ids[:, i * q:(i + 1) * q] for i in range(4)]
+
+    def ce(a, b):
+        gt = _lex_gt(vs[a], ii[a], vs[b], ii[b])
+        va = jnp.where(gt, vs[a], vs[b])
+        ia = jnp.where(gt, ii[a], ii[b])
+        vb = jnp.where(gt, vs[b], vs[a])
+        ib = jnp.where(gt, ii[b], ii[a])
+        vs[a], ii[a], vs[b], ii[b] = va, ia, vb, ib
+
+    for a, b in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+        ce(a, b)
+    v1, v2, v3, v4 = vs
+    i1, i2, i3, i4 = ii
+    vals, outs = [], []
+    for _ in range(k):
+        m = jnp.max(v1, axis=1, keepdims=True)
+        win = jnp.min(jnp.where(v1 >= m, i1, _BIG_ID), axis=1,
+                      keepdims=True)
+        chosen = i1 == win
+        vals.append(m)
+        outs.append(win)
+        v1 = jnp.where(chosen, v2, v1)
+        i1 = jnp.where(chosen, i2, i1)
+        v2 = jnp.where(chosen, v3, v2)
+        i2 = jnp.where(chosen, i3, i2)
+        v3 = jnp.where(chosen, v4, v3)
+        i3 = jnp.where(chosen, i4, i3)
+        v4 = jnp.where(chosen, NEG_INF, v4)
+    return jnp.concatenate(vals, axis=1), jnp.concatenate(outs, axis=1)
+
+
+def select_topk_auto(scores: jax.Array, ids: jax.Array, k: int):
+    """select_topk_q4 when the shape qualifies, select_topk otherwise."""
+    w = scores.shape[1]
+    if w % 4 == 0 and w // 4 >= k and w >= 512:
+        return select_topk_q4(scores, ids, k)
+    return select_topk(scores, ids, k)
+
+
 def merge_topk(vals_a, ids_a, vals_b, ids_b, k: int):
     """Merge two (B, ka)/(B, kb) sorted-or-not candidate sets into top-k."""
     vals = jnp.concatenate([vals_a, vals_b], axis=1)
@@ -77,7 +144,7 @@ def fold_candidates_asc(run_v, run_i, s, col, k: int, big_id: int):
     (still descending) -> elementwise-lexmax + bitonic merge (no reverse,
     see merge_topk_cols_asc)."""
     kp = run_v.shape[0]
-    tv, ti = select_topk(s, col, k)              # (tb, k) desc
+    tv, ti = select_topk_auto(s, col, k)         # (tb, k) desc
     tvt = tv.T                                   # (k, tb)
     tit = ti.T
     if kp > k:
