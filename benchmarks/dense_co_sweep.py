@@ -1,0 +1,104 @@
+"""Production-kernel sweep after the q4-extraction commit.
+
+Slope-times dense_topk_pallas (query-outer) vs dense_topk_pallas_co
+(corpus-outer) at the headline shape (100k x 1024 bf16, b in {256,1024})
+across (tile_b, chunk_n) to pick the dispatcher defaults. Writes
+benchmarks/results_dense_co.json.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import pathlib
+import time
+
+import numpy as np
+
+
+def main():
+    import os
+
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpurag.kernels.dense import dense_topk_pallas, dense_topk_pallas_co
+
+    print(f"backend={jax.default_backend()}", flush=True)
+    results = {}
+    I1, I2, reps = 20, 80, 5
+
+    def bench(make_chained, ops, label, work):
+        times = {}
+        for iters in (I1, I2):
+            chained = make_chained(iters)
+            low = chained.lower(jnp.float32(0.0), *ops)
+            comp = low.compile()
+            float(comp(jnp.float32(0.0), *ops).block_until_ready())
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(comp(jnp.float32(0.0), *ops).block_until_ready())
+                ts.append(time.perf_counter() - t0)
+            times[iters] = min(ts)
+        per_iter = (times[I2] - times[I1]) / (I2 - I1)
+        line = f"{label:34s} {per_iter * 1e3:8.3f}ms/iter"
+        if work.get("flops"):
+            line += f"  {work['flops'] / per_iter / 1e12:7.1f} TFLOP/s"
+        print(line, flush=True)
+        results[label] = {"ms": per_iter * 1e3,
+                          **{k: v for k, v in work.items() if v}}
+
+    rng = np.random.default_rng(0)
+    n, d, k = 100_000, 1024, 8
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+    import ml_dtypes
+    emb_dev = jnp.asarray(emb.astype(ml_dtypes.bfloat16))
+
+    for b in (256, 1024):
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        q_dev = jnp.asarray(q)
+        flops = 2 * b * (-(-n // 2048) * 2048) * d
+        variants = [("qo-auto", functools.partial(dense_topk_pallas, k=k))]
+        for tb in (128, 256, 512):
+            if tb > b:
+                continue
+            for cn in (1024, 2048):
+                variants.append((
+                    f"co tb{tb} cn{cn}",
+                    functools.partial(dense_topk_pallas_co, k=k, tile_b=tb,
+                                      tile_n=2048, chunk_n=cn)))
+
+        for name, fn in variants:
+            def make(iters, fn=fn):
+                @jax.jit
+                def chained(x0, qq, e):
+                    def step(i, acc):
+                        q2 = qq * (1.0 + i.astype(jnp.float32) * 1e-7)
+                        v, _ = fn(q2, e, np.int32(n))
+                        return acc + v[0, 0] * 1e-30
+                    return jax.lax.fori_loop(0, iters, step, x0)
+                return chained
+
+            try:
+                bench(make, (q_dev, emb_dev), f"b={b} {name}",
+                      {"flops": flops})
+            except Exception as e:
+                print(f"b={b} {name}: {type(e).__name__}: {str(e)[:160]}",
+                      flush=True)
+
+    out = pathlib.Path(__file__).parent / "results_dense_co.json"
+    out.write_text(json.dumps(results, indent=1))
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -106,10 +106,23 @@ def select_topk_q4(scores: jax.Array, ids: jax.Array, k: int):
     return jnp.concatenate(vals, axis=1), jnp.concatenate(outs, axis=1)
 
 
+import os
+
+_Q4_ENABLED = os.environ.get("TPURAG_TOPK_Q4", "0") == "1"
+
+
 def select_topk_auto(scores: jax.Array, ids: jax.Array, k: int):
-    """select_topk_q4 when the shape qualifies, select_topk otherwise."""
+    """select_topk_q4 when the shape qualifies AND the opt-in flag is set,
+    select_topk otherwise.
+
+    q4 is gated OFF by default: its static lane-quarter slices crash the
+    Mosaic vector-layout pass on real v5e when the call sits inside a
+    `pl.when` region (vector_extract_strided_slice_rule check failure,
+    `limits[i] <= dim(i)`), even though interpret mode passes. Flip
+    TPURAG_TOPK_Q4=1 only after validating the target shape on chip
+    (benchmarks/tpu_smoke.py)."""
     w = scores.shape[1]
-    if w % 4 == 0 and w // 4 >= k and w >= 512:
+    if _Q4_ENABLED and w % 4 == 0 and w // 4 >= k and w >= 512:
         return select_topk_q4(scores, ids, k)
     return select_topk(scores, ids, k)
 
