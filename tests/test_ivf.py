@@ -425,3 +425,53 @@ def test_save_load_bf16_storage_dtype(corpus, tmp_path):
     s2, i2 = ivf2.search(q, k=5, nprobe=8)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
+
+
+def test_kb_ivf_auto_refresh_on_sustained_ingest(rng):
+    """Round-4 verdict item 5: sustained ingest past the tail-growth
+    bound must trigger a background IVF rebuild (single-flight), so
+    mode='ivf' latency stays bounded instead of degrading toward the
+    exact tail scan. The partition snapshot advances and new docs are
+    served from the partition, not the tail."""
+    from tpurag import KnowledgeBase
+    from tpurag.core.config import EngineConfig, IVFConfig
+
+    cfg = EngineConfig(ivf=IVFConfig(
+        n_lists=8, n_probe=8, kmeans_iters=2,
+        auto_refresh_ratio=0.25, auto_refresh_min_rows=8))
+    kb = KnowledgeBase("ivf-refresh", config=cfg)
+    for i in range(40):
+        kb.add_document(f"doc{i}", f"document number {i} about topic "
+                                   f"{['ships', 'birds', 'rocks'][i % 3]} "
+                                   * 4)
+    kb.build_ivf()
+    built0 = kb._ivf_built_at
+    # Stream enough docs to exceed 25% tail growth (+ the 8-row floor).
+    for i in range(40, 80):
+        kb.add_document(f"doc{i}", f"later document {i} about "
+                                   f"{['gears', 'levers'][i % 2]} " * 4)
+    kb.wait_ivf_refresh()
+    assert kb._ivf_built_at > built0, "background rebuild never swapped in"
+    assert kb.dense.n_active - kb._ivf_built_at \
+        < max(8, 0.25 * kb._ivf_built_at) + 40  # tail bounded again
+    r = kb.search("later document about gears", mode="ivf", top_k=3)
+    assert r.results and any("gears" in x.text for x in r.results)
+
+
+def test_kb_ivf_auto_refresh_disabled(rng):
+    from tpurag import KnowledgeBase
+    from tpurag.core.config import EngineConfig, IVFConfig
+
+    cfg = EngineConfig(ivf=IVFConfig(
+        n_lists=8, n_probe=8, kmeans_iters=2, auto_refresh_ratio=None))
+    kb = KnowledgeBase("ivf-norefresh", config=cfg)
+    for i in range(30):
+        kb.add_document(f"doc{i}", f"document {i} about ships " * 4)
+    kb.build_ivf()
+    built0 = kb._ivf_built_at
+    for i in range(30, 90):
+        kb.add_document(f"doc{i}", f"later document {i} levers " * 4)
+    kb.wait_ivf_refresh()
+    assert kb._ivf_built_at == built0  # policy off: tail only
+    r = kb.search("later levers document", mode="ivf", top_k=3)
+    assert r.results  # still served via the exact tail scan

@@ -174,6 +174,17 @@ class IVFConfig:
     # k-means skew (5.6x at 10M) multiplies every probe's cost
     # (index/ivf.py:split_oversized). None disables.
     max_cluster_factor: Optional[float] = 2.0
+    # Auto-refresh policy (round-4 verdict item 5): after build_ivf(),
+    # new rows accumulate in an exact-scanned tail whose cost grows
+    # linearly — without a rebuild, sustained ingest degrades
+    # mode='ivf' toward exact-scan latency. When the tail exceeds
+    # auto_refresh_ratio x partition size (and auto_refresh_min_rows,
+    # the churn floor), a background single-flight rebuild snapshots
+    # the corpus and swaps in under the write lock. Mirrors the
+    # inverted index's 25% tail-compaction bound
+    # (index/inverted.py TAIL_COMPACT_RATIO). None disables.
+    auto_refresh_ratio: Optional[float] = 0.25
+    auto_refresh_min_rows: int = 4096
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,12 +41,18 @@ def hybrid_search(
     query_texts: list[str],
     preset: HybridPreset,
     dense_search=None,
+    sync: bool = True,
 ):
     """Batch hybrid search.
 
     dense_search: optional (query_vecs, k) -> (scores, ids) device-leg
     override — e.g. the KB's IVF+tail leg (mode='hybrid_ivf'), whose
     probe-scan cost scales with nprobe·c_max instead of the corpus.
+
+    sync=False leaves the fused triple ON DEVICE (async-dispatched, not
+    yet executed): the pipelined serving path dispatches batch N+1's
+    search while batch N's device work drains, then pays its one host
+    sync in a separate finalize phase (round-4 verdict item 4).
 
     Returns (scores, ids, src_bits) — (B, final_top_k) arrays; empty slots
     are (-inf, -1, 0).
@@ -76,8 +82,9 @@ def hybrid_search(
         rrf_k=preset.rrf_k,
         both_bonus=preset.both_bonus,
     )
-    fused_scores, fused_ids, bits = jax.device_get(
-        (fused_scores, fused_ids, bits))
+    if sync:
+        fused_scores, fused_ids, bits = jax.device_get(
+            (fused_scores, fused_ids, bits))
     return fused_scores, fused_ids, bits
 
 
