@@ -99,6 +99,27 @@ INDEX_HTML = """<!doctype html>
   <div id="elog" style="max-height:380px;overflow-y:auto;font-size:13px">
   </div>
 </section>
+<section style="grid-column:1 / -1">
+  <h2>Codebases</h2>
+  <form id="cbreg">
+    <input id="cbpath" type="text" placeholder="repo path or URL…">
+    <button>Add + process</button>
+    <select id="cbsel" style="max-width:16em"></select>
+    <button type="button" id="cbmg">Module graph</button>
+  </form>
+  <div id="cbprog" class="meta" style="color:var(--dim);font-size:13px"></div>
+  <div style="display:grid;grid-template-columns:1fr 1fr;gap:14px">
+    <div>
+      <div id="cblog" style="max-height:360px;overflow-y:auto"></div>
+      <form id="cbchat">
+        <input id="cbq" type="text" placeholder="ask about the codebase…">
+        <button>Ask</button>
+      </form>
+    </div>
+    <canvas id="cbcanvas" width="640" height="380"
+      style="width:100%;background:var(--bg);border-radius:8px"></canvas>
+  </div>
+</section>
 </main>
 <script>
 const $ = (id) => document.getElementById(id);
@@ -129,10 +150,90 @@ function esc(s) {
 function hl(s) {  // **term** highlight markup -> <b>
   return esc(s).replace(/\\*\\*([^*]+)\\*\\*/g, "<b>$1</b>");
 }
-// Minimal mermaid FLOWCHART renderer (DiagramMessage.tsx parity pane;
-// zero-egress: no mermaid.js CDN). Other diagram types fall back to
-// the source block.
+// Minimal mermaid renderer (DiagramMessage.tsx parity pane; zero-egress:
+// no mermaid.js CDN). Flowcharts + sequence diagrams render to SVG;
+// other diagram types fall back to the source block.
+function renderSequence(src) {
+  const lines = src.trim().split("\\n").map(l => l.trim()).filter(Boolean);
+  if (!/^sequenceDiagram/.test(lines[0] || "")) return null;
+  const parts = [], order = {}, msgs = [];
+  const addP = (name, alias) => {
+    if (!(name in order)) { order[name] = parts.length;
+      parts.push({id: name, label: alias || name}); }
+    else if (alias) parts[order[name]].label = alias;
+  };
+  const msgRe = /^([^-<>:]+?)\\s*(-->>|->>|-->|->|-x|--x)\\s*([^:]+?)\\s*:\\s*(.*)$/;
+  for (const ln of lines.slice(1)) {
+    let m = /^participant\\s+(\\S+)(?:\\s+as\\s+(.+))?$/.exec(ln) ||
+            /^actor\\s+(\\S+)(?:\\s+as\\s+(.+))?$/.exec(ln);
+    if (m) { addP(m[1], m[2]); continue; }
+    m = msgRe.exec(ln);
+    if (m) {
+      addP(m[1]); addP(m[3]);
+      msgs.push({s: m[1], t: m[3], label: m[4],
+                 dashed: m[2].startsWith("--")});
+      continue;
+    }
+    m = /^[Nn]ote\\s+(?:over|left of|right of)\\s+([^:]+?)\\s*:\\s*(.*)$/.exec(ln);
+    if (m) { m[1].split(",").map(x => x.trim()).forEach(x => addP(x));
+             msgs.push({note: m[1].split(",").map(x => x.trim()),
+                        label: m[2]}); continue; }
+    // loop/alt/end/activate/autonumber etc.: skipped, arrows still render
+  }
+  if (!parts.length || !msgs.length) return null;
+  const PW = 120, GAP = 46, ROW = 34, TOP = 46;
+  const W = parts.length * (PW + GAP), H = TOP + (msgs.length + 1) * ROW + 20;
+  const px = i => (i + 0.5) * (PW + GAP);
+  const sEsc = s => s.replace(/&/g, "&amp;").replace(/</g, "&lt;")
+                     .replace(/"/g, "&quot;");
+  let svg = `<svg viewBox="0 0 ${W} ${H}" style="max-width:100%;` +
+    `background:var(--bg);border-radius:8px" ` +
+    `xmlns="http://www.w3.org/2000/svg">` +
+    `<defs><marker id="sarr" viewBox="0 0 10 10" refX="9" refY="5" ` +
+    `markerWidth="7" markerHeight="7" orient="auto-start-reverse">` +
+    `<path d="M0,0L10,5L0,10z" fill="#8b98a5"/></marker></defs>`;
+  parts.forEach((p, i) => {
+    const x = px(i);
+    svg += `<line x1="${x}" y1="${TOP}" x2="${x}" y2="${H - 10}" ` +
+      `stroke="#2c333b" stroke-dasharray="4 4"/>` +
+      `<rect x="${x - PW / 2}" y="8" width="${PW}" height="28" rx="7" ` +
+      `fill="#24424f" stroke="#4fc3f7"/>` +
+      `<text x="${x}" y="26" fill="#e6edf3" font-size="11" ` +
+      `text-anchor="middle">${sEsc(p.label.slice(0, 18))}</text>`;
+  });
+  msgs.forEach((mg, i) => {
+    const y = TOP + (i + 1) * ROW;
+    if (mg.note) {
+      const xs = mg.note.map(n => px(order[n]));
+      const x0 = Math.min(...xs) - PW / 3, x1 = Math.max(...xs) + PW / 3;
+      svg += `<rect x="${x0}" y="${y - 14}" width="${x1 - x0}" ` +
+        `height="22" rx="4" fill="#3a3428" stroke="#ffb74d"/>` +
+        `<text x="${(x0 + x1) / 2}" y="${y + 1}" fill="#ffb74d" ` +
+        `font-size="10" text-anchor="middle">` +
+        sEsc(mg.label.slice(0, 40)) + `</text>`;
+      return;
+    }
+    const a = px(order[mg.s]), b = px(order[mg.t]);
+    if (mg.s === mg.t) {   // self message: small loop
+      svg += `<path d="M ${a} ${y - 8} C ${a + 40} ${y - 8}, ` +
+        `${a + 40} ${y + 8}, ${a + 4} ${y + 8}" fill="none" ` +
+        `stroke="#8b98a5" marker-end="url(#sarr)"/>` +
+        `<text x="${a + 46}" y="${y + 3}" fill="#8b98a5" ` +
+        `font-size="10">${sEsc(mg.label.slice(0, 32))}</text>`;
+      return;
+    }
+    svg += `<line x1="${a}" y1="${y}" x2="${b}" y2="${y}" ` +
+      `stroke="#8b98a5" marker-end="url(#sarr)"` +
+      (mg.dashed ? ` stroke-dasharray="5 4"` : ``) + `/>` +
+      `<text x="${(a + b) / 2}" y="${y - 5}" fill="#8b98a5" ` +
+      `font-size="10" text-anchor="middle">` +
+      sEsc(mg.label.slice(0, 40)) + `</text>`;
+  });
+  return svg + "</svg>";
+}
 function renderMermaid(src) {
+  const seq = renderSequence(src);
+  if (seq) return seq;
   const lines = src.trim().split("\\n").map(l => l.trim()).filter(Boolean);
   const head = /^(flowchart|graph)\\s+(TD|TB|LR)/.exec(lines[0] || "");
   if (!head) return null;
@@ -282,8 +383,64 @@ $("cform").onsubmit = async (ev) => {
   } catch (e) { hold.innerHTML = `<span class=err>${esc(String(e))}</span>`; }
   $("chatlog").scrollTop = 1e9;
 };
-// --- knowledge graph: force-directed canvas (KnowledgeGraphV2.tsx
-// parity pane; self-contained — zero-egress deployments have no CDN) ---
+// --- force-directed canvas (KnowledgeGraphV2.tsx parity; shared by the
+// knowledge-graph and codebase module-graph panes; self-contained —
+// zero-egress deployments have no CDN) ---
+function forceDraw(cv, rawNodes, rawEdges, labelAll) {
+  const nodes = (rawNodes || []).slice(0, 120);
+  const byId = Object.fromEntries(nodes.map(n => [n.id, n]));
+  const edges = (rawEdges || []).filter(e => byId[e.source] && byId[e.target]);
+  const ctx = cv.getContext("2d");
+  const W = cv.width, H = cv.height;
+  nodes.forEach((n, i) => {
+    const a = 2 * Math.PI * i / nodes.length;
+    n.x = W/2 + 0.35*W*Math.cos(a); n.y = H/2 + 0.35*H*Math.sin(a);
+    n.vx = 0; n.vy = 0;
+  });
+  for (let it = 0; it < 200; it++) {       // springs + repulsion
+    for (const a of nodes) for (const b of nodes) {
+      if (a === b) continue;
+      let dx = a.x-b.x, dy = a.y-b.y, d2 = dx*dx+dy*dy+0.01;
+      const f = 800 / d2;
+      a.vx += f*dx; a.vy += f*dy;
+    }
+    for (const e of edges) {
+      const s = byId[e.source], t = byId[e.target];
+      const dx = t.x-s.x, dy = t.y-s.y;
+      const d = Math.sqrt(dx*dx+dy*dy)+0.01, f = 0.02*(d-80)/d;
+      s.vx += f*dx; s.vy += f*dy; t.vx -= f*dx; t.vy -= f*dy;
+    }
+    for (const n of nodes) {
+      n.vx += (W/2-n.x)*0.002; n.vy += (H/2-n.y)*0.002;  // gravity
+      n.x += Math.max(-5, Math.min(5, n.vx));
+      n.y += Math.max(-5, Math.min(5, n.vy));
+      n.vx *= 0.5; n.vy *= 0.5;
+      n.x = Math.max(10, Math.min(W-10, n.x));
+      n.y = Math.max(10, Math.min(H-10, n.y));
+    }
+  }
+  ctx.clearRect(0, 0, W, H);
+  ctx.strokeStyle = "#2c333b";
+  for (const e of edges) {
+    const s = byId[e.source], t = byId[e.target];
+    ctx.lineWidth = Math.min(3, 0.5 + (e.weight || 1) * 0.3);
+    ctx.beginPath(); ctx.moveTo(s.x, s.y); ctx.lineTo(t.x, t.y);
+    ctx.stroke();
+  }
+  const colors = {};
+  const palette = ["#4fc3f7","#81c784","#ffb74d","#ba68c8","#e57373",
+                   "#4db6ac","#f06292"];
+  for (const n of nodes) {
+    const c = colors[n.type] ??
+      (colors[n.type] = palette[Object.keys(colors).length % 7]);
+    ctx.fillStyle = c;
+    ctx.beginPath(); ctx.arc(n.x, n.y, 5, 0, 7); ctx.fill();
+  }
+  ctx.fillStyle = "#8b98a5"; ctx.font = "10px system-ui";
+  for (const n of nodes.slice(0, labelAll ? 120 : 50))
+    ctx.fillText(String(n.id).slice(0, 18), n.x + 7, n.y + 3);
+  return {nodes: nodes.length, edges: edges.length};
+}
 $("gform").onsubmit = async (ev) => {
   ev.preventDefault();
   $("gstats").textContent = "loading…";
@@ -291,63 +448,95 @@ $("gform").onsubmit = async (ev) => {
     const r = await fetch("/graph", {headers: authHeaders()});
     if (!r.ok) throw new Error((await r.json()).error || r.status);
     const g = await r.json();
-    const nodes = (g.nodes || []).slice(0, 120);
-    const byId = Object.fromEntries(nodes.map(n => [n.id, n]));
-    const edges = (g.edges || []).filter(e => byId[e.source] && byId[e.target]);
+    const c = forceDraw($("gcanvas"), g.nodes, g.edges);
     $("gstats").textContent =
-      `${g.stats?.entities ?? nodes.length} entities · ` +
-      `${g.stats?.relations ?? edges.length} relations`;
-    const cv = $("gcanvas"), ctx = cv.getContext("2d");
-    const W = cv.width, H = cv.height;
-    nodes.forEach((n, i) => {
-      const a = 2 * Math.PI * i / nodes.length;
-      n.x = W/2 + 0.35*W*Math.cos(a); n.y = H/2 + 0.35*H*Math.sin(a);
-      n.vx = 0; n.vy = 0;
-    });
-    for (let it = 0; it < 200; it++) {       // springs + repulsion
-      for (const a of nodes) for (const b of nodes) {
-        if (a === b) continue;
-        let dx = a.x-b.x, dy = a.y-b.y, d2 = dx*dx+dy*dy+0.01;
-        const f = 800 / d2;
-        a.vx += f*dx; a.vy += f*dy;
-      }
-      for (const e of edges) {
-        const s = byId[e.source], t = byId[e.target];
-        const dx = t.x-s.x, dy = t.y-s.y;
-        const d = Math.sqrt(dx*dx+dy*dy)+0.01, f = 0.02*(d-80)/d;
-        s.vx += f*dx; s.vy += f*dy; t.vx -= f*dx; t.vy -= f*dy;
-      }
-      for (const n of nodes) {
-        n.vx += (W/2-n.x)*0.002; n.vy += (H/2-n.y)*0.002;  // gravity
-        n.x += Math.max(-5, Math.min(5, n.vx));
-        n.y += Math.max(-5, Math.min(5, n.vy));
-        n.vx *= 0.5; n.vy *= 0.5;
-        n.x = Math.max(10, Math.min(W-10, n.x));
-        n.y = Math.max(10, Math.min(H-10, n.y));
-      }
-    }
-    ctx.clearRect(0, 0, W, H);
-    ctx.strokeStyle = "#2c333b";
-    for (const e of edges) {
-      const s = byId[e.source], t = byId[e.target];
-      ctx.lineWidth = Math.min(3, 0.5 + (e.weight || 1) * 0.3);
-      ctx.beginPath(); ctx.moveTo(s.x, s.y); ctx.lineTo(t.x, t.y);
-      ctx.stroke();
-    }
-    const colors = {};
-    const palette = ["#4fc3f7","#81c784","#ffb74d","#ba68c8","#e57373",
-                     "#4db6ac","#f06292"];
-    for (const n of nodes) {
-      const c = colors[n.type] ??
-        (colors[n.type] = palette[Object.keys(colors).length % 7]);
-      ctx.fillStyle = c;
-      ctx.beginPath(); ctx.arc(n.x, n.y, 5, 0, 7); ctx.fill();
-    }
-    ctx.fillStyle = "#8b98a5"; ctx.font = "10px system-ui";
-    for (const n of nodes.slice(0, 50))
-      ctx.fillText(String(n.id).slice(0, 18), n.x + 7, n.y + 3);
+      `${g.stats?.entities ?? c.nodes} entities · ` +
+      `${g.stats?.relations ?? c.edges} relations`;
   } catch (e) { $("gstats").textContent = String(e); }
 };
+// --- codebases: register + SSE process + chat + module graph
+// (src/app/codebases/* parity pane) ---
+async function cbRefresh(selectId) {
+  try {
+    const r = await fetch("/codebases", {headers: authHeaders()});
+    const out = await r.json();
+    $("cbsel").innerHTML = (out.codebases || []).map(c =>
+      `<option value="${esc(c.id)}"` +
+      (c.id === selectId ? " selected" : "") +
+      `>${esc(c.id)} · ${esc(c.status)} · ${c.files} files</option>`
+    ).join("");
+  } catch (e) { /* pane stays empty when codebases are off */ }
+}
+$("cbreg").onsubmit = async (ev) => {
+  ev.preventDefault();
+  const path = $("cbpath").value.trim(); if (!path) return;
+  $("cbprog").textContent = "registering…";
+  try {
+    const reg = await api("/codebases", {path});
+    await cbRefresh(reg.id);
+    // SSE 6-step pipeline (codebases/[id]/process parity)
+    const r = await fetch(`/codebases/${encodeURIComponent(reg.id)}/process`,
+                          {headers: authHeaders()});
+    if (!r.ok || !r.body) throw new Error("process stream unavailable");
+    const reader = r.body.getReader(), dec = new TextDecoder();
+    let buf = "";
+    for (;;) {
+      const {value, done} = await reader.read();
+      if (done) break;
+      buf += dec.decode(value, {stream: true});
+      let i;
+      while ((i = buf.indexOf("\\n\\n")) >= 0) {
+        const frame = buf.slice(0, i); buf = buf.slice(i + 2);
+        const dm = /data: (.*)/.exec(frame);
+        if (!dm) continue;
+        const d = JSON.parse(dm[1]);
+        if (d.step || d.progress !== undefined)
+          $("cbprog").textContent =
+            `${d.progress ?? ""}% ${d.step || d.status || ""}`;
+        if (d.error) $("cbprog").textContent = "error: " + d.error;
+      }
+    }
+    $("cbprog").textContent += " · done";
+    await cbRefresh(reg.id);
+  } catch (e) { $("cbprog").textContent = String(e); }
+};
+$("cbchat").onsubmit = async (ev) => {
+  ev.preventDefault();
+  const id = $("cbsel").value, q = $("cbq").value.trim();
+  if (!id || !q) return;
+  $("cbq").value = "";
+  $("cblog").insertAdjacentHTML("beforeend",
+    `<div class="msg user">${esc(q)}</div>`);
+  const hold = document.createElement("div");
+  hold.className = "msg bot"; hold.textContent = "…";
+  $("cblog").appendChild(hold);
+  $("cblog").scrollTop = 1e9;
+  try {
+    const out = await api(`/codebases/${encodeURIComponent(id)}/chat`,
+                          {question: q});
+    hold.innerHTML = renderAnswer(out.answer || "") +
+      ((out.sourceNodes || []).length
+        ? `<div class=src>sources: ${out.sourceNodes.slice(0, 6).map(s =>
+            esc((s.filePath || s.file || s.path || s.name || "") +
+                (s.line ? ":" + s.line : "")))
+            .join(", ")}</div>` : "");
+  } catch (e) { hold.innerHTML = `<span class=err>${esc(String(e))}</span>`; }
+  $("cblog").scrollTop = 1e9;
+};
+$("cbmg").onclick = async () => {
+  const id = $("cbsel").value; if (!id) return;
+  $("cbprog").textContent = "loading module graph…";
+  try {
+    const r = await fetch(
+      `/codebases/${encodeURIComponent(id)}/module-graph`,
+      {headers: authHeaders()});
+    if (!r.ok) throw new Error((await r.json()).error || r.status);
+    const g = await r.json();
+    const c = forceDraw($("cbcanvas"), g.nodes, g.edges, true);
+    $("cbprog").textContent = `${c.nodes} modules · ${c.edges} deps`;
+  } catch (e) { $("cbprog").textContent = String(e); }
+};
+cbRefresh();
 // --- live eval over SSE (dashboard/eval/page.tsx parity pane).
 // fetch-streaming instead of EventSource so the Bearer header works. ---
 $("eform").onsubmit = async (ev) => {
