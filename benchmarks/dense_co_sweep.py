@@ -18,6 +18,9 @@ import numpy as np
 
 def main():
     import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
 
     os.environ.pop("XLA_FLAGS", None)
     import jax
@@ -77,7 +80,21 @@ def main():
                     functools.partial(dense_topk_pallas_co, k=k, tile_b=tb,
                                       tile_n=2048, chunk_n=cn)))
 
+        # correctness cross-check before timing (the q4-lane fold must
+        # match the XLA oracle on chip, not just in interpret mode)
+        from tpurag.kernels.dense import dense_topk_xla
+        xv, xi = jax.jit(functools.partial(dense_topk_xla, k=k))(
+            q_dev, emb_dev, np.int32(n))
+        xi = np.asarray(xi)
         for name, fn in variants:
+            pv, pi = jax.jit(functools.partial(fn))(q_dev, emb_dev,
+                                                    np.int32(n))
+            match = bool(np.array_equal(np.asarray(pi), xi))
+            print(f"b={b} {name}: ids match XLA oracle: {match}",
+                  flush=True)
+            if not match:
+                continue
+
             def make(iters, fn=fn):
                 @jax.jit
                 def chained(x0, qq, e):

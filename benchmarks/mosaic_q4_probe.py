@@ -1,0 +1,137 @@
+"""Isolate the Mosaic vector-layout crash that select_topk_q4 triggers
+on real v5e (vector_extract_strided_slice_rule: limits[i] <= dim(i)).
+
+Probes, each a minimal pallas kernel at (256, 2048) fp32:
+  K1  q4 extraction, straight-line (no pl.when)
+  K2  q4 extraction inside @pl.when
+  K3  plain lane-quarter slices + elementwise max, inside @pl.when
+  K4  full fold_candidates_asc path with q4 forced, inside @pl.when
+
+Run each in a SUBPROCESS so a compiler SIGABRT doesn't kill the probe
+loop; sleep between cases to let the relay helper respawn.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+CASE_SRC = r"""
+import os
+os.environ.pop("XLA_FLAGS", None)
+os.environ["TPURAG_TOPK_Q4"] = "1"
+import sys
+import functools
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, "/root/repo")
+from tpurag.kernels.topk import (select_topk_q4, select_topk,
+                                 fold_candidates_asc, init_run_asc,
+                                 emit_desc)
+
+case = sys.argv[1]
+TB, W, K = 256, 2048, 8
+
+def kern(s_ref, out_v_ref, out_i_ref, run_v=None, run_i=None):
+    ids = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1)
+    s = s_ref[:]
+    if case == "K1":
+        v, i = select_topk_q4(s, ids, K)
+        out_v_ref[:] = v
+        out_i_ref[:] = i
+    elif case == "K2":
+        out_v_ref[:] = jnp.zeros((TB, K), jnp.float32)
+        out_i_ref[:] = jnp.zeros((TB, K), jnp.int32)
+        @pl.when(jnp.max(s) > -1e30)
+        def _():
+            v, i = select_topk_q4(s, ids, K)
+            out_v_ref[:] = v
+            out_i_ref[:] = i
+    elif case == "K3":
+        out_v_ref[:] = jnp.zeros((TB, K), jnp.float32)
+        out_i_ref[:] = jnp.zeros((TB, K), jnp.int32)
+        @pl.when(jnp.max(s) > -1e30)
+        def _():
+            q = W // 4
+            vs = [s[:, i * q:(i + 1) * q] for i in range(4)]
+            m = jnp.maximum(jnp.maximum(vs[0], vs[1]),
+                            jnp.maximum(vs[2], vs[3]))
+            out_v_ref[:] = m[:, :K]
+            out_i_ref[:] = m[:, :K].astype(jnp.int32)
+    elif case == "K4":
+        kp = 8
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            rv, ri = init_run_asc(run_v[:], run_i[:], 2**30)
+            run_v[:] = rv
+            run_i[:] = ri
+        @pl.when(jnp.max(s) > -1e30)
+        def _():
+            rv, ri = fold_candidates_asc(run_v[:], run_i[:], s, ids, K,
+                                         2**30)
+            run_v[:] = rv
+            run_i[:] = ri
+        ov, oi = emit_desc(run_v[:], run_i[:], K)
+        out_v_ref[:] = ov
+        out_i_ref[:] = oi
+
+scratch = []
+if case == "K4":
+    scratch = [pltpu.VMEM((8, TB), jnp.float32),
+               pltpu.VMEM((8, TB), jnp.int32)]
+
+fn = pl.pallas_call(
+    kern,
+    grid=(1,),
+    in_specs=[pl.BlockSpec((TB, W), lambda j: (0, 0),
+                           memory_space=pltpu.VMEM)],
+    out_specs=[pl.BlockSpec((TB, K), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM),
+               pl.BlockSpec((TB, K), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)],
+    out_shape=[jax.ShapeDtypeStruct((TB, K), jnp.float32),
+               jax.ShapeDtypeStruct((TB, K), jnp.int32)],
+    scratch_shapes=scratch,
+)
+rng = np.random.default_rng(0)
+s = jnp.asarray(rng.standard_normal((TB, W)), jnp.float32)
+v, i = jax.jit(fn)(s)
+v.block_until_ready()
+# cross-check against the plain path on one row
+pv, pi = select_topk(s[:1], jax.lax.broadcasted_iota(jnp.int32, (1, W), 1), K)
+if case in ("K1", "K2"):
+    ok = bool(jnp.all(i[0] == pi[0]))
+    print(f"{case}: compiled ok, row0 ids match plain: {ok}")
+else:
+    print(f"{case}: compiled ok")
+"""
+
+
+def main():
+    for case in ("K1", "K2", "K3", "K4"):
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, "-c", CASE_SRC, case],
+            capture_output=True, text=True, timeout=400,
+            cwd="/root/repo")
+        out = (r.stdout + r.stderr)
+        verdict = "OK" if r.returncode == 0 else f"FAIL rc={r.returncode}"
+        sig = ""
+        for line in out.splitlines():
+            if "Check failed" in line or f"{case}:" in line:
+                sig = line.strip()[:140]
+                break
+        print(f"{case}: {verdict} ({time.time()-t0:.0f}s)  {sig}",
+              flush=True)
+        if r.returncode != 0:
+            time.sleep(75)  # let the relay compile helper respawn
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Second-stage bisect of the q4 Mosaic crash.
+
+  K5  sorting network only (5 conditional exchanges), emit v1[:, :K]
+  K6  extraction loop only on the raw first quarter (select_topk on a
+      lane-sliced operand) — no network, no shift chain
+  K7  extraction loop + the 4-way shift-up chain, no network
+  K8  q4 but with each quarter passed through lax.optimization_barrier
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+
+CASE_SRC = r"""
+import os
+os.environ.pop("XLA_FLAGS", None)
+import sys
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, "/root/repo")
+from tpurag.kernels.topk import _lex_gt, select_topk
+from tpurag.kernels.runtime import NEG_INF
+
+case = sys.argv[1]
+TB, W, K = 256, 2048, 8
+_BIG_ID = 2**31 - 1
+
+def kern(s_ref, out_v_ref, out_i_ref):
+    ids = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1)
+    s = s_ref[:]
+    q = W // 4
+    vs = [s[:, i * q:(i + 1) * q] for i in range(4)]
+    ii = [ids[:, i * q:(i + 1) * q] for i in range(4)]
+    if case == "K8":
+        vs = [jax.lax.optimization_barrier(v) for v in vs]
+        ii = [jax.lax.optimization_barrier(i) for i in ii]
+
+    def network():
+        def ce(a, b):
+            gt = _lex_gt(vs[a], ii[a], vs[b], ii[b])
+            va = jnp.where(gt, vs[a], vs[b])
+            ia = jnp.where(gt, ii[a], ii[b])
+            vb = jnp.where(gt, vs[b], vs[a])
+            ib = jnp.where(gt, ii[b], ii[a])
+            vs[a], ii[a], vs[b], ii[b] = va, ia, vb, ib
+        for a, b in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+            ce(a, b)
+
+    def extract(v1, i1, v2, i2, v3, i3, v4, i4, shift):
+        vals, outs = [], []
+        for _ in range(K):
+            m = jnp.max(v1, axis=1, keepdims=True)
+            win = jnp.min(jnp.where(v1 >= m, i1, _BIG_ID), axis=1,
+                          keepdims=True)
+            chosen = i1 == win
+            vals.append(m)
+            outs.append(win)
+            if shift:
+                v1 = jnp.where(chosen, v2, v1)
+                i1 = jnp.where(chosen, i2, i1)
+                v2 = jnp.where(chosen, v3, v2)
+                i2 = jnp.where(chosen, i3, i2)
+                v3 = jnp.where(chosen, v4, v3)
+                i3 = jnp.where(chosen, i4, i3)
+                v4 = jnp.where(chosen, NEG_INF, v4)
+            else:
+                v1 = jnp.where(chosen, NEG_INF, v1)
+        return jnp.concatenate(vals, 1), jnp.concatenate(outs, 1)
+
+    if case == "K5":
+        network()
+        out_v_ref[:] = vs[0][:, :K]
+        out_i_ref[:] = ii[0][:, :K]
+    elif case == "K6":
+        v, i = extract(vs[0], ii[0], None, None, None, None, None, None,
+                       shift=False)
+        out_v_ref[:] = v
+        out_i_ref[:] = i
+    elif case == "K7":
+        v, i = extract(*[x for p in zip(vs, ii) for x in p], shift=True)
+        out_v_ref[:] = v
+        out_i_ref[:] = i
+    elif case == "K8":
+        network()
+        v, i = extract(*[x for p in zip(vs, ii) for x in p], shift=True)
+        out_v_ref[:] = v
+        out_i_ref[:] = i
+
+fn = pl.pallas_call(
+    kern,
+    grid=(1,),
+    in_specs=[pl.BlockSpec((TB, W), lambda j: (0, 0),
+                           memory_space=pltpu.VMEM)],
+    out_specs=[pl.BlockSpec((TB, K), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM),
+               pl.BlockSpec((TB, K), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)],
+    out_shape=[jax.ShapeDtypeStruct((TB, K), jnp.float32),
+               jax.ShapeDtypeStruct((TB, K), jnp.int32)],
+)
+rng = np.random.default_rng(0)
+s = jnp.asarray(rng.standard_normal((TB, W)), jnp.float32)
+v, i = jax.jit(fn)(s)
+v.block_until_ready()
+if case == "K8":
+    pv, pi = select_topk(s, jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1), K)
+    ok = bool(jnp.all(i == pi))
+    print(f"{case}: compiled ok, ids match plain: {ok}")
+else:
+    print(f"{case}: compiled ok")
+"""
+
+
+def main():
+    for case in ("K5", "K6", "K7", "K8"):
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, "-c", CASE_SRC, case],
+            capture_output=True, text=True, timeout=400,
+            cwd="/root/repo")
+        out = (r.stdout + r.stderr)
+        verdict = "OK" if r.returncode == 0 else f"FAIL rc={r.returncode}"
+        sig = ""
+        for line in out.splitlines():
+            if "Check failed" in line or f"{case}:" in line:
+                sig = line.strip()[:140]
+                break
+        print(f"{case}: {verdict} ({time.time()-t0:.0f}s)  {sig}",
+              flush=True)
+        if r.returncode != 0:
+            time.sleep(75)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Third-stage bisect: which op on a lane-sliced operand breaks Mosaic.
+
+  K9   reduce-max(keepdims) over s[:, :512], write broadcast to out
+  K10  K9 + where-broadcast compare (no ids)
+  K11  full extraction but slice via MASK (full-width, iota mask) — the
+       known-good pattern, sanity control
+  K12  quarters via reshape (TB, 4, 512) + middle index
+  K13  s sliced, ids GENERATED per quarter (iota+offset) — tests the
+       sliced-iota hypothesis
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+
+CASE_SRC = r"""
+import os
+os.environ.pop("XLA_FLAGS", None)
+import sys
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, "/root/repo")
+from tpurag.kernels.topk import select_topk
+from tpurag.kernels.runtime import NEG_INF
+
+case = sys.argv[1]
+TB, W, K = 256, 2048, 8
+Q = W // 4
+_BIG_ID = 2**31 - 1
+
+def extract(v1, i1, k):
+    vals, outs = [], []
+    for _ in range(k):
+        m = jnp.max(v1, axis=1, keepdims=True)
+        win = jnp.min(jnp.where(v1 >= m, i1, _BIG_ID), axis=1,
+                      keepdims=True)
+        chosen = i1 == win
+        vals.append(m)
+        outs.append(win)
+        v1 = jnp.where(chosen, NEG_INF, v1)
+    return jnp.concatenate(vals, 1), jnp.concatenate(outs, 1)
+
+def kern(s_ref, out_v_ref, out_i_ref):
+    s = s_ref[:]
+    if case == "K9":
+        v1 = s[:, :Q]
+        m = jnp.max(v1, axis=1, keepdims=True)
+        out_v_ref[:] = jnp.broadcast_to(m, (TB, K))
+        out_i_ref[:] = jnp.broadcast_to(m.astype(jnp.int32), (TB, K))
+    elif case == "K10":
+        v1 = s[:, :Q]
+        m = jnp.max(v1, axis=1, keepdims=True)
+        hit = jnp.where(v1 >= m, v1, NEG_INF)
+        m2 = jnp.max(hit, axis=1, keepdims=True)
+        out_v_ref[:] = jnp.broadcast_to(m2, (TB, K))
+        out_i_ref[:] = jnp.broadcast_to(m2.astype(jnp.int32), (TB, K))
+    elif case == "K11":
+        ids = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1)
+        sm = jnp.where(ids < Q, s, NEG_INF)
+        v, i = extract(sm, ids, K)
+        out_v_ref[:] = v
+        out_i_ref[:] = i
+    elif case == "K12":
+        s3 = s.reshape(TB, 4, Q)
+        v1 = s3[:, 0, :]
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (TB, Q), 1)
+        v, i = extract(v1, i1, K)
+        out_v_ref[:] = v
+        out_i_ref[:] = i
+    elif case == "K13":
+        v1 = s[:, :Q]
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (TB, Q), 1)
+        v, i = extract(v1, i1, K)
+        out_v_ref[:] = v
+        out_i_ref[:] = i
+
+fn = pl.pallas_call(
+    kern,
+    grid=(1,),
+    in_specs=[pl.BlockSpec((TB, W), lambda j: (0, 0),
+                           memory_space=pltpu.VMEM)],
+    out_specs=[pl.BlockSpec((TB, K), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM),
+               pl.BlockSpec((TB, K), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)],
+    out_shape=[jax.ShapeDtypeStruct((TB, K), jnp.float32),
+               jax.ShapeDtypeStruct((TB, K), jnp.int32)],
+)
+rng = np.random.default_rng(0)
+s = jnp.asarray(rng.standard_normal((TB, W)), jnp.float32)
+v, i = jax.jit(fn)(s)
+v.block_until_ready()
+print(f"{case}: compiled ok  out00={float(v[0,0]):.3f}")
+"""
+
+
+def main():
+    for case in ("K9", "K10", "K11", "K12", "K13"):
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", CASE_SRC, case],
+                capture_output=True, text=True, timeout=600,
+                cwd="/root/repo")
+        except subprocess.TimeoutExpired:
+            print(f"{case}: TIMEOUT", flush=True)
+            time.sleep(100)
+            continue
+        out = (r.stdout + r.stderr)
+        verdict = "OK" if r.returncode == 0 else f"FAIL rc={r.returncode}"
+        sig = ""
+        for line in out.splitlines():
+            if "Check failed" in line or f"{case}:" in line \
+                    or "Error" in line:
+                sig = line.strip()[:140]
+                break
+        print(f"{case}: {verdict} ({time.time()-t0:.0f}s)  {sig}",
+              flush=True)
+        if r.returncode != 0:
+            time.sleep(100)
+
+
+if __name__ == "__main__":
+    main()

@@ -176,3 +176,43 @@ def test_merge_topk_cols_asc_matches_desc(rng):
     ev, ei = np_topk(allv, alli, k)
     np.testing.assert_allclose(np.asarray(mv)[::-1], ev.T, rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(mi)[::-1], ei.T)
+
+
+def test_select_topk_q4_lane_matches_plain(rng):
+    from tpurag.kernels.topk import select_topk_q4_lane
+    b, n, k = 5, 2048, 8
+    scores = rng.standard_normal((b, n)).astype(np.float32)
+    ids = np.tile(np.arange(n, dtype=np.int32), (b, 1))
+    pv, pi = select_topk(jnp.asarray(scores), jnp.asarray(ids), k)
+    qv, qi = select_topk_q4_lane(jnp.asarray(scores), k)
+    np.testing.assert_allclose(np.asarray(qv), np.asarray(pv), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(qi), np.asarray(pi))
+
+
+def test_select_topk_q4_lane_ties_and_exhaustion(rng):
+    from tpurag.kernels.topk import select_topk_q4_lane
+    n, k = 64, 6
+    scores = np.full((1, n), NEG_INF, np.float32)
+    scores[0, [3, 17, 33, 49]] = 1.0   # one tie in each quarter
+    scores[0, 5] = 0.5
+    qv, qi = select_topk_q4_lane(jnp.asarray(scores), k)
+    qv, qi = np.asarray(qv), np.asarray(qi)
+    np.testing.assert_array_equal(qi[0, :5], [3, 17, 33, 49, 5])
+    assert qv[0, 5] <= NEG_INF / 2   # exhausted slot
+
+
+def test_fold_candidates_col_base_matches_plain(rng):
+    from tpurag.kernels.topk import fold_candidates_asc, init_run_asc
+    tb, w, k, kp, base = 8, 512, 8, 8, 1000
+    big = 2**30
+    s = rng.standard_normal((tb, w)).astype(np.float32)
+    col = base + np.tile(np.arange(w, dtype=np.int32), (tb, 1))
+    rv0 = jnp.zeros((kp, tb), jnp.float32)
+    ri0 = jnp.zeros((kp, tb), jnp.int32)
+    rv0, ri0 = init_run_asc(rv0, ri0, big)
+    av, ai = fold_candidates_asc(rv0, ri0, jnp.asarray(s),
+                                 jnp.asarray(col), k, big)
+    bv, bi = fold_candidates_asc(rv0, ri0, jnp.asarray(s),
+                                 jnp.asarray(col), k, big, col_base=base)
+    np.testing.assert_allclose(np.asarray(av), np.asarray(bv), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ai), np.asarray(bi))

@@ -137,9 +137,9 @@ def _dense_topk_kernel(*refs, k: int, tile_n: int, chunk_n: int,
         run_min = jnp.min(run_v[kp - k, :])
 
         @pl.when(((j == 0) & (c == 0)) | (chunk_max > run_min))
-        def _merge(s=s, col=col):
+        def _merge(s=s, col=col, base=base):
             rv, ri = fold_candidates_asc(run_v[:], run_i[:], s, col, k,
-                                         _BIG_ID)
+                                         _BIG_ID, col_base=base)
             run_v[:] = rv
             run_i[:] = ri
 
@@ -204,10 +204,11 @@ def _dense_topk_kernel_co(*refs, k: int, tile_b: int, tile_n: int,
         run_min = jnp.min(run_v[kp - k, pl.ds(col0, tile_b)])
 
         @pl.when(((j == 0) & (c == 0)) | (chunk_max > run_min))
-        def _merge(s=s, col=col):
+        def _merge(s=s, col=col, base=base):
             rv, ri = fold_candidates_asc(
                 run_v[:, pl.ds(col0, tile_b)],
-                run_i[:, pl.ds(col0, tile_b)], s, col, k, _BIG_ID)
+                run_i[:, pl.ds(col0, tile_b)], s, col, k, _BIG_ID,
+                col_base=base)
             run_v[:, pl.ds(col0, tile_b)] = rv
             run_i[:, pl.ds(col0, tile_b)] = ri
 
@@ -290,6 +291,12 @@ def dense_topk_pallas_co(queries, emb, n_valid, k: int,
             + np_ * dp * emb.dtype.itemsize,
             transcendentals=0,
         ),
+        # The q4-lane fold materializes quarter copies of both the score
+        # block and its generated lane ids; at (256, 2048) fp32 that is
+        # ~19MB of scoped stack vs Mosaic's 16MB default. v5e has 128MB
+        # of VMEM; 40MB leaves the pipeline buffers ample room.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
     )(nv, q, e)
     ids = jnp.where((ids >= _BIG_ID) | (vals <= NEG_INF / 2), -1, ids)
@@ -372,6 +379,8 @@ def dense_topk_pallas(queries, emb, n_valid, k: int,
             bytes_accessed=bp * dp * 4 + np_ * dp * emb.dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(  # see corpus-outer note
+            vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
     )(nv, q, e)
     # Sentinel ids (no real candidate) -> -1. NEG_INF-valued slots can

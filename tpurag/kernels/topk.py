@@ -115,16 +115,77 @@ def select_topk_auto(scores: jax.Array, ids: jax.Array, k: int):
     """select_topk_q4 when the shape qualifies AND the opt-in flag is set,
     select_topk otherwise.
 
-    q4 is gated OFF by default: its static lane-quarter slices crash the
-    Mosaic vector-layout pass on real v5e when the call sits inside a
-    `pl.when` region (vector_extract_strided_slice_rule check failure,
-    `limits[i] <= dim(i)`), even though interpret mode passes. Flip
-    TPURAG_TOPK_Q4=1 only after validating the target shape on chip
-    (benchmarks/tpu_smoke.py)."""
+    q4 is gated OFF by default: slicing the caller's `ids` crashes the
+    Mosaic vector-layout pass on real v5e whenever ids carry a
+    sublane-REPLICATED layout — e.g. a `broadcasted_iota` along lanes,
+    exactly what the dense fold passes (vector_extract_strided_slice_rule
+    check failure `limits[i] <= dim(i) (32 vs 1)`: the backing vreg
+    array is 1-high on the replicated sublane dim). Bisected on chip in
+    benchmarks/mosaic_q4_probe*.py: sliced LOADED vectors are fine (K3),
+    sliced iotas crash (K5/K6), generated per-quarter iotas are fine
+    (K13). Use select_topk_q4_lane for iota-id callers instead; flip
+    TPURAG_TOPK_Q4=1 only for ids known to be materialized vectors."""
     w = scores.shape[1]
     if _Q4_ENABLED and w % 4 == 0 and w // 4 >= k and w >= 512:
         return select_topk_q4(scores, ids, k)
     return select_topk(scores, ids, k)
+
+
+def select_topk_q4_lane(scores: jax.Array, k: int):
+    """Exact top-k of each row, returning LANE indices — the Mosaic-safe
+    q4 tournament (~1.5x fewer VPU ops than select_topk at k=8).
+
+    Same quarter-split tournament as select_topk_q4, but the candidate
+    ids are per-quarter GENERATED iotas (+ quarter offset), never slices
+    of a caller array — slicing a sublane-replicated iota crashes
+    Mosaic's strided-slice rule on real v5e (see select_topk_auto).
+    Returned ids are positions in [0, W): callers whose ids are affine
+    in the lane (the dense fold: col = base + lane) map them back with
+    one add. Tie-break: equal values resolve toward the SMALLEST lane,
+    which matches smallest-id order exactly when the caller's ids are
+    monotone in lane.
+
+    Exhausted slots surface as (NEG_INF, stale-lane); callers mask ids
+    where vals <= NEG_INF/2 (same contract as select_topk).
+
+    Requires W % 4 == 0 and W // 4 >= k.
+    """
+    w = scores.shape[1]
+    tb = scores.shape[0]
+    q = w // 4
+    s = scores.astype(jnp.float32)
+    vs = [s[:, i * q:(i + 1) * q] for i in range(4)]
+    ql = jax.lax.broadcasted_iota(jnp.int32, (tb, q), 1)
+    ii = [ql + i * q for i in range(4)]
+
+    def ce(a, b):
+        gt = _lex_gt(vs[a], ii[a], vs[b], ii[b])
+        va = jnp.where(gt, vs[a], vs[b])
+        ia = jnp.where(gt, ii[a], ii[b])
+        vb = jnp.where(gt, vs[b], vs[a])
+        ib = jnp.where(gt, ii[b], ii[a])
+        vs[a], ii[a], vs[b], ii[b] = va, ia, vb, ib
+
+    for a, b in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+        ce(a, b)
+    v1, v2, v3, v4 = vs
+    i1, i2, i3, i4 = ii
+    vals, outs = [], []
+    for _ in range(k):
+        m = jnp.max(v1, axis=1, keepdims=True)
+        win = jnp.min(jnp.where(v1 >= m, i1, _BIG_ID), axis=1,
+                      keepdims=True)
+        chosen = i1 == win
+        vals.append(m)
+        outs.append(win)
+        v1 = jnp.where(chosen, v2, v1)
+        i1 = jnp.where(chosen, i2, i1)
+        v2 = jnp.where(chosen, v3, v2)
+        i2 = jnp.where(chosen, i3, i2)
+        v3 = jnp.where(chosen, v4, v3)
+        i3 = jnp.where(chosen, i4, i3)
+        v4 = jnp.where(chosen, NEG_INF, v4)
+    return jnp.concatenate(vals, axis=1), jnp.concatenate(outs, axis=1)
 
 
 def merge_topk(vals_a, ids_a, vals_b, ids_b, k: int):
@@ -151,13 +212,31 @@ def init_run_asc(run_v, run_i, big_id: int):
     return vals, ids
 
 
-def fold_candidates_asc(run_v, run_i, s, col, k: int, big_id: int):
+def fold_candidates_asc(run_v, run_i, s, col, k: int, big_id: int,
+                        col_base=None):
     """Fold a (tb, chunk) score block into the ascending (kp, tb) running
     top-k: row-layout select_topk (descending) -> transpose -> pad to kp
     (still descending) -> elementwise-lexmax + bitonic merge (no reverse,
-    see merge_topk_cols_asc)."""
+    see merge_topk_cols_asc).
+
+    col_base: when the candidate ids are affine in the lane
+    (col = col_base + lane, the dense kernels' layout), pass the scalar
+    base here to allow the Mosaic-safe q4 lane tournament
+    (select_topk_q4_lane). MEASURED SLOWER on v5e at the headline shape
+    (qo b=1024: 3.37ms with q4-lane vs 2.58ms plain,
+    benchmarks/results_dense_co.json) — the 5-exchange network plus the
+    7-where shift chain cost more than the narrower extraction passes
+    save, because the cross-lane reductions are not the linear-cost
+    term. Kept behind TPURAG_TOPK_Q4=1 for re-evaluation on future
+    hardware; default is the plain k-pass select."""
     kp = run_v.shape[0]
-    tv, ti = select_topk_auto(s, col, k)         # (tb, k) desc
+    w = s.shape[1]
+    if (_Q4_ENABLED and col_base is not None and w % 4 == 0
+            and w // 4 >= k and w >= 512):
+        tv, lanes = select_topk_q4_lane(s, k)    # (tb, k) desc
+        ti = lanes + col_base
+    else:
+        tv, ti = select_topk(s, col, k)          # (tb, k) desc
     tvt = tv.T                                   # (k, tb)
     tit = ti.T
     if kp > k:
