@@ -172,6 +172,8 @@ def main():
     k, t_query, df_max = 8, 8, 2048
     if on_tpu and n > 100_000:
         df_max = int(2048 * n / 100_000)  # keep postings/doc density
+    if os.environ.get("TPURAG_BENCH_DFMAX"):  # diagnostics (wide classes)
+        df_max = int(os.environ["TPURAG_BENCH_DFMAX"])
     # Impact-ordered pruning (BM25Config.head_m): terms with df > head_m
     # score only their top-head_m-impact postings — the recommended
     # production config past ~512k docs, where exact scoring's wide
@@ -180,7 +182,7 @@ def main():
     # 53ms/batch-512 vs ~an order less pruned). 0 = exact.
     head_m = int(os.environ.get("TPURAG_BENCH_HEADM", "0"))
 
-    from tpurag.index.inverted import _bucket_score, packed_cbits
+    from tpurag.index.inverted import _bucket_score, packed_cbits, wide_flow
     from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
     from tpurag.kernels.fusion import rrf_fuse
 
@@ -295,34 +297,88 @@ def main():
     wprob = (1 + np.arange(vocab)) ** -0.7
     wprob /= wprob.sum()
 
+    WIDE_W = WIDTH_LADDER[-1]  # BM25Config.wide_term_width default
+
     def build_point(b: int):
         """One operating point at batch size b: returns a chained-step fn."""
         # Zipf-weighted query terms; width-classed at LADDER widths.
+        # Queries containing huge-df terms (bucket > 2048) split into
+        # narrow + wide groups combined exactly — mirrors
+        # index/inverted.py _score/_score_wide (round-4 exact wide path).
         tid = rng.choice(vocab, size=(b, t_query), p=wprob)
-        q_pmax = np.array([_ladder_width(p)
-                           for p in term_bucket[tid].max(axis=1)])
-        classes = [(int(p), np.where(q_pmax == p)[0])
-                   for p in sorted(set(q_pmax.tolist()))]
-        log(f"b={b} width classes: "
-            + ", ".join(f"p={p}: {len(s)}" for p, s in classes))
+        tb_q = term_bucket[tid]                      # (b, t)
+        is_wide = tb_q > WIDE_W
+        hard = np.where(is_wide.any(axis=1))[0]
+        simple = np.where(~is_wide.any(axis=1))[0]
+        q_pmax = np.array([_ladder_width(p) for p in tb_q.max(axis=1)])
+        classes = [(int(p), simple[q_pmax[simple] == p])
+                   for p in sorted(set(q_pmax[simple].tolist()))]
+        classes = [(p, s) for p, s in classes if len(s)]
+        log(f"b={b} simple classes: "
+            + ", ".join(f"p={p}: {len(s)}" for p, s in classes)
+            + f"; hard (wide-term) queries: {len(hard)}")
 
         q = rng.standard_normal((b, d)).astype(np.float32)
         q /= np.linalg.norm(q, axis=1, keepdims=True)
         q_dev = jnp.asarray(q)
         idf_all = rng.uniform(0.5, 3.0, (b, t_query)).astype(np.float32)
 
-        class_const = []
-        for p_max, sel in classes:
-            gb = max(8, -(-len(sel) // 8) * 8)  # pad rows to a multiple of 8
-            gsel = np.resize(sel, gb)
-            class_const.append((
-                int(p_max),
-                jnp.asarray(sel.astype(np.int32)),
-                len(sel),
-                jnp.asarray(term_bucket[tid[gsel]]),
-                jnp.asarray((term_row[tid[gsel]] + 1).astype(np.int32)),
-                jnp.asarray(idf_all[gsel]),
-            ))
+        def group_const(p_max, sel, bw, ri, idf):
+            gb = max(8, -(-len(sel) // 8) * 8)  # pad rows to 8-multiple
+            pad = gb - len(sel)
+            if pad:
+                bw = np.pad(bw, ((0, pad), (0, 0)))
+                ri = np.pad(ri, ((0, pad), (0, 0)))
+                idf = np.pad(idf, ((0, pad), (0, 0)))
+            return (int(p_max), jnp.asarray(sel.astype(np.int32)),
+                    len(sel), jnp.asarray(bw), jnp.asarray(ri),
+                    jnp.asarray(idf))
+
+        class_const = [
+            group_const(p_max, sel, tb_q[sel],
+                        (term_row[tid[sel]] + 1).astype(np.int32),
+                        idf_all[sel])
+            for p_max, sel in classes]
+
+        # Hard queries: narrow side keeps all t_query slots with wide
+        # slots parked (bucketw 0); wide side compacts wide terms into
+        # pow2(t_w) slots at the class's own width.
+        n_const, w_const = [], []
+        wn_max = 16
+        if len(hard):
+            nb = np.where(is_wide, 0, tb_q)          # (b, t) narrow view
+            nr = np.where(is_wide, 0, term_row[tid] + 1).astype(np.int32)
+            n_pmax = np.array([_ladder_width(max(p, 16))
+                               for p in nb[hard].max(axis=1)])
+            for p in sorted(set(n_pmax.tolist())):
+                sel = hard[n_pmax == p]
+                n_const.append(group_const(
+                    p, sel, nb[sel], nr[sel],
+                    np.where(is_wide[sel], 0, idf_all[sel])))
+                wn_max = max(wn_max, p * t_query)
+            w_counts = is_wide[hard].sum(axis=1)
+            w_pmax = np.where(is_wide[hard], tb_q[hard], 0).max(axis=1)
+            w_tw = np.array([_next_pow2(c) for c in w_counts])
+            for key in sorted({(int(p), int(t))
+                               for p, t in zip(w_pmax, w_tw)}):
+                p_w, t_w = key
+                sel = hard[(w_pmax == p_w) & (w_tw == t_w)]
+                g = len(sel)
+                bw = np.zeros((g, t_w), np.int32)
+                ri = np.zeros((g, t_w), np.int32)
+                idf = np.zeros((g, t_w), np.float32)
+                for gi, bi in enumerate(sel):
+                    slots = np.where(is_wide[bi])[0]
+                    bw[gi, : len(slots)] = tb_q[bi, slots]
+                    ri[gi, : len(slots)] = term_row[tid[bi, slots]] + 1
+                    idf[gi, : len(slots)] = idf_all[bi, slots]
+                w_const.append(group_const(p_w, sel, bw, ri, idf))
+            log(f"b={b} hard classes: narrow "
+                + ",".join(f"p{p}" for p, *_ in
+                           [(c[0],) for c in n_const])
+                + " wide "
+                + ",".join(f"(p{c[0]},t{c[4].shape[1]})"
+                           for c in w_const))
 
         # Static per-class metadata (shapes/p_max) stays closed over;
         # every ARRAY rides through jit arguments as a pytree — a
@@ -330,9 +386,18 @@ def main():
         # that the remote-compile tunnel must ship with the program
         # (measured: the 200MB corpus constant dominated cold-compile
         # time; a 4GB constant outright breaks the tunnel).
-        class_meta = [(p_max, n_real) for p_max, _, n_real, *_ in class_const]
-        class_arrs = tuple((sel, bw_g, row_g, idf_g)
-                           for _, sel, _, bw_g, row_g, idf_g in class_const)
+        def split_const(const):
+            meta = [(p_max, n_real, bw.shape[1])
+                    for p_max, _, n_real, bw, *_ in const]
+            arrs = tuple((sel, bw, ri, idf)
+                         for _, sel, _, bw, ri, idf in const)
+            return meta, arrs
+
+        class_meta, class_arrs = split_const(class_const)
+        n_meta, n_arrs = split_const(n_const)
+        w_meta, w_arrs = split_const(w_const)
+        class_arrs = (class_arrs, n_arrs, w_arrs,
+                      jnp.asarray(hard.astype(np.int32)))
 
         def step(i, emb_arg, q_arg, mats_arg, carrs):
             qq = q_arg * (1.0 + i.astype(jnp.float32) * 1e-7)
@@ -349,15 +414,34 @@ def main():
                 v_s, v_i = dense_topk_xla(qq, emb_arg, n_valid, k)
             # Per-class BM25 at its ladder width; scatter class results
             # back into one (B, k) candidate table for fusion.
+            carrs_c, carrs_n, carrs_w, hard_sel = carrs
             k_i_full = jnp.full((b, k), -1, jnp.int32)
-            for (p_max, n_real), (sel, bw_g, row_g, idf_g) in zip(
-                    class_meta, carrs):
+            for (p_max, n_real, t_c), (sel, bw_g, row_g, idf_g) in zip(
+                    class_meta, carrs_c):
                 k_s, k_i = _bucket_score(
                     jnp.roll(bw_g, i, axis=0), jnp.roll(row_g, i, axis=0),
                     jnp.roll(idf_g, i, axis=0), mats_arg,
-                    k=k, p_max=p_max, t=t_query, widths=widths,
+                    k=k, p_max=p_max, t=t_c, widths=widths,
                     use_pallas=use_pallas, cbits=packed_cbits(n))
                 k_i_full = k_i_full.at[sel].set(k_i[:n_real])
+            if w_meta:
+                # Hard queries: exact narrow+wide split (wide_flow).
+                def flow_classes(meta, arrs):
+                    return [(p_max, t_c, sel, n_real,
+                             jnp.roll(bw_g, i, axis=0),
+                             jnp.roll(row_g, i, axis=0),
+                             jnp.roll(idf_g, i, axis=0))
+                            for (p_max, n_real, t_c),
+                                (sel, bw_g, row_g, idf_g)
+                            in zip(meta, arrs)]
+
+                wf_s, wf_i = wide_flow(
+                    flow_classes(n_meta, carrs_n),
+                    flow_classes(w_meta, carrs_w),
+                    h=b, kk=k, wn_max=wn_max, mats=mats_arg,
+                    widths=widths, use_pallas=use_pallas,
+                    cbits=packed_cbits(n))
+                k_i_full = k_i_full.at[hard_sel].set(wf_i[hard_sel])
             s, ids, bits = rrf_fuse((v_i, k_i_full), weights=(1.0, 1.0),
                                     final_k=k)
             return s.sum()

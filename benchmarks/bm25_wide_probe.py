@@ -1,0 +1,151 @@
+"""Probe the wide-row merge_segsum_full Pallas kernel on chip.
+
+Round-3 established that the fused merge kernel blows the 16MB
+scoped-VMEM limit past W=16384 — but that was with fully-unrolled
+merge levels (the unrolled level's live temporaries, not the row).
+This probe measures the tile_b=8 / unroll=1 full-output form at
+W = 32768..262144, packed and unpacked, against the XLA merge-tree
+oracle, and times both. The passing widths set WIDE_MERGE_MAX_LANES
+(kernels/bm25_pallas.py).
+
+Usage: python benchmarks/bm25_wide_probe.py [--b 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def make_candidates(rng, b, t, p, n_docs):
+    """Per-term doc-ascending unique candidate rows with ~25% overlap
+    across terms (duplicates exercise the segsum window)."""
+    doc = np.full((b, t, p), 2**30, np.int32)
+    con = np.zeros((b, t, p), np.float32)
+    for bi in range(b):
+        base = rng.choice(n_docs, size=min(n_docs, p * 2), replace=False)
+        for ti in range(t):
+            n_fill = rng.integers(p // 2, p + 1)
+            pool = np.concatenate([
+                base[: n_fill // 4],                      # shared docs
+                rng.choice(n_docs, size=n_fill, replace=False),
+            ])[:n_fill]
+            pool = np.unique(pool)
+            doc[bi, ti, : len(pool)] = np.sort(pool)
+            con[bi, ti, : len(pool)] = rng.random(len(pool)) + 0.1
+    return doc.reshape(b, t * p), con.reshape(b, t * p)
+
+
+def oracle(doc, con, k):
+    """Exact per-row top-k via numpy dict accumulation."""
+    b, w = doc.shape
+    out_v = np.full((b, k), -np.inf, np.float32)
+    out_i = np.full((b, k), -1, np.int32)
+    for bi in range(b):
+        acc = {}
+        for d, c in zip(doc[bi], con[bi]):
+            if d < 2**30:
+                acc[d] = acc.get(d, 0.0) + c
+        top = sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:k]
+        for j, (d, v) in enumerate(top):
+            out_v[bi, j] = v
+            out_i[bi, j] = d
+    return out_v, out_i
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from tpurag.kernels.bm25_pallas import (merge_segsum_full,
+                                            merge_segsum_full_xla)
+
+    print("backend=", jax.default_backend(), flush=True)
+    rng = np.random.default_rng(0)
+    n_docs = 1_000_000
+    results = {}
+
+    for t, p in [(2, 16384), (4, 8192),        # W=32768
+                 (2, 32768), (4, 16384),       # W=65536
+                 (2, 65536), (4, 32768),       # W=131072
+                 (2, 131072)]:                 # W=262144
+        w = t * p
+        # Small-batch correctness check first (vs numpy oracle).
+        doc_s, con_s = make_candidates(rng, 8, t, p, n_docs)
+        for cbits in (0, 11):
+            name = f"t{t} p{p} W{w}" + (" packed" if cbits else "")
+            try:
+                seg, ds = merge_segsum_full(
+                    jnp.asarray(doc_s), jnp.asarray(con_s), p=p, t=t,
+                    cbits=cbits)
+                seg_np, ds_np = np.asarray(seg), np.asarray(ds)
+            except Exception as e:  # Mosaic OOM / compile failure
+                msg = str(e).split("\n")[0][:160]
+                print(f"{name}: FAIL {msg}", flush=True)
+                results[name] = {"ok": False, "err": msg}
+                continue
+            # top-8 from the full row vs oracle.
+            ov, oi = oracle(doc_s, con_s, 8)
+            pos = np.argsort(-np.where(np.isfinite(seg_np), seg_np,
+                                       -np.inf), axis=1)[:, :8]
+            gv = np.take_along_axis(seg_np, pos, axis=1)
+            gi = np.take_along_axis(ds_np, pos, axis=1)
+            tol = 2e-3 if cbits else 1e-4
+            ok = True
+            for bi in range(8):
+                want = {d: v for d, v in zip(oi[bi], ov[bi]) if d >= 0}
+                got = {d: v for d, v in zip(gi[bi], gv[bi])
+                       if np.isfinite(v)}
+                for d, v in want.items():
+                    if d not in got or abs(got[d] - v) > tol * max(1, v):
+                        ok = False
+            print(f"{name}: parity {'OK' if ok else 'MISMATCH'}",
+                  flush=True)
+
+            # Timing at the real batch.
+            doc_b, con_b = make_candidates(
+                rng, min(args.b, 64), t, p, n_docs)
+            reps = args.b // doc_b.shape[0]
+            doc_big = np.tile(doc_b, (reps, 1))
+            con_big = np.tile(con_b, (reps, 1))
+            dj, cj = jnp.asarray(doc_big), jnp.asarray(con_big)
+            segj, _ = merge_segsum_full(dj, cj, p=p, t=t, cbits=cbits)
+            float(segj[0, 0])
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                segj, dsj = merge_segsum_full(dj, cj, p=p, t=t,
+                                              cbits=cbits)
+            float(segj[0, 0]); int(dsj[0, 0])
+            ms = (time.perf_counter() - t0) / args.iters * 1e3
+            gbps = args.b * w * (4 if cbits else 8) * 2 / ms / 1e6
+            print(f"{name}: b={args.b} {ms:8.3f}ms  {gbps:6.1f} GB/s eff",
+                  flush=True)
+            results[name] = {"ok": bool(ok), "ms": ms}
+
+            # XLA merge-tree fallback timing for comparison (once, unpacked).
+            if cbits == 0:
+                f = jax.jit(lambda d, c: merge_segsum_full_xla(
+                    d, c, p=p, t=t))
+                segx, _ = f(dj, cj); float(segx[0, 0])
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    segx, dsx = f(dj, cj)
+                float(segx[0, 0]); int(dsx[0, 0])
+                msx = (time.perf_counter() - t0) / args.iters * 1e3
+                print(f"t{t} p{p} W{w} XLA-tree: {msx:8.3f}ms", flush=True)
+                results[f"t{t} p{p} W{w} xla"] = {"ms": msx}
+
+    with open("/root/repo/benchmarks/results_bm25_wide.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote benchmarks/results_bm25_wide.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,16 +69,21 @@ def main():
                 return jax.lax.fori_loop(0, iters, step, jnp.float32(0.0))
 
             try:
+                # AOT compile so the printed figure is compile-only
+                # (timing the first chained() call would fold a full
+                # iters-loop execution into "compile time").
                 t0 = time.perf_counter()
-                float(chained(q_dev, emb_dev))
+                comp = chained.lower(q_dev, emb_dev).compile()
                 compile_s = time.perf_counter() - t0
+                float(comp(q_dev, emb_dev))          # warm first exec
                 ts = []
-                for _ in range(4):
+                for _ in range(6):
                     t0 = time.perf_counter()
-                    float(chained(q_dev, emb_dev))
+                    float(comp(q_dev, emb_dev))
                     ts.append((time.perf_counter() - t0) / iters)
-                p50 = float(np.percentile(ts, 50))
-                print(f"b={b:5d} tile_b={tile_b:4d} chunk_n={chunk_n or 0:5d}  p50={p50 * 1e3:7.3f}ms"
+                med = float(np.median(ts))
+                print(f"b={b:5d} tile_b={tile_b:4d} chunk_n={chunk_n or 0:5d}"
+                      f"  median-of-6={med * 1e3:7.3f}ms"
                       f"  min={min(ts) * 1e3:7.3f}ms  (compile {compile_s:.1f}s)",
                       flush=True)
             except Exception as e:

@@ -93,6 +93,14 @@ class BM25Config:
     # Bounds the number of compiled Pallas variants on a long-lived server
     # to len(ladder) per (k, t) instead of one per pow2 width; the padding
     # cost is < 2x lanes in the worst case while compile count drops ~2x.
+    wide_term_width: int = 2048
+    # Terms with postings-bucket width ABOVE this score in per-width
+    # WIDE classes (kernels/bm25_pallas.merge_segsum_full) instead of
+    # forcing the whole query's class up to their width; the exact
+    # narrow+wide combine is kernels/bm25_join.py. 2048 matches the
+    # width_ladder top, so narrow classes stay on the round-1 fused
+    # kernel unchanged. Raise only if profiling shows wide classes
+    # dominated by few-lane terms; must be a ladder rung or above.
     packed_merge: bool = True
     # Pack (doc id, quantized contribution) into one int32 key so the
     # fused merge network moves half the data (kernels/bm25_pallas.py).

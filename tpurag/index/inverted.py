@@ -54,7 +54,11 @@ import numpy as np
 from tpurag.core.config import BM25Config
 from tpurag.ingest.tokenizer import tokenize, tokenize_query
 from tpurag.kernels.bm25 import rank_compat, segsum_topk_candidates
-from tpurag.kernels.bm25_pallas import merge_segsum_topk, pallas_merge_ok
+from tpurag.kernels.bm25_join import combine_narrow_wide
+from tpurag.kernels.bm25_pallas import (merge_segsum_full,
+                                        merge_segsum_full_xla,
+                                        merge_segsum_topk, pallas_merge_ok,
+                                        wide_merge_ok)
 from tpurag.kernels.runtime import NEG_INF, interpret_mode, round_up
 
 try:  # C++-accelerated tokenize/count path (optional).
@@ -80,18 +84,10 @@ def packed_cbits(n_docs: int, enabled: bool = True) -> int:
     return c if c >= 12 else 0
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "p_max", "t", "widths", "use_pallas", "cbits"))
-def _bucket_score(bucketw, rowid, idf, mats, k: int, p_max: int, t: int,
-                  widths: tuple[int, ...], use_pallas: bool,
-                  cbits: int = 0):
-    """Assemble (g, t, p_max) candidates from bucket matrices by row
-    gather, apply idf, odd-term flip, and run the segsum top-k tail.
-
-    bucketw/rowid/idf: (g, t) int32/int32/float32 per query-term slot
-    (bucketw 0 = empty slot). mats: tuple of (doc, imp) matrix pairs
-    aligned with `widths`."""
+def _assemble(bucketw, rowid, idf, mats, p_max: int, t: int, widths):
+    """Gather (g, t, p_max) candidate (doc, idf*impact) arrays from the
+    bucket matrices — each term slot's P-block PLAIN doc-ascending,
+    invalid lanes parked at doc=_BIG / contribution 0."""
     g = bucketw.shape[0]
     doc = jnp.full((g, t, p_max), _BIG, jnp.int32)
     con = jnp.zeros((g, t, p_max), jnp.float32)
@@ -109,6 +105,23 @@ def _bucket_score(bucketw, rowid, idf, mats, k: int, p_max: int, t: int,
         doc = jnp.where(mask[:, :, None], d, doc)
         con = jnp.where(mask[:, :, None], im, con)
     con = idf[:, :, None] * con
+    return doc, con
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "p_max", "t", "widths", "use_pallas", "cbits"))
+def _bucket_score(bucketw, rowid, idf, mats, k: int, p_max: int, t: int,
+                  widths: tuple[int, ...], use_pallas: bool,
+                  cbits: int = 0):
+    """Assemble (g, t, p_max) candidates from bucket matrices by row
+    gather, apply idf, odd-term flip, and run the segsum top-k tail.
+
+    bucketw/rowid/idf: (g, t) int32/int32/float32 per query-term slot
+    (bucketw 0 = empty slot). mats: tuple of (doc, imp) matrix pairs
+    aligned with `widths`."""
+    doc, con = _assemble(bucketw, rowid, idf, mats, p_max, t, widths)
+    g = bucketw.shape[0]
     if t > 1:
         # Flip odd term slots so each 2P block is bitonic for the merge
         # network (reshape/flip/stack; scatter is slow on TPU).
@@ -136,6 +149,64 @@ def _bucket_score(bucketw, rowid, idf, mats, k: int, p_max: int, t: int,
                                  p=p_max if t > 1 else t * p_max, t=t,
                                  cbits=cbits, interpret=False)
     return segsum_topk_candidates(doc, con, k=k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("p_max", "t", "widths", "use_pallas", "cbits"))
+def _class_full_rows(bucketw, rowid, idf, mats, p_max: int, t: int,
+                     widths, use_pallas: bool, cbits: int):
+    """One class -> full doc-sorted segsummed rows (seg, doc_s), each
+    (g, t*p_max): exact per-doc partial sums at segment-end lanes.
+    Pallas whole-row (tile_b=8, unroll=1) up to WIDE_MERGE_MAX_LANES;
+    XLA merge-tree beyond it and on CPU."""
+    doc, con = _assemble(bucketw, rowid, idf, mats, p_max, t, widths)
+    g = bucketw.shape[0]
+    doc = doc.reshape(g, t * p_max)
+    con = con.reshape(g, t * p_max)
+    if use_pallas and wide_merge_ok(t * p_max, cbits, t):
+        return merge_segsum_full(doc, con, p=p_max, t=t, cbits=cbits,
+                                 interpret=False)
+    return merge_segsum_full_xla(doc, con, p=p_max, t=t)
+
+
+def wide_flow(n_classes, w_classes, h: int, kk: int, wn_max: int, mats,
+              widths, use_pallas: bool, cbits: int):
+    """Device-side flow for queries containing wide terms; traceable
+    (called inside jit by bench.py's chained step, or eagerly by
+    _score_wide where each _class_full_rows call is itself jitted).
+
+    n_classes/w_classes: lists of (p_max, t, sel, n_real, bucketw,
+    rowid, idf) — sel (g,) int32 positions into the h-row output,
+    n_real <= g the unpadded member count. Narrow classes fill an
+    (h, wn_max) full-row buffer; each wide class then combines against
+    its members' narrow rows (kernels/bm25_join). Returns (h, kk)
+    scores/ids."""
+    n_val = jnp.full((h, wn_max), NEG_INF, jnp.float32)
+    n_doc = jnp.full((h, wn_max), _BIG, jnp.int32)
+    for (p_max, t, sel, n_real, bw, ri, idf) in n_classes:
+        seg, doc_s = _class_full_rows(
+            bw, ri, idf, mats, p_max=p_max, t=t, widths=widths,
+            use_pallas=use_pallas, cbits=cbits)
+        if seg.shape[1] < wn_max:
+            pad = wn_max - seg.shape[1]
+            seg = jnp.pad(seg, ((0, 0), (0, pad)),
+                          constant_values=NEG_INF)
+            doc_s = jnp.pad(doc_s, ((0, 0), (0, pad)),
+                            constant_values=_BIG)
+        n_val = n_val.at[sel].set(seg[:n_real])
+        n_doc = n_doc.at[sel].set(doc_s[:n_real])
+    scores = jnp.full((h, kk), NEG_INF, jnp.float32)
+    ids = jnp.full((h, kk), -1, jnp.int32)
+    for (p_max, t, sel, n_real, bw, ri, idf) in w_classes:
+        w_seg, w_doc = _class_full_rows(
+            bw, ri, idf, mats, p_max=p_max, t=t, widths=widths,
+            use_pallas=use_pallas, cbits=cbits)
+        s, i = combine_narrow_wide(n_val[sel], n_doc[sel],
+                                   w_seg[:n_real], w_doc[:n_real], k=kk)
+        scores = scores.at[sel].set(s)
+        ids = ids.at[sel].set(i)
+    return scores, ids
 
 
 @dataclasses.dataclass
@@ -493,6 +564,10 @@ class InvertedIndex:
                layout: _Layout) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Score one segment: width-class the queries against this
         layout's buckets and run the fused scoring tail per class.
+        Queries containing huge-df terms (bucket width >
+        config.wide_term_width) split additively into narrow + wide
+        groups combined exactly (kernels/bm25_join.py) — the wide terms
+        no longer drag the whole query's class width up.
 
         Returns DEVICE arrays: per-class results scatter into one
         (B, kk) device buffer instead of syncing to host per class —
@@ -504,9 +579,38 @@ class InvertedIndex:
         ids = jnp.full((bsz, kk), -1, jnp.int32)
         if not layout.mats:
             return scores, ids
+        tb = layout.term_bucket
+        v = len(tb)  # terms born after this layout was built are absent
+        wide_w = self.config.wide_term_width
+        wide_rows = [[t for t in tids if t < v and tb[t] > wide_w]
+                     for tids in rows]
+        hard = [bi for bi in range(bsz) if wide_rows[bi]]
+        if not hard:
+            return self._score_classed(rows, kk, layout, scores, ids,
+                                       list(range(bsz)))
+        simple = [bi for bi in range(bsz) if not wide_rows[bi]]
+        if simple:
+            scores, ids = self._score_classed(
+                [rows[bi] for bi in simple], kk, layout, scores, ids,
+                simple)
+        narrow_rows = [[t for t in rows[bi]
+                        if t < v and 0 < tb[t] <= wide_w] for bi in hard]
+        s, i = self._score_wide(narrow_rows,
+                                [wide_rows[bi] for bi in hard],
+                                kk, layout)
+        sel = jnp.asarray(np.asarray(hard, np.int32))
+        scores = scores.at[sel].set(s[:, :kk])
+        ids = ids.at[sel].set(i[:, :kk])
+        return scores, ids
+
+    def _score_classed(self, rows: list[list[int]], kk: int,
+                       layout: _Layout, scores, ids, members_map):
+        """The classed fused path for queries without wide terms:
+        scatter results into (scores, ids) at members_map positions."""
+        bsz = len(rows)
         ladder = tuple(sorted(self.config.width_ladder or ()))
         tb, tr = layout.term_bucket, layout.term_row
-        v = len(tb)  # terms born after this layout was built are absent
+        v = len(tb)
 
         def row_pmax(tids):
             p = max((int(tb[t]) for t in tids if t < v and tb[t] > 0),
@@ -559,10 +663,80 @@ class InvertedIndex:
                             constant_values=NEG_INF)
                 i = jnp.pad(i, ((0, 0), (0, kk - i.shape[1])),
                             constant_values=-1)
-            sel = jnp.asarray(np.asarray(members, np.int32))
+            sel = jnp.asarray(
+                np.asarray([members_map[bi] for bi in members], np.int32))
             scores = scores.at[sel].set(s[:, :kk])
             ids = ids.at[sel].set(i[:, :kk])
         return scores, ids
+
+    def _score_wide(self, narrow_rows: list[list[int]],
+                    wide_rows: list[list[int]], kk: int,
+                    layout: _Layout):
+        """Queries with huge-df terms. Narrow terms produce full
+        doc-sorted segsummed rows (one fused merge per narrow class);
+        wide terms produce the same per (own-width, term-count) wide
+        class; kernels/bm25_join.combine_narrow_wide adds the partial
+        sums exactly and returns top-kk. Candidate width is each
+        TERM's own bucket width — a df-20k term no longer pads the
+        query's 7 narrow terms to 32768 lanes, and nothing here runs
+        a full lax.sort."""
+        h = len(narrow_rows)
+        ladder = tuple(sorted(self.config.width_ladder or ()))
+        tb, tr = layout.term_bucket, layout.term_row
+        use_pallas = not interpret_mode()
+        cbits = packed_cbits(len(self.doc_len), self.config.packed_merge)
+        df_live = max(self.n_docs, 1)
+
+        def idf_of(tid):
+            df = min(len(self._postings_doc[tid]), df_live)
+            return math.log(1.0 + (df_live - df + 0.5) / (df + 0.5))
+
+        def class_inputs(members, rows_of, t_max):
+            g = len(members)
+            bucketw = np.zeros((g, t_max), np.int32)
+            rowid = np.zeros((g, t_max), np.int32)
+            idf = np.zeros((g, t_max), np.float32)
+            for gi, hi in enumerate(members):
+                for ti, tid in enumerate(rows_of[hi]):
+                    bucketw[gi, ti] = tb[tid]
+                    rowid[gi, ti] = tr[tid] + 1  # +1: row 0 = pad
+                    idf[gi, ti] = idf_of(tid)
+            return (jnp.asarray(bucketw), jnp.asarray(rowid),
+                    jnp.asarray(idf))
+
+        # Narrow side: full rows scattered into one (h, wn_max) buffer
+        # so each wide class can select its members' rows directly.
+        def row_pmax_n(tids):
+            p = max((int(tb[t]) for t in tids), default=16)
+            for w in ladder:
+                if w >= p:
+                    return w
+            return p
+
+        n_groups: dict[tuple[int, int], list[int]] = {}
+        for hi, tids in enumerate(narrow_rows):
+            key = (row_pmax_n(tids), _next_pow2(max(len(tids), 1)))
+            n_groups.setdefault(key, []).append(hi)
+        wn_max = max(p * t for (p, t) in n_groups)
+        w_groups: dict[tuple[int, int], list[int]] = {}
+        for hi, tids in enumerate(wide_rows):
+            key = (max(int(tb[t]) for t in tids),
+                   _next_pow2(max(len(tids), 1)))
+            w_groups.setdefault(key, []).append(hi)
+
+        def to_class_list(groups, rows_of):
+            out = []
+            for (p_max, t_max), members in groups.items():
+                bw, ri, idf = class_inputs(members, rows_of, t_max)
+                sel = jnp.asarray(np.asarray(members, np.int32))
+                out.append((p_max, t_max, sel, len(members), bw, ri, idf))
+            return out
+
+        return wide_flow(to_class_list(n_groups, narrow_rows),
+                         to_class_list(w_groups, wide_rows),
+                         h=h, kk=kk, wn_max=wn_max, mats=layout.mats,
+                         widths=layout.widths, use_pallas=use_pallas,
+                         cbits=cbits)
 
     def search_tokens(self, token_lists: list[list[str]], k: int,
                       as_device: bool = False):

@@ -1,0 +1,118 @@
+"""Exact narrow+wide BM25 score combination.
+
+BM25 is additive across query terms, so a query's terms can be scored
+in independent groups — narrow terms (bucket width <= 2048) through the
+VMEM-resident fused kernel, huge-df terms at their own width through
+the wide merge (kernels/bm25_pallas.merge_segsum_full) — provided the
+partial per-doc sums are combined EXACTLY afterwards. The reference
+gets this accuracy from Meilisearch's full-postings scoring
+(src/lib/meilisearch.ts:210-244); pre-round-4 the repo paid for it by
+padding every term to the widest term's bucket and full-sorting the
+(B, T*Pmax) row in XLA — ~36ms of the 1M exact-scoring latency.
+
+The combine is three cheap, static-shape XLA steps over DOC-SORTED
+rows (both group outputs are doc-ascending by construction):
+
+1. binary-search join: for every narrow-row lane, find the doc's
+   segment-end lane in the wide row (log2(Ww) take_along_axis rounds)
+   and add its wide partial sum -> the narrow row now holds TRUE totals
+   for every doc that matched any narrow term;
+2. top-k each side: top-kk of the joined row covers every true-top doc
+   with a narrow match (joined values ARE true totals, so nothing
+   outranks a true-top doc spuriously); top-2kk of the raw wide row
+   covers wide-only docs (any doc excluded has >= 2kk docs with larger
+   raw wide sums, each of whose true totals are larger still — and at
+   most kk of those lanes are narrow-match duplicates);
+3. dedup-union: a doc present on both sides keeps the max (the joined
+   copy — contributions are non-negative), then top-kk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpurag.kernels.runtime import NEG_INF
+
+_BIG = 2**30
+
+
+def bsearch_last(sorted_doc: jax.Array, q: jax.Array):
+    """Per-row binary search: for each q[g, j], the LAST index i with
+    sorted_doc[g, i] == q[g, j] (the segment-end lane), else found=False.
+
+    sorted_doc: (G, W) monotone non-decreasing int32 (parked lanes at
+    2^30 sort to the end). q: (G, Q) int32. Returns (pos, found) with
+    pos clipped to [0, W). Static log2(W)+1 rounds of gathers."""
+    g, w = sorted_doc.shape
+    lo = jnp.full(q.shape, -1, jnp.int32)          # doc[lo] <= q invariant
+    hi = jnp.full(q.shape, w, jnp.int32)           # doc[hi] > q invariant
+    rounds = max(1, (w + 1).bit_length())
+    for _ in range(rounds):
+        mid = (lo + hi) >> 1
+        dv = jnp.take_along_axis(sorted_doc, jnp.clip(mid, 0, w - 1),
+                                 axis=1)
+        le = dv <= q
+        lo = jnp.where(le & (hi - lo > 1), mid, lo)
+        hi = jnp.where((~le) & (hi - lo > 1), mid, hi)
+    pos = jnp.clip(lo, 0, w - 1)
+    dv = jnp.take_along_axis(sorted_doc, pos, axis=1)
+    return pos, (lo >= 0) & (dv == q)
+
+
+def join_add(n_val: jax.Array, n_doc: jax.Array,
+             w_seg: jax.Array, w_doc: jax.Array) -> jax.Array:
+    """Add each narrow doc's wide partial sum to its narrow partial sum.
+
+    n_val: (G, Wn) narrow per-doc sums at segment-end lanes, NEG_INF
+    elsewhere. n_doc: (G, Wn) docs (any order). w_seg/w_doc: (G, Ww)
+    wide merge output (doc-sorted; sums at end lanes). Non-end and
+    parked narrow lanes stay at ~NEG_INF (adding a finite wide sum to
+    NEG_INF cannot lift them into any top-k)."""
+    pos, found = bsearch_last(w_doc, n_doc)
+    wv = jnp.take_along_axis(w_seg, pos, axis=1)
+    return n_val + jnp.where(found & (wv > NEG_INF / 2), wv, 0.0)
+
+
+def dedup_topk(vals: jax.Array, ids: jax.Array, k: int):
+    """Top-k by value over (G, M) lanes with duplicate ids resolved to
+    their MAX value (G small-M union rows; M = 3*kk typically). Empty
+    lanes: val <= NEG_INF/2 or id < 0."""
+    g, m = vals.shape
+    ids_s, vals_s = jax.lax.sort((ids, vals), dimension=1, num_keys=2)
+    # Ascending (id, val): the last lane of each id-run holds its max.
+    nxt = jnp.concatenate(
+        [ids_s[:, 1:], jnp.full((g, 1), -2, ids_s.dtype)], axis=1)
+    keep = (ids_s != nxt) & (ids_s >= 0) & (vals_s > NEG_INF / 2)
+    masked = jnp.where(keep, vals_s, NEG_INF)
+    kk = min(k, m)
+    v, pos = jax.lax.top_k(masked, kk)
+    i = jnp.take_along_axis(ids_s, pos, axis=1)
+    empty = v <= NEG_INF / 2
+    v = jnp.where(empty, NEG_INF, v)
+    i = jnp.where(empty, -1, i)
+    if kk < k:
+        v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+        i = jnp.pad(i, ((0, 0), (0, k - kk)), constant_values=-1)
+    return v, i
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def combine_narrow_wide(n_val, n_doc, w_seg, w_doc, k: int):
+    """Full combine: joined-narrow top-k  ∪  raw-wide top-2k -> exact
+    (G, k) (vals, ids). See module docstring for the exactness
+    argument. All shapes static: n_val/n_doc (G, Wn), w_seg/w_doc
+    (G, Ww)."""
+    joined = join_add(n_val, n_doc, w_seg, w_doc)
+    kn = min(k, joined.shape[1])
+    jv, jpos = jax.lax.top_k(joined, kn)
+    ji = jnp.take_along_axis(n_doc, jpos, axis=1)
+    ji = jnp.where(jv > NEG_INF / 2, ji, -1)
+    kw = min(2 * k, w_seg.shape[1])
+    wv, wpos = jax.lax.top_k(w_seg, kw)
+    wi = jnp.take_along_axis(w_doc, wpos, axis=1)
+    wi = jnp.where((wv > NEG_INF / 2) & (wi < _BIG), wi, -1)
+    return dedup_topk(jnp.concatenate([jv, wv], axis=1),
+                      jnp.concatenate([ji, wi], axis=1), k)

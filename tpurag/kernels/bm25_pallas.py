@@ -53,9 +53,29 @@ def pallas_merge_ok(w: int, cbits: int = 0) -> bool:
     del cbits
     return w <= PALLAS_MAX_MERGE_LANES
 
+# Wide-row (full-output) form: tile_b=8 + unroll=1 loops + ONE grid
+# step per pallas call (rows chunked through lax.map — a multi-step
+# grid makes Mosaic double-buffer the in/out blocks, which is what
+# pushed W=32768 to 17.36M scoped; single-step it compiles AND runs).
+# Probed on v5e (benchmarks/bm25_wide_probe.py, 2026-08-19, b=512):
+#   W=32768 packed  13.4/16.6 ms (t2/t4)   <- pallas wins
+#   W=32768 unpacked t4 22.3 ms vs XLA-tree 30.6 ms  <- pallas wins
+#   W=32768 unpacked t2 105.9 ms vs XLA-tree 20.4 ms <- tree wins
+#   W>=65536: Mosaic compile fails at every layout -> XLA tree.
+WIDE_MERGE_MAX_LANES = 1 << 15
+
+
+def wide_merge_ok(w: int, cbits: int = 0, t: int = 8) -> bool:
+    """True if the wide-row pallas form is both compilable and the
+    measured winner for this (w, layout, t)."""
+    if w <= PALLAS_MAX_MERGE_LANES:
+        return True
+    return w <= WIDE_MERGE_MAX_LANES and (cbits > 0 or t >= 4)
+
 
 def _merge_segsum_kernel(*refs, k: int, p: int, w: int, t: int,
-                         cbits: int = 0):
+                         cbits: int = 0, unroll: int = 0,
+                         out_full: bool = False):
     """cbits == 0: classic two-array (doc int32, contrib f32) form.
 
     cbits > 0 (packed form): one int32 KEY array, key = doc << cbits |
@@ -108,9 +128,13 @@ def _merge_segsum_kernel(*refs, k: int, p: int, w: int, t: int,
 
         # Mosaic supports only unroll=1 or full unroll; full unroll of one
         # level (9-14 stages) trades a little compile time for removing
-        # sequential scalar-core loop iterations.
+        # sequential scalar-core loop iterations. Wide rows (W > 16K)
+        # pass unroll=1: the unrolled level's live temporaries are what
+        # blew the 16MB scoped-VMEM limit at W=32768 (round-3 probe),
+        # and at 32K+ lanes the per-stage vector work amortizes the
+        # scalar-core loop overhead that unrolling removes.
         arrays = jax.lax.fori_loop(0, n_stages, inner, arrays,
-                                   unroll=n_stages)
+                                   unroll=(unroll or n_stages))
         kk_py *= 2
 
     if cbits:
@@ -137,6 +161,13 @@ def _merge_segsum_kernel(*refs, k: int, p: int, w: int, t: int,
         total = total + jnp.where((dj == doc) & (lane >= j), cj, 0.0)
 
     seg = jnp.where(is_end & (doc < big), total, NEG_INF)
+    if out_full:
+        # Full-row form for the wide-class combine (kernels/bm25_join):
+        # doc stays monotone (parked lanes at the end), seg holds the
+        # exact per-doc sum at each segment-END lane, NEG_INF elsewhere.
+        out_v_ref[:] = seg
+        out_i_ref[:] = jnp.where(doc < big, doc, _BIG).astype(jnp.int32)
+        return
     vals, ids = select_topk_auto(seg, doc, k)
     out_v_ref[:] = vals
     out_i_ref[:] = ids
@@ -217,6 +248,150 @@ def merge_segsum_topk(doc: jax.Array, con: jax.Array, k: int, p: int,
     vals, ids = vals[:b], ids[:b]
     empty = vals <= 0.0
     return jnp.where(empty, NEG_INF, vals), jnp.where(empty, -1, ids)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("p", "t", "cbits", "interpret"))
+def merge_segsum_full(doc: jax.Array, con: jax.Array, p: int, t: int = 1,
+                      cbits: int = 0, interpret: bool = False):
+    """Wide-class form: same bitonic merge + windowed segsum as
+    merge_segsum_topk, but returns the FULL (B, W) row instead of
+    top-k — (seg, doc_sorted) with seg holding the exact per-doc sum
+    at each segment-end lane (NEG_INF elsewhere) and doc_sorted
+    monotone ascending with parked lanes at 2^30. The doc-sorted row
+    is the binary-search join target for exact narrow+wide score
+    combination (kernels/bm25_join.py).
+
+    Runs whole-row in VMEM at tile_b=8 with unroll=1 merge loops
+    (W <= WIDE_MERGE_MAX_LANES); t == 1 rows skip the merge network
+    entirely (already sorted, docs unique).
+
+    Unlike merge_segsum_topk, input P-blocks are PLAIN ascending
+    (this wrapper flips odd blocks itself — same contract as the XLA
+    fallback merge_segsum_full_xla)."""
+    b, w = doc.shape
+    if t == 1:
+        # Single sorted list: docs already unique and ascending — every
+        # lane is its own segment end; no kernel needed at all.
+        return jnp.where(doc < _BIG, con, NEG_INF), doc
+    def interleave(x):
+        x4 = x.reshape(b, t // 2, 2, p)
+        return jnp.stack(
+            [x4[:, :, 0], jnp.flip(x4[:, :, 1], axis=-1)], axis=2
+        ).reshape(b, w)
+
+    doc = interleave(doc)
+    con = interleave(con)
+    if w <= PALLAS_MAX_MERGE_LANES:
+        # Narrow-enough rows use the known-good multi-step grid form
+        # (adaptive tile_b, fully-unrolled merge levels) — the same
+        # regime the fused top-k kernel runs in.
+        per_row = w * (4 if cbits else 8)
+        tile_b = max(8, min(128, (1024 * 1024) // per_row))
+        unroll = 0
+    else:
+        tile_b = 8
+        unroll = 1
+    bp = round_up(b, tile_b)
+    if bp != b:
+        doc = jnp.pad(doc, ((0, bp - b), (0, 0)), constant_values=_BIG)
+        con = jnp.pad(con, ((0, bp - b), (0, 0)))
+    kernel = functools.partial(_merge_segsum_kernel, k=0, p=p, w=w, t=t,
+                               cbits=cbits, unroll=unroll, out_full=True)
+    if cbits:
+        qmax = (1 << cbits) - 1
+        pad_doc = (2**31 - 1) >> cbits
+        scale = jnp.max(con, axis=1, keepdims=True)
+        safe = jnp.maximum(scale, 1e-30)
+        qv = jnp.clip(jnp.round(con / safe * qmax), 0, qmax).astype(
+            jnp.int32)
+        key = jnp.where(doc < pad_doc,
+                        jnp.left_shift(doc, cbits) | qv,
+                        jnp.int32(2**31 - 1))
+        inputs = (key, safe / qmax)
+        in_specs = [
+            pl.BlockSpec((tile_b, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        inputs = (doc, con)
+        in_specs = [
+            pl.BlockSpec((tile_b, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    out_specs = [
+        pl.BlockSpec((tile_b, w), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_b, w), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if w <= PALLAS_MAX_MERGE_LANES or bp == tile_b:
+        seg, doc_s = pl.pallas_call(
+            kernel,
+            grid=(bp // tile_b,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[
+                jax.ShapeDtypeStruct((bp, w), jnp.float32),
+                jax.ShapeDtypeStruct((bp, w), jnp.int32),
+            ],
+            interpret=interpret,
+        )(*inputs)
+    else:
+        # Wide rows: ONE grid step per pallas call — with a multi-step
+        # grid Mosaic double-buffers the in/out blocks across steps,
+        # which at W=32768 unpacked pushes scoped VMEM to 17.36M > the
+        # 16M limit (measured on v5e; the same shape compiles AND runs
+        # single-step). Rows batch through lax.map; the merge is
+        # compute-bound in VMEM, so the lost DMA/compute overlap is
+        # the cheaper concession.
+        call = pl.pallas_call(
+            kernel,
+            grid=(1,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=[
+                jax.ShapeDtypeStruct((tile_b, w), jnp.float32),
+                jax.ShapeDtypeStruct((tile_b, w), jnp.int32),
+            ],
+            interpret=interpret,
+        )
+        chunks = tuple(x.reshape(bp // tile_b, tile_b, *x.shape[1:])
+                       for x in inputs)
+        seg, doc_s = jax.lax.map(lambda xs: call(*xs), chunks)
+        seg = seg.reshape(bp, w)
+        doc_s = doc_s.reshape(bp, w)
+    return seg[:b], doc_s[:b]
+
+
+def merge_segsum_full_xla(doc: jax.Array, con: jax.Array, p: int,
+                          t: int = 1):
+    """XLA fallback for rows past WIDE_MERGE_MAX_LANES (and the CPU
+    path): bitonic merge tree over the presorted P-blocks
+    (kernels/sortmerge.py — NOT a full lax.sort) + cumsum segment
+    reduction. Same (seg, doc_sorted) contract as merge_segsum_full."""
+    from tpurag.kernels.sortmerge import merge_sorted_lists
+
+    b, w = doc.shape
+    if t == 1:
+        # Already sorted with unique docs: no merge, no segsum.
+        return jnp.where(doc < _BIG, con, NEG_INF), doc
+    doc_s, con_s = merge_sorted_lists(
+        doc.reshape(b, t, p), con.reshape(b, t, p))
+    csum = jnp.cumsum(con_s, axis=1)
+    nxt = jnp.concatenate(
+        [doc_s[:, 1:], jnp.full((b, 1), -1, doc_s.dtype)], axis=1)
+    is_end = doc_s != nxt
+    end_vals = jnp.where(is_end, csum, 0.0)
+    prev = jnp.concatenate(
+        [jnp.zeros((b, 1), csum.dtype), end_vals[:, :-1]], axis=1)
+    prev = jax.lax.cummax(prev, axis=1)
+    seg = jnp.where(is_end & (doc_s < _BIG), csum - prev, NEG_INF)
+    return seg, doc_s
 
 
 @functools.partial(jax.jit, static_argnames=("k", "p_max", "cbits"))
