@@ -475,3 +475,41 @@ def test_kb_ivf_auto_refresh_disabled(rng):
     assert kb._ivf_built_at == built0  # policy off: tail only
     r = kb.search("later levers document", mode="ivf", top_k=3)
     assert r.results  # still served via the exact tail scan
+
+
+def test_nprobe_dyn_mask_matches_static(aligned_ivf):
+    """Shared-shape tuning: a search compiled at a static nprobe cap
+    with a runtime nprobe_dyn mask must return exactly what a static
+    nprobe-point search returns (kernels/ivf_scan.py mask)."""
+    from tpurag.kernels.ivf_scan import ivf_scan_pallas
+    from tpurag.kernels.runtime import round_up
+
+    data, ivf = aligned_ivf
+    rng = np.random.default_rng(41)
+    q = jnp.asarray(np.asarray(l2_normalize(
+        rng.standard_normal((4, 48)).astype(np.float32))))
+    c_pad = int(round_up(ivf.c_max, 8))
+    args = (q, ivf.centroids, ivf.emb_ivf, ivf.cluster_starts,
+            ivf.cluster_counts, ivf.row_ids)
+    for np_small in (1, 2, 4):
+        sv, si = ivf_scan_pallas(*args, k=10, nprobe=np_small,
+                                 c_pad=c_pad, interpret=True)
+        dv, di = ivf_scan_pallas(*args, k=10, nprobe=ivf.n_lists,
+                                 c_pad=c_pad, interpret=True,
+                                 nprobe_dyn=np.int32(np_small))
+        np.testing.assert_array_equal(np.asarray(di), np.asarray(si))
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(sv),
+                                   atol=1e-5)
+
+
+def test_tune_nprobe_shared_shape_matches_per_point(aligned_ivf):
+    """tune_nprobe(shared_shape=...) must pick the same minimal nprobe
+    either way (the interpret path emulates the mask by clamping)."""
+    data, ivf = aligned_ivf
+    rng = np.random.default_rng(43)
+    q = np.asarray(l2_normalize(
+        rng.standard_normal((16, 48)).astype(np.float32)))
+    _, ei = exact(data, jnp.asarray(q), 10)
+    a = ivf.tune_nprobe(jnp.asarray(q), ei, k=10, shared_shape=False)
+    b = ivf.tune_nprobe(jnp.asarray(q), ei, k=10, shared_shape=True)
+    assert a == b

@@ -588,7 +588,12 @@ class IVFIndex:
                 and getattr(self, "align", 8) % IVF_ALIGN == 0
                 and int(mat.shape[0]) % IVF_ALIGN == 0)
 
-    def search(self, queries, k: int, nprobe: Optional[int] = None):
+    def search(self, queries, k: int, nprobe: Optional[int] = None,
+               nprobe_dyn=None):
+        """nprobe_dyn: optional RUNTIME probe count <= the static nprobe
+        cap — probes past it scan nothing inside the kernel. One compile
+        at the cap then serves a whole tuning ladder (tune_nprobe);
+        production searches pass the static nprobe alone."""
         from tpurag.kernels.runtime import interpret_mode
 
         if nprobe is None:
@@ -612,11 +617,14 @@ class IVFIndex:
                     self.cluster_starts, self.cluster_counts, self.row_ids,
                     k=k, nprobe=nprobe, c_pad=c_pad,
                     cluster_scales=self.cluster_scales,
-                    rescore_emb=self.emb_ivf, pipelined=pipelined)
+                    rescore_emb=self.emb_ivf, pipelined=pipelined,
+                    nprobe_dyn=nprobe_dyn)
             return ivf_scan_pallas(
                 q, self.centroids, self.emb_ivf, self.cluster_starts,
                 self.cluster_counts, self.row_ids, k=k, nprobe=nprobe,
-                c_pad=c_pad, pipelined=pipelined)
+                c_pad=c_pad, pipelined=pipelined, nprobe_dyn=nprobe_dyn)
+        if nprobe_dyn is not None:  # interpret/CPU path: no compile cost
+            nprobe = min(int(nprobe_dyn), nprobe)
         emb_eff = self.emb_ivf
         if emb_eff is None:  # quant-only build on the non-pallas path:
             emb_eff = self._dequantized()  # (interpret/CPU fallback only)
@@ -643,23 +651,52 @@ class IVFIndex:
         return self._dequant_cache
 
     def tune_nprobe(self, queries, exact_ids, k: int = 10,
-                    target_recall: float = 0.95) -> int:
+                    target_recall: float = 0.95,
+                    shared_shape: Optional[bool] = None) -> int:
         """Smallest nprobe whose recall@k vs the exact oracle meets the
         target (the BASELINE gate). exact_ids: (B, k) from exact search.
 
         Doubles to bracket the target, then binary-searches inside the
         bracket — returns the MINIMAL passing nprobe, not the first
         passing power of two (an over-probed default scans up to 2x the
-        rows it needs on every production query)."""
+        rows it needs on every production query).
+
+        shared_shape (default: on for compiled Pallas builds): every
+        ladder point used to compile its own _ivf_search variant —
+        minutes each through a remote-compile tunnel on a live large KB.
+        Instead, compile ONE search at a static cap and drive the ladder
+        through the runtime nprobe_dyn mask (kernels/ivf_scan.py); the
+        cap (max(2*config.n_probe, 64)) escalates — one recompile per
+        4x — only if recall at the full cap still misses the target."""
+        from tpurag.kernels.runtime import interpret_mode
+
         exact = np.asarray(exact_ids)
 
-        def recall_at(nprobe: int) -> float:
-            _, ids = self.search(queries, k=k, nprobe=nprobe)
+        def _recall(ids) -> float:
             got = np.asarray(ids)
             return float(np.mean([
                 len(set(got[i]) & set(exact[i])) / max(len(set(exact[i])), 1)
                 for i in range(exact.shape[0])
             ]))
+
+        if shared_shape is None:
+            shared_shape = (not interpret_mode()
+                            and self.cluster_starts is not None)
+        if shared_shape:
+            cap = int(min(self.n_lists,
+                          max(2 * int(np.ceil(self.config.n_probe)), 64)))
+
+            def recall_at(nprobe: int) -> float:
+                _, ids = self.search(queries, k=k, nprobe=cap,
+                                     nprobe_dyn=np.int32(min(nprobe, cap)))
+                return _recall(ids)
+
+            while recall_at(cap) < target_recall and cap < self.n_lists:
+                cap = int(min(self.n_lists, cap * 4))
+        else:
+            def recall_at(nprobe: int) -> float:
+                _, ids = self.search(queries, k=k, nprobe=nprobe)
+                return _recall(ids)
 
         lo, hi = 0, 1    # lo: last failing, hi: first passing candidate
         while hi < self.n_lists and recall_at(hi) < target_recall:

@@ -401,7 +401,7 @@ def ivf_scan_pallas(q, centroids, emb_ivf, cluster_starts, cluster_counts,
                     row_ids, k: int, nprobe: int, c_pad: int,
                     cluster_scales=None, rescore_emb=None,
                     overfetch: int = 2, interpret: bool = False,
-                    pipelined: bool = False):
+                    pipelined: bool = False, nprobe_dyn=None):
     """Full IVF search with the Pallas probe kernel. Same contract as
     index/ivf.py:ivf_scan (scores + original row ids, -1 empties).
 
@@ -419,6 +419,15 @@ def ivf_scan_pallas(q, centroids, emb_ivf, cluster_starts, cluster_counts,
     _, probe = jax.lax.top_k(cscores, nprobe)          # (B, nprobe)
     starts_sel = cluster_starts[probe].astype(jnp.int32)
     counts_sel = cluster_counts[probe].astype(jnp.int32)
+    if nprobe_dyn is not None:
+        # Shared-shape tuning (tune_nprobe): ONE compile at the static
+        # nprobe cap serves every smaller probe count — probes past the
+        # runtime nprobe_dyn get count 0 and the kernel's per-sub-block
+        # scalar test skips them (a skipped probe costs a grid step, not
+        # a scan). Production searches pass a static nprobe instead.
+        live = jax.lax.broadcasted_iota(
+            jnp.int32, counts_sel.shape, 1) < jnp.int32(nprobe_dyn)
+        counts_sel = jnp.where(live, counts_sel, 0)
     if cluster_scales is not None:
         from tpurag.kernels.quant import quantize_rows, rescore_topk
 
