@@ -1,0 +1,119 @@
+"""Bisect the 1M-bench device fault: run each wide-path piece standalone
+on chip at the exact shapes the failing bench point uses.
+
+Pieces (in the order the bench executes them):
+  1. narrow out_full grid-form Pallas: t=8, p=2048 (W=16384), g=544
+  2. wide Pallas lax.map:              t=4, p=8192 (W=32768), g=64
+  3. wide XLA merge tree:              t=4, p=32768 (W=131072), g=24
+  4. t=1 fast path + combine_narrow_wide at (544,16384)x(64,32768)
+  5. wide_flow end-to-end with a bench-like class mix
+  6. all of the above INSIDE a chained fori_loop (the bench wraps the
+     step in lax.fori_loop — a kernel can fault only under the loop)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.bm25_wide_probe import make_candidates
+    from tpurag.index.inverted import wide_flow
+    from tpurag.kernels.bm25_join import combine_narrow_wide
+    from tpurag.kernels.bm25_pallas import (merge_segsum_full,
+                                            merge_segsum_full_xla)
+
+    log("backend=", jax.default_backend())
+    rng = np.random.default_rng(7)
+    n_docs = 1_000_000
+
+    def run(name, fn, *args):
+        t0 = time.perf_counter()
+        try:
+            out = fn(*args)
+            for x in jax.tree_util.tree_leaves(out):
+                jax.block_until_ready(x)
+            log(f"{name}: OK  {time.perf_counter() - t0:.1f}s")
+            return out
+        except Exception as e:
+            log(f"{name}: FAIL {type(e).__name__}: {str(e)[:200]}")
+            return None
+
+    # 1. narrow out_full grid form, t8 p2048 W16384 g=544
+    d1, c1 = make_candidates(rng, 544, 8, 2048, n_docs)
+    run("1 narrow out_full t8 p2048 g544",
+        lambda: merge_segsum_full(jnp.asarray(d1), jnp.asarray(c1),
+                                  p=2048, t=8))
+
+    # 2. wide pallas laxmap t4 p8192 W32768 g=64
+    d2, c2 = make_candidates(rng, 64, 4, 8192, n_docs)
+    run("2 wide laxmap t4 p8192 g64",
+        lambda: merge_segsum_full(jnp.asarray(d2), jnp.asarray(c2),
+                                  p=8192, t=4))
+
+    # 3. XLA tree t4 p32768 W131072 g=24
+    d3, c3 = make_candidates(rng, 24, 4, 32768, n_docs)
+    f3 = jax.jit(lambda d, c: merge_segsum_full_xla(d, c, p=32768, t=4))
+    run("3 xla tree t4 p32768 g24", f3, jnp.asarray(d3), jnp.asarray(c3))
+
+    # 4. combine at bench-like shapes
+    n_seg = run("4a narrow rows again",
+                lambda: merge_segsum_full(jnp.asarray(d1[:64]),
+                                          jnp.asarray(c1[:64]),
+                                          p=2048, t=8))
+    w_seg = run("4b wide rows again",
+                lambda: merge_segsum_full(jnp.asarray(d2), jnp.asarray(c2),
+                                          p=8192, t=4))
+    if n_seg and w_seg:
+        run("4c combine",
+            lambda: combine_narrow_wide(n_seg[0], n_seg[1], w_seg[0],
+                                        w_seg[1], k=8))
+
+    # 5+6. wide_flow inside a chained fori_loop (bench structure)
+    b = 128
+    dn, cn = make_candidates(rng, b, 8, 2048, n_docs)
+    dw, cw = make_candidates(rng, 48, 4, 8192, n_docs)
+    dw1, cw1 = make_candidates(rng, 80, 1, 16384, n_docs)
+
+    # wide_flow expects class inputs as (bucketw, rowid, idf) + mats;
+    # bypass the gather by calling the underlying pieces the way
+    # _class_full_rows ends: full rows + combine. Emulate with direct
+    # arrays (the gather itself is round-1-validated XLA).
+    def flow_like(args):
+        dn_, cn_, dw_, cw_, dw1_, cw1_ = args
+        nseg, ndoc = merge_segsum_full(dn_, cn_, p=2048, t=8)
+        wseg, wdoc = merge_segsum_full(dw_, cw_, p=8192, t=4)
+        w1seg = jnp.where(dw1_ < 2**30, cw1_, -3.0e38)
+        s1, i1 = combine_narrow_wide(nseg[:48], ndoc[:48], wseg, wdoc, k=8)
+        s2, i2 = combine_narrow_wide(nseg[48:128], ndoc[48:128],
+                                     w1seg, dw1_, k=8)
+        return s1.sum() + s2.sum() + (i1 + i2[:48]).sum().astype(
+            jnp.float32)
+
+    args5 = tuple(jnp.asarray(x) for x in
+                  (dn, cn, dw, cw, dw1, cw1))
+    run("5 flow-like single", jax.jit(flow_like), args5)
+
+    @jax.jit
+    def chained(x0, args):
+        def step(i, acc):
+            return acc + flow_like(args)
+        return jax.lax.fori_loop(0, 10, step, x0)
+
+    run("6 flow-like chained x10", chained, jnp.float32(0.0), args5)
+
+    log("probe2 complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,14 @@ each stage (gate: the old path needed ~80 GB of f32 copies; this must
 stay ~bounded — chunk metadata + postings + block buffers).
 
 Usage: python benchmarks/kb_10m.py [--n N] [--d D] [--lists L] [--skip-keyword]
+                                   [--resume] [--no-snapshot]
 CPU smoke: auto-shrinks to 100k x 256.
+
+--resume: reload the post-build KB snapshot (kb.save artifacts under the
+work dir) instead of re-paying the ~50 min ingest+build — this is ALSO
+the 10M checkpoint/resume measurement (save/load wall + RSS land in the
+JSON). Queries come from a dedicated rng stream so resumed runs measure
+the identical workload.
 """
 
 from __future__ import annotations
@@ -58,6 +65,8 @@ def main():
     d = 1024 if on_tpu else 256
     n_lists = 4096 if on_tpu else 128
     keyword = "--skip-keyword" not in sys.argv
+    resume = "--resume" in sys.argv
+    snapshot = "--no-snapshot" not in sys.argv
     if "--n" in sys.argv:
         n = int(sys.argv[sys.argv.index("--n") + 1])
     if "--d" in sys.argv:
@@ -84,58 +93,79 @@ def main():
     )
     work = pathlib.Path("/tmp/kb10m")
     work.mkdir(exist_ok=True)
-    kb = KnowledgeBase("kb10m", dim=d, config=cfg, quant=True,
-                       store="host", backing=work / "emb.npy")
-
-    # -- block ingest through the product API -----------------------------
+    snap = work / f"kb_{n}_{d}_{n_lists}{'' if keyword else '_nokw'}"
     rng = np.random.default_rng(0)
     centers = rng.standard_normal((n_centers, d)).astype(np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    which = rng.integers(0, n_centers, n)
-    block = 1 << 17
-    t0 = time.time()
-    for s in range(0, n, block):
-        e = min(s + block, n)
-        blk = rng.standard_normal((e - s, d), dtype=np.float32)
-        blk *= np.float32(noise / np.sqrt(d))
-        blk += centers[which[s:e]]
-        chunks = [Chunk(text=f"c{i} t{i % 997} z{i % 89}",
-                        doc_id=f"d{i >> 7}", doc_name=f"doc{i >> 7}")
-                  for i in range(s, e)]
-        if not keyword:
-            for c in chunks:
-                c.text = ""
-        kb.add_chunks(chunks, vectors=blk)
-        if (s // block) % 8 == 7:
-            kb.dense.drop_page_cache()
-            log(f"ingested {e}/{n} rss={rss_gb():.1f}GB "
-                f"({(e) / (time.time() - t0):,.0f} rows/s)")
-    kb.dense.drop_page_cache()
-    ingest_s = time.time() - t0
-    rss_ingest = rss_gb()
-    log(f"ingest {n} chunks in {ingest_s:.0f}s rss={rss_ingest:.1f}GB")
+
+    ingest_s = build_s = rss_ingest = rss_build = 0.0
+    save_s = load_s = None
+    if resume and (snap / "kb.json").exists():
+        # -- checkpoint/resume through the product API --------------------
+        t0 = time.time()
+        kb = KnowledgeBase.load(snap, store="host",
+                                backing=work / "emb_resume.npy",
+                                config=cfg)
+        load_s = time.time() - t0
+        log(f"resumed snapshot in {load_s:.0f}s rss={rss_gb():.1f}GB "
+            f"({len(kb)} chunks)")
+    else:
+        kb = KnowledgeBase("kb10m", dim=d, config=cfg, quant=True,
+                           store="host", backing=work / "emb.npy")
+
+        # -- block ingest through the product API -------------------------
+        which = rng.integers(0, n_centers, n)
+        block = 1 << 17
+        t0 = time.time()
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            blk = rng.standard_normal((e - s, d), dtype=np.float32)
+            blk *= np.float32(noise / np.sqrt(d))
+            blk += centers[which[s:e]]
+            chunks = [Chunk(text=f"c{i} t{i % 997} z{i % 89}",
+                            doc_id=f"d{i >> 7}", doc_name=f"doc{i >> 7}")
+                      for i in range(s, e)]
+            if not keyword:
+                for c in chunks:
+                    c.text = ""
+            kb.add_chunks(chunks, vectors=blk)
+            if (s // block) % 8 == 7:
+                kb.dense.drop_page_cache()
+                log(f"ingested {e}/{n} rss={rss_gb():.1f}GB "
+                    f"({(e) / (time.time() - t0):,.0f} rows/s)")
+        kb.dense.drop_page_cache()
+        ingest_s = time.time() - t0
+        rss_ingest = rss_gb()
+        log(f"ingest {n} chunks in {ingest_s:.0f}s rss={rss_ingest:.1f}GB")
+
+        # -- streaming IVF build ------------------------------------------
+        t0 = time.time()
+        kb.build_ivf()
+        build_s = time.time() - t0
+        rss_build = rss_gb()
+        if snapshot:
+            t0 = time.time()
+            kb.save(snap)
+            save_s = time.time() - t0
+            log(f"snapshot saved in {save_s:.0f}s rss={rss_gb():.1f}GB")
+
+    ivf = kb._ivf
+    log(f"ivf ready n_lists={ivf.n_lists} c_max={ivf.c_max} "
+        f"hbm_gb={ivf.emb_ivf_q8.shape[0] * d / 1e9:.1f} "
+        f"fp_copy={ivf.emb_ivf is not None}")
 
     # Queries: HELD-OUT draws from the same mixture (center + fresh
     # noise), NOT perturbations of corpus rows — perturbed-row fixtures
     # saturate recall at the first ladder point (round-2 verdict item 4);
     # held-out queries land near cluster boundaries and make the
-    # nprobe/recall ladder actually bend.
-    qc = rng.integers(0, n_centers, b)
-    qv = rng.standard_normal((b, d)).astype(np.float32)
+    # nprobe/recall ladder actually bend. Dedicated rng stream so a
+    # resumed run measures the identical workload.
+    qrng = np.random.default_rng(1_000_003)
+    qc = qrng.integers(0, n_centers, b)
+    qv = qrng.standard_normal((b, d)).astype(np.float32)
     qv *= np.float32(noise / np.sqrt(d))
     qv += centers[qc]
     qv /= np.linalg.norm(qv, axis=1, keepdims=True)
-
-    # -- streaming IVF build ----------------------------------------------
-    t0 = time.time()
-    kb.build_ivf()
-    build_s = time.time() - t0
-    rss_build = rss_gb()
-    ivf = kb._ivf
-    log(f"build_ivf in {build_s:.0f}s rss={rss_build:.1f}GB "
-        f"n_lists={ivf.n_lists} c_max={ivf.c_max} "
-        f"hbm_gb={ivf.emb_ivf_q8.shape[0] * d / 1e9:.1f} "
-        f"fp_copy={ivf.emb_ivf is not None}")
 
     # -- recall vs the full-probe oracle + latency ladder ------------------
     def probe(nprobe):
@@ -159,6 +189,8 @@ def main():
            "ingest_s": round(ingest_s, 1), "build_s": round(build_s, 1),
            "rss_ingest_gb": round(rss_ingest, 2),
            "rss_build_gb": round(rss_build, 2),
+           "snapshot_save_s": save_s and round(save_s, 1),
+           "snapshot_load_s": load_s and round(load_s, 1),
            "exhaustive_ms": round(t_full * 1e3, 2), "points": []}
     nprobe = 16
     while nprobe < ivf.n_lists:
@@ -175,6 +207,20 @@ def main():
                 "speedup_vs_exhaustive": round(t_full / t_np, 1)}
             break
         nprobe *= 2
+
+    # -- live re-tune cost (round-3 verdict item 8): wall time to re-run
+    # tune_nprobe against the full-probe oracle on the LIVE index. The
+    # shared-shape tuner drives the whole ladder through one compiled
+    # search (runtime nprobe_dyn mask) — per-point recompiles through
+    # the remote tunnel used to cost minutes each at this scale. --------
+    import jax as _jax
+
+    t0 = time.time()
+    tuned = ivf.tune_nprobe(_jax.numpy.asarray(qv), oracle, k=k)
+    out["tune_nprobe_live"] = {"nprobe": int(tuned),
+                               "wall_s": round(time.time() - t0, 1)}
+    log(f"tune_nprobe on live index: nprobe={tuned} "
+        f"in {out['tune_nprobe_live']['wall_s']}s")
 
     # -- the full product search path (embed->ivf->tail merge->assemble) --
     t0 = time.time()
