@@ -399,9 +399,17 @@ def main():
         class_arrs = (class_arrs, n_arrs, w_arrs,
                       jnp.asarray(hard.astype(np.int32)))
 
+        # Bisect aid: TPURAG_BENCH_SKIP=dense,simple,wide disables legs
+        # of the fused step (diagnosing device faults leg by leg).
+        skip = set(filter(None, os.environ.get(
+            "TPURAG_BENCH_SKIP", "").split(",")))
+
         def step(i, emb_arg, q_arg, mats_arg, carrs):
             qq = q_arg * (1.0 + i.astype(jnp.float32) * 1e-7)
-            if quant:
+            if "dense" in skip:
+                v_s = jnp.zeros((b, k), jnp.float32)
+                v_i = jnp.full((b, k), -1, jnp.int32)
+            elif quant:
                 from tpurag.kernels.quant import dense_topk_q8
 
                 q8_a, qs_a, emb_a = emb_arg
@@ -418,13 +426,15 @@ def main():
             k_i_full = jnp.full((b, k), -1, jnp.int32)
             for (p_max, n_real, t_c), (sel, bw_g, row_g, idf_g) in zip(
                     class_meta, carrs_c):
+                if "simple" in skip:
+                    break
                 k_s, k_i = _bucket_score(
                     jnp.roll(bw_g, i, axis=0), jnp.roll(row_g, i, axis=0),
                     jnp.roll(idf_g, i, axis=0), mats_arg,
                     k=k, p_max=p_max, t=t_c, widths=widths,
                     use_pallas=use_pallas, cbits=packed_cbits(n))
                 k_i_full = k_i_full.at[sel].set(k_i[:n_real])
-            if w_meta:
+            if w_meta and "wide" not in skip:
                 # Hard queries: exact narrow+wide split (wide_flow).
                 def flow_classes(meta, arrs):
                     return [(p_max, t_c, sel, n_real,

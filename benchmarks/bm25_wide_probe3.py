@@ -1,0 +1,131 @@
+"""Bisect round 2 for the 1M-bench first-exec device fault.
+
+probe2 cleared every piece the bench uses EXCEPT:
+  a. grid-form out_full at t=2 (p4096 W=8192, p8192 W=16384)
+  b. the XLA merge tree at W=65536 (t2/t4) — probe2 only ran 131072
+  c. the t=1 wide fast path at p=32768
+  d. dynamic jnp.roll(arr, i, axis=0) on the class arrays INSIDE the
+     fori_loop, feeding the Pallas kernels (the bench rotates inputs
+     per iteration so nothing hoists; probe2's chained loop did not)
+  e. all of the above at once: a bench-shaped flow with one class of
+     every (p, t) the b=1024 log lists, chained with rolls
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.bm25_wide_probe import make_candidates
+    from tpurag.kernels.bm25_join import combine_narrow_wide
+    from tpurag.kernels.bm25_pallas import (merge_segsum_full,
+                                            merge_segsum_full_xla)
+
+    log("backend=", jax.default_backend())
+    rng = np.random.default_rng(11)
+    n_docs = 1_000_000
+
+    def run(name, fn, *args):
+        t0 = time.perf_counter()
+        try:
+            out = fn(*args)
+            for x in jax.tree_util.tree_leaves(out):
+                jax.block_until_ready(x)
+            log(f"{name}: OK  {time.perf_counter() - t0:.1f}s")
+            return out
+        except Exception as e:
+            log(f"{name}: FAIL {type(e).__name__}: {str(e)[:300]}")
+            return None
+
+    # a. t=2 grid forms
+    for p, g in ((4096, 32), (8192, 24)):
+        d, c = make_candidates(rng, g, 2, p, n_docs)
+        run(f"a t2 p{p} g{g} gridform",
+            lambda d=d, c=c, p=p: merge_segsum_full(
+                jnp.asarray(d), jnp.asarray(c), p=p, t=2))
+
+    # b. XLA tree at W=65536
+    for t in (2, 4):
+        d, c = make_candidates(rng, 16, t, 65536 // t, n_docs)
+        f = jax.jit(lambda dd, cc, t=t: merge_segsum_full_xla(
+            dd, cc, p=65536 // t, t=t))
+        run(f"b tree t{t} W65536", f, jnp.asarray(d), jnp.asarray(c))
+
+    # c. t=1 fast path at p=32768
+    d1, c1 = make_candidates(rng, 40, 1, 32768, n_docs)
+    run("c t1 p32768",
+        lambda: merge_segsum_full(jnp.asarray(d1), jnp.asarray(c1),
+                                  p=32768, t=1))
+
+    # d. dynamic roll feeding pallas inside fori_loop
+    dn, cn = make_candidates(rng, 64, 8, 2048, n_docs)
+    dnj, cnj = jnp.asarray(dn), jnp.asarray(cn)
+
+    @jax.jit
+    def rolled(x0, dd, cc):
+        def stp(i, acc):
+            seg, doc_s = merge_segsum_full(
+                jnp.roll(dd, i, axis=0), jnp.roll(cc, i, axis=0),
+                p=2048, t=8)
+            return acc + seg.max()
+        return jax.lax.fori_loop(0, 10, stp, x0)
+
+    run("d rolled chained x10", rolled, jnp.float32(0.0), dnj, cnj)
+
+    # e. bench-shaped composite: one class per (p, t) from the b=1024
+    # log, dynamic rolls, narrow buffer + combines, chained x10.
+    wide_shapes = [(4096, 1), (4096, 2), (8192, 1), (8192, 2),
+                   (8192, 4), (16384, 1), (16384, 2), (16384, 4),
+                   (16384, 8), (32768, 1), (32768, 2), (32768, 4)]
+    g_per = 8
+    h = g_per * len(wide_shapes)
+    wn_max = 16384
+    narrow = make_candidates(rng, h, 8, 2048, n_docs)
+    wides = [make_candidates(rng, g_per, t, p, n_docs)
+             for p, t in wide_shapes]
+    narrow_j = tuple(jnp.asarray(x) for x in narrow)
+    wides_j = [tuple(jnp.asarray(x) for x in w) for w in wides]
+
+    def flow(i, ndc, wlist):
+        nd, nc = (jnp.roll(x, i, axis=0) for x in ndc)
+        nseg, ndoc = merge_segsum_full(nd, nc, p=2048, t=8)
+        acc = jnp.float32(0.0)
+        for (p, t), (wd, wc) in zip(wide_shapes, wides_j):
+            wd = jnp.roll(wd, i, axis=0)
+            wc = jnp.roll(wc, i, axis=0)
+            from tpurag.kernels.bm25_pallas import wide_merge_ok
+            if t == 1:
+                wseg, wdoc = jnp.where(wd < 2**30, wc, -3.0e38), wd
+            elif wide_merge_ok(p * t, 0, t):
+                wseg, wdoc = merge_segsum_full(wd, wc, p=p, t=t)
+            else:
+                wseg, wdoc = merge_segsum_full_xla(wd, wc, p=p, t=t)
+            lo = wide_shapes.index((p, t)) * g_per
+            s, ii = combine_narrow_wide(nseg[lo:lo + g_per],
+                                        ndoc[lo:lo + g_per],
+                                        wseg, wdoc, k=8)
+            acc = acc + s.sum() + ii.sum().astype(jnp.float32)
+        return acc
+
+    @jax.jit
+    def composite(x0):
+        return jax.lax.fori_loop(
+            0, 10, lambda i, a: a + flow(i, narrow_j, wides_j), x0)
+
+    run("e composite chained x10", composite, jnp.float32(0.0))
+    log("probe3 complete")
+
+
+if __name__ == "__main__":
+    main()
