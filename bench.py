@@ -163,7 +163,7 @@ def main():
         # (measured: total launch time is constant in iters), so at
         # iters=20 every reported batch latency was inflated by ~1.2ms.
         # 100 iterations amortize the relay artifact to ~0.24ms/batch.
-        iters = 100
+        iters = int(_os.environ.get("TPURAG_BENCH_ITERS", "100"))
     else:  # CPU smoke mode
         n, d, vocab = 20_000, 256, 5_000
         batches = (64,)
@@ -186,7 +186,17 @@ def main():
     from tpurag.kernels.dense import dense_topk_pallas, dense_topk_xla
     from tpurag.kernels.fusion import rrf_fuse
 
+    # Bisect aid: TPURAG_BENCH_SKIP=dense,simple,wide disables legs of
+    # the fused step (diagnosing device faults leg by leg). With the
+    # dense leg off the corpus is never touched — use a tiny stand-in
+    # so each bisect run skips the multi-minute build/upload.
+    skip = set(filter(None, os.environ.get(
+        "TPURAG_BENCH_SKIP", "").split(",")))
+
     rng = np.random.default_rng(0)
+    n_full = n
+    if "dense" in skip:
+        n = 2048
     log(f"building synthetic corpus n={n} d={d} ...")
     emb = rng.standard_normal((n, d)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
@@ -274,7 +284,7 @@ def main():
         imp_mat = np.zeros((len(tids_w) + 1, wdt), np.float32)
         for row, tidx in enumerate(tids_w):
             m = int(df[tidx])
-            docs = np.sort(rng.choice(n, m, replace=False).astype(np.int32))
+            docs = np.sort(rng.choice(n_full, m, replace=False).astype(np.int32))
             imps = rng.uniform(0.3, 2.2, m).astype(np.float32)
             if head_m and m > head_m:
                 # Mirror _build_layout's head path: keep the top-head_m
@@ -393,6 +403,18 @@ def main():
                          for _, sel, _, bw, ri, idf in const)
             return meta, arrs
 
+        # Bisect aid: TPURAG_BENCH_NSLICE / TPURAG_BENCH_WSLICE = "a:b"
+        # keep only that slice of the narrow/wide hard classes.
+        def _slice_env(name, lst):
+            v = os.environ.get(name)
+            if not v:
+                return lst
+            a, _, bnd = v.partition(":")
+            return lst[int(a or 0):int(bnd) if bnd else None]
+
+        n_const = _slice_env("TPURAG_BENCH_NSLICE", n_const)
+        w_const = _slice_env("TPURAG_BENCH_WSLICE", w_const)
+
         class_meta, class_arrs = split_const(class_const)
         n_meta, n_arrs = split_const(n_const)
         w_meta, w_arrs = split_const(w_const)
@@ -432,7 +454,7 @@ def main():
                     jnp.roll(bw_g, i, axis=0), jnp.roll(row_g, i, axis=0),
                     jnp.roll(idf_g, i, axis=0), mats_arg,
                     k=k, p_max=p_max, t=t_c, widths=widths,
-                    use_pallas=use_pallas, cbits=packed_cbits(n))
+                    use_pallas=use_pallas, cbits=packed_cbits(n_full))
                 k_i_full = k_i_full.at[sel].set(k_i[:n_real])
             if w_meta and "wide" not in skip:
                 # Hard queries: exact narrow+wide split (wide_flow).
@@ -450,7 +472,7 @@ def main():
                     flow_classes(w_meta, carrs_w),
                     h=b, kk=k, wn_max=wn_max, mats=mats_arg,
                     widths=widths, use_pallas=use_pallas,
-                    cbits=packed_cbits(n))
+                    cbits=packed_cbits(n_full))
                 k_i_full = k_i_full.at[hard_sel].set(wf_i[hard_sel])
             s, ids, bits = rrf_fuse((v_i, k_i_full), weights=(1.0, 1.0),
                                     final_k=k)
