@@ -86,6 +86,7 @@ class KnowledgeBase:
         self._doc_chunks: dict[str, list[int]] = {}
         self._ivf = None
         self._ivf_built_at = 0  # n_active snapshot the IVF was built from
+        self._ivf_seed = 0      # seed of the last build, reused on refresh
         self._ivf_refreshing = False  # single-flight background rebuild
         self._ivf_refresh_flag = threading.Lock()
         self._ivf_refresh_thread: Optional[threading.Thread] = None
@@ -391,6 +392,7 @@ class KnowledgeBase:
         n = self.dense.n_active
         self._ivf = self._build_ivf_partition(n, seed)
         self._ivf_built_at = n
+        self._ivf_seed = seed
         return self._ivf
 
     def _build_ivf_partition(self, n: int, seed: int):
@@ -450,7 +452,10 @@ class KnowledgeBase:
                 n = self.dense.n_active
                 if n <= self._ivf_built_at:
                     return  # raced with a manual build_ivf()
-            new_ivf = self._build_ivf_partition(n, seed=0)
+            # Reuse the seed of the original build: a refresh must not
+            # silently switch a custom-seeded KB to seed-0 partitions
+            # (recall characteristics stay reproducible across runs).
+            new_ivf = self._build_ivf_partition(n, seed=self._ivf_seed)
             with self._mutex.write():
                 if self._ivf_built_at >= n:
                     return  # a newer partition won the race
@@ -531,6 +536,7 @@ class KnowledgeBase:
             "embedder": emb_info,
             "ivf": ivf_kind,
             "ivf_built_at": self._ivf_built_at,
+            "ivf_seed": self._ivf_seed,
             # Chunks stream to a JSONL sidecar: json.dumps of a 10M-dict
             # list would materialize gigabytes; one line per chunk keeps
             # save AND load memory bounded.
@@ -609,12 +615,14 @@ class KnowledgeBase:
             kb._ivf = ShardedIVFIndex.load(d / "ivf_sharded", mesh=mesh,
                                            config=kb.config.ivf)
             kb._ivf_built_at = int(meta.get("ivf_built_at", 0))
+            kb._ivf_seed = int(meta.get("ivf_seed", 0))
         elif ivf_kind == "single":
             from tpurag.index.ivf import IVFIndex
 
             kb._ivf = IVFIndex.load(d / "ivf", config=kb.config.ivf,
                                     dtype=kb.dense.dtype)
             kb._ivf_built_at = int(meta.get("ivf_built_at", 0))
+            kb._ivf_seed = int(meta.get("ivf_seed", 0))
         # else: mode='ivf' needs build_ivf() after load (documented).
         return kb
 

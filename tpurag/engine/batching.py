@@ -115,7 +115,12 @@ class BatchingExecutor:
 
     def _finalize_loop(self) -> None:
         while True:
-            item = self._inflight.get()
+            try:
+                item = self._inflight.get(timeout=0.5)
+            except queue.Empty:
+                if self._stop.is_set():
+                    return
+                continue
             if item is None:  # shutdown sentinel
                 return
             ticket, futures = item
@@ -132,5 +137,12 @@ class BatchingExecutor:
         self._stop.set()
         self._thread.join(timeout=2.0)
         if self.pipelined:
-            self._inflight.put(None)
+            # Never block on a full in-flight queue (a wedged finalizer —
+            # e.g. finalize_batch stuck on a dead device sync — would hang
+            # shutdown forever). The sentinel is best-effort: _finalize_loop
+            # also polls _stop between items.
+            try:
+                self._inflight.put_nowait(None)
+            except queue.Full:
+                pass
             self._finalizer.join(timeout=2.0)

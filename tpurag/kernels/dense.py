@@ -157,8 +157,17 @@ def _dense_topk_kernel_co(*refs, k: int, tile_b: int, tile_n: int,
     scored against every query tile before the next tile streams in, so
     HBM corpus traffic is N*D bytes TOTAL — independent of batch size —
     instead of (B/tile_b)*N*D in the query-outer order. At the headline
-    shape (100k x 1024 bf16, b=1024) that is 205MB vs 819MB of reads;
-    measured on v5e the swap cut the dense leg 3.35ms -> 1.54ms.
+    shape (100k x 1024 bf16, b=1024) that is 205MB vs 819MB of reads.
+    MEASURED ON v5e, HOWEVER, the full kernel is NOT faster than the
+    query-outer order (benchmarks/results_dense_co.json: b=1024 qo
+    3.12ms vs best co 3.13ms; b=256 qo 1.19ms vs best co 1.29ms) — the
+    qo kernel's early-skip extraction already hides most of the repeat
+    corpus reads behind compute, and the co order's cross-tile running
+    state costs what the saved bandwidth buys. This kernel is therefore
+    BENCHMARK-ONLY (roofline attacks / future-hardware re-evaluation);
+    the production dense path (DenseIndex / KB search) dispatches to
+    dense_topk_pallas, and the bp>4096 ValueError below is unreachable
+    from serving code.
 
     All queries stay resident in VMEM for the whole scan (one (bp, D)
     block, index map pinned to (0, 0)); the kernel slices the current

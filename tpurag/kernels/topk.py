@@ -12,6 +12,8 @@ the reference materializes all scores in JS (hybrid-search.ts:217-247).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -106,9 +108,15 @@ def select_topk_q4(scores: jax.Array, ids: jax.Array, k: int):
     return jnp.concatenate(vals, axis=1), jnp.concatenate(outs, axis=1)
 
 
-import os
-
-_Q4_ENABLED = os.environ.get("TPURAG_TOPK_Q4", "0") == "1"
+def _q4_enabled(flag: str) -> bool:
+    """Read the q4 opt-in at CALL time (trace time), not import time —
+    two independent flags gate two unrelated experiments:
+      TPURAG_TOPK_Q4       select_topk_q4 on caller-supplied ids
+                           (crashes Mosaic for replicated-layout ids)
+      TPURAG_TOPK_Q4_LANE  the Mosaic-safe q4 lane tournament in the
+                           dense fold (measured slower on v5e)
+    so enabling one never silently re-enables the other."""
+    return os.environ.get(flag, "0") == "1"
 
 
 def select_topk_auto(scores: jax.Array, ids: jax.Array, k: int):
@@ -126,7 +134,8 @@ def select_topk_auto(scores: jax.Array, ids: jax.Array, k: int):
     (K13). Use select_topk_q4_lane for iota-id callers instead; flip
     TPURAG_TOPK_Q4=1 only for ids known to be materialized vectors."""
     w = scores.shape[1]
-    if _Q4_ENABLED and w % 4 == 0 and w // 4 >= k and w >= 512:
+    if (_q4_enabled("TPURAG_TOPK_Q4") and w % 4 == 0 and w // 4 >= k
+            and w >= 512):
         return select_topk_q4(scores, ids, k)
     return select_topk(scores, ids, k)
 
@@ -227,12 +236,12 @@ def fold_candidates_asc(run_v, run_i, s, col, k: int, big_id: int,
     benchmarks/results_dense_co.json) — the 5-exchange network plus the
     7-where shift chain cost more than the narrower extraction passes
     save, because the cross-lane reductions are not the linear-cost
-    term. Kept behind TPURAG_TOPK_Q4=1 for re-evaluation on future
+    term. Kept behind TPURAG_TOPK_Q4_LANE=1 for re-evaluation on future
     hardware; default is the plain k-pass select."""
     kp = run_v.shape[0]
     w = s.shape[1]
-    if (_Q4_ENABLED and col_base is not None and w % 4 == 0
-            and w // 4 >= k and w >= 512):
+    if (_q4_enabled("TPURAG_TOPK_Q4_LANE") and col_base is not None
+            and w % 4 == 0 and w // 4 >= k and w >= 512):
         tv, lanes = select_topk_q4_lane(s, k)    # (tb, k) desc
         ti = lanes + col_base
     else:
