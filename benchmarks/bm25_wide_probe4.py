@@ -1,0 +1,141 @@
+"""Bisect round 3 + fix selection for the 1M-bench scoped-VMEM OOM.
+
+Reproduced (round 5): merge_segsum_full's multi-step grid form at
+(192, 16384) t=8 p=2048 unpacked fails AOT compile with
+"Scoped allocation with size 16.90M and limit 16.00M exceeded" —
+while probe3 ran the same kernel config at g<=96 green. The overage
+is 924K (5.6%), so two candidate fixes both plausibly clear it:
+
+  A. grid form with unroll=1 merge loops (shrinks the fully-unrolled
+     level's live temporaries — the dominant scoped-stack term);
+  B. the single-step lax.map form already used past 16K lanes (no
+     in/out double-buffering across grid steps).
+
+This probe compiles + times the failing shape under each form (plus
+the original full-unroll grid form at g=192 and g=96 to confirm the
+g-dependence), so the production boundary change is measured, not
+guessed. Run on the TPU: python benchmarks/bm25_wide_probe4.py
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def variant(doc, con, p, t, tile_b, unroll, single_step):
+    """merge_segsum_full's body with explicit form knobs."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpurag.kernels.bm25_pallas import _merge_segsum_kernel
+    from tpurag.kernels.runtime import round_up
+
+    _BIG = 2**30
+    b, w = doc.shape
+
+    def interleave(x):
+        x4 = x.reshape(b, t // 2, 2, p)
+        return jnp.stack(
+            [x4[:, :, 0], jnp.flip(x4[:, :, 1], axis=-1)], axis=2
+        ).reshape(b, w)
+
+    doc = interleave(doc)
+    con = interleave(con)
+    bp = round_up(b, tile_b)
+    if bp != b:
+        doc = jnp.pad(doc, ((0, bp - b), (0, 0)), constant_values=_BIG)
+        con = jnp.pad(con, ((0, bp - b), (0, 0)))
+    kernel = functools.partial(_merge_segsum_kernel, k=0, p=p, w=w, t=t,
+                               cbits=0, unroll=unroll, out_full=True)
+    in_specs = [
+        pl.BlockSpec((tile_b, w), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_b, w), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((tile_b, w), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_b, w), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if not single_step:
+        return pl.pallas_call(
+            kernel, grid=(bp // tile_b,),
+            in_specs=in_specs, out_specs=out_specs,
+            out_shape=[
+                jax.ShapeDtypeStruct((bp, w), jnp.float32),
+                jax.ShapeDtypeStruct((bp, w), jnp.int32),
+            ],
+        )(doc, con)
+    call = pl.pallas_call(
+        kernel, grid=(1,),
+        in_specs=in_specs, out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((tile_b, w), jnp.float32),
+            jax.ShapeDtypeStruct((tile_b, w), jnp.int32),
+        ],
+    )
+    chunks = tuple(x.reshape(bp // tile_b, tile_b, w) for x in (doc, con))
+    seg, doc_s = jax.lax.map(lambda xs: call(*xs), chunks)
+    return seg.reshape(bp, w), doc_s.reshape(bp, w)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.bm25_wide_probe import make_candidates
+
+    log("backend=", jax.default_backend())
+    rng = np.random.default_rng(13)
+    n_docs = 1_000_000
+    p, t = 2048, 8
+
+    cases = [
+        # (name, g, tile_b, unroll, single_step)
+        ("g192 grid full-unroll (bench repro)", 192, 8, 0, False),
+        ("g96  grid full-unroll (probe3 ctrl)", 96, 8, 0, False),
+        ("g192 grid unroll=1   (fix A)", 192, 8, 1, False),
+        ("g192 map  unroll=1   (fix B)", 192, 8, 1, True),
+        ("g192 map  full-unroll (fix B')", 192, 8, 0, True),
+    ]
+    results = {}
+    for name, g, tile_b, unroll, single_step in cases:
+        d, c = make_candidates(rng, g, t, p, n_docs)
+        dj, cj = jnp.asarray(d), jnp.asarray(c)
+        f = jax.jit(functools.partial(
+            variant, p=p, t=t, tile_b=tile_b, unroll=unroll,
+            single_step=single_step))
+        t0 = time.perf_counter()
+        try:
+            out = f(dj, cj)
+            jax.block_until_ready(out)
+            compile_s = time.perf_counter() - t0
+            ts = []
+            for _ in range(5):
+                t1 = time.perf_counter()
+                jax.block_until_ready(f(dj, cj))
+                ts.append(time.perf_counter() - t1)
+            ms = float(np.median(ts) * 1e3)
+            log(f"{name}: OK compile {compile_s:.1f}s  {ms:.2f} ms")
+            results[name] = {"ok": True, "ms": ms}
+        except Exception as e:
+            log(f"{name}: FAIL {type(e).__name__}: {str(e)[:200]}")
+            results[name] = {"ok": False, "err": str(e)[:300]}
+    import json
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

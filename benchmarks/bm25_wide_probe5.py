@@ -1,0 +1,256 @@
+"""Per-leg cost breakdown of the 1M exact wide-BM25 flow.
+
+Round-5 state: the scoped-VMEM OOM is fixed (unroll=1 merge loops,
+kernels/bm25_pallas.py) and the composite 1M bench RUNS on chip — but at
+1590 ms/batch-1024 for the hard-query leg alone (TPURAG_BENCH_SKIP=
+dense,simple), vs the ~50 ms the standalone kernel probes predicted.
+This probe reproduces bench.py's exact 1M data (same rng(0) stream,
+same class structure) and times each piece of wide_flow separately:
+
+  narrow:<class>   _class_full_rows per narrow class (gather+merge)
+  wide:<class>     _class_full_rows per wide class
+  combine:<class>  combine_narrow_wide only (join + topk + dedup)
+  scatter          the (h, wn_max) buffer .at[sel].set fills
+  wide_flow        the whole flow (should ~= sum of pieces)
+
+Run from /root/repo: python benchmarks/bm25_wide_probe5.py
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import os
+    import pathlib
+
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from bench import WIDTH_LADDER, _ladder_width, _next_pow2
+    from tpurag.index.inverted import (_class_full_rows, packed_cbits,
+                                       wide_flow)
+    from tpurag.kernels.bm25_join import combine_narrow_wide
+
+    log("backend=", jax.default_backend())
+
+    # ---- bench-identical corpus/postings (TPURAG_BENCH_N=1000000,
+    # skip=dense so the dense corpus build consumes the same rng draws) --
+    n_full = 1_000_000
+    n = 2048  # dense skipped in the repro; keeps the rng stream aligned
+    d, t_query, k = 1024, 8, 8
+    vocab = max(50_000, int(5_000 * (n_full / 100_000) ** 0.5) * 10)
+    df_max = int(2048 * n_full / 100_000)
+    rng = np.random.default_rng(0)
+    _ = rng.standard_normal((n, d)).astype(np.float32)  # corpus draw
+
+    df = np.clip((df_max * (1 + np.arange(vocab)) ** -0.5), 16, df_max
+                 ).astype(np.int64)
+    term_bucket = np.zeros(vocab, np.int32)
+    term_row = np.zeros(vocab, np.int32)
+    by_width: dict[int, list[int]] = {}
+    for tidx in range(vocab):
+        wdt = max(_next_pow2(int(df[tidx])), 16)
+        term_bucket[tidx] = wdt
+        term_row[tidx] = len(by_width.setdefault(wdt, []))
+        by_width[wdt].append(tidx)
+    big = 2**30
+    widths = tuple(sorted(by_width))
+    mats = []
+    nnz = 0
+    t0 = time.perf_counter()
+    for wdt in widths:
+        tids_w = by_width[wdt]
+        doc_mat = np.full((len(tids_w) + 1, wdt), big, np.int32)
+        imp_mat = np.zeros((len(tids_w) + 1, wdt), np.float32)
+        for row, tidx in enumerate(tids_w):
+            m = int(df[tidx])
+            docs = np.sort(rng.choice(n_full, m, replace=False
+                                      ).astype(np.int32))
+            imps = rng.uniform(0.3, 2.2, m).astype(np.float32)
+            doc_mat[row + 1, :m] = docs
+            imp_mat[row + 1, :m] = imps
+            nnz += m
+        mats.append((jnp.asarray(doc_mat), jnp.asarray(imp_mat)))
+        log(f"  width {wdt}: {len(tids_w)} terms uploaded")
+    mats = tuple(mats)
+    log(f"postings built+uploaded: nnz={nnz} widths={widths} "
+        f"({time.perf_counter() - t0:.0f}s)")
+
+    # ---- bench-identical b=1024 query classes ---------------------------
+    b = 1024
+    WIDE_W = WIDTH_LADDER[-1]
+    tid = rng.choice(vocab, size=(b, t_query),
+                     p=(lambda w: w / w.sum())(
+                         (1 + np.arange(vocab)) ** -0.7))
+    tb_q = term_bucket[tid]
+    is_wide = tb_q > WIDE_W
+    hard = np.where(is_wide.any(axis=1))[0]
+    idf_all = np.zeros(0)  # placeholder to mirror bench draws below
+    _q = rng.standard_normal((b, d)).astype(np.float32)  # query draw
+    idf_all = rng.uniform(0.5, 3.0, (b, t_query)).astype(np.float32)
+
+    def group_const(p_max, sel, bw, ri, idf):
+        gb = max(8, -(-len(sel) // 8) * 8)
+        pad = gb - len(sel)
+        if pad:
+            bw = np.pad(bw, ((0, pad), (0, 0)))
+            ri = np.pad(ri, ((0, pad), (0, 0)))
+            idf = np.pad(idf, ((0, pad), (0, 0)))
+        return (int(p_max), jnp.asarray(sel.astype(np.int32)),
+                len(sel), jnp.asarray(bw), jnp.asarray(ri),
+                jnp.asarray(idf))
+
+    n_const, w_const = [], []
+    wn_max = 16
+    nb = np.where(is_wide, 0, tb_q)
+    nr = np.where(is_wide, 0, term_row[tid] + 1).astype(np.int32)
+    n_pmax = np.array([_ladder_width(max(p, 16))
+                       for p in nb[hard].max(axis=1)])
+    for p in sorted(set(n_pmax.tolist())):
+        sel = hard[n_pmax == p]
+        n_const.append(group_const(
+            p, sel, nb[sel], nr[sel],
+            np.where(is_wide[sel], 0, idf_all[sel])))
+        wn_max = max(wn_max, p * t_query)
+    w_counts = is_wide[hard].sum(axis=1)
+    w_pmax = np.where(is_wide[hard], tb_q[hard], 0).max(axis=1)
+    w_tw = np.array([_next_pow2(c) for c in w_counts])
+    for key in sorted({(int(p), int(t)) for p, t in zip(w_pmax, w_tw)}):
+        p_w, t_w = key
+        sel = hard[(w_pmax == p_w) & (w_tw == t_w)]
+        g = len(sel)
+        bw = np.zeros((g, t_w), np.int32)
+        ri = np.zeros((g, t_w), np.int32)
+        idf = np.zeros((g, t_w), np.float32)
+        for gi, bi in enumerate(sel):
+            slots = np.where(is_wide[bi])[0]
+            bw[gi, : len(slots)] = tb_q[bi, slots]
+            ri[gi, : len(slots)] = term_row[tid[bi, slots]] + 1
+            idf[gi, : len(slots)] = idf_all[bi, slots]
+        w_const.append(group_const(p_w, sel, bw, ri, idf))
+    log(f"hard={len(hard)} narrow classes: "
+        + ", ".join(f"p{c[0]}xg{c[3].shape[0]}" for c in n_const)
+        + " | wide classes: "
+        + ", ".join(f"(p{c[0]},t{c[3].shape[1]})xg{c[3].shape[0]}"
+                    for c in w_const))
+
+    cbits = packed_cbits(n_full)
+    use_pallas = True
+    iters = int(os.environ.get("PROBE5_ITERS", "10"))
+    results = {}
+
+    def timeit(name, make_step, warm_arg=None):
+        """make_step(i) -> scalar jnp value; chained fori_loop x iters."""
+        @jax.jit
+        def chained(x0):
+            return jax.lax.fori_loop(
+                0, iters, lambda i, acc: acc + make_step(i), x0)
+
+        t0 = time.perf_counter()
+        try:
+            float(chained(jnp.float32(0.0)))
+        except Exception as e:
+            log(f"{name}: FAIL {type(e).__name__}: {str(e)[:200]}")
+            results[name] = {"ok": False, "err": str(e)[:300]}
+            return
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            float(chained(jnp.float32(0.0)))
+            ts.append((time.perf_counter() - t1) / iters)
+        ms = float(np.median(ts) * 1e3)
+        log(f"{name}: {ms:.2f} ms/iter (compile+first {compile_s:.0f}s)")
+        results[name] = {"ok": True, "ms": ms}
+
+    # 1. per-class _class_full_rows (gather + merge), narrow then wide.
+    for kind, const in (("narrow", n_const), ("wide", w_const)):
+        for (p_max, sel, n_real, bw, ri, idf) in const:
+            t_c = bw.shape[1]
+            name = f"{kind}:p{p_max},t{t_c},g{bw.shape[0]}"
+
+            def step(i, bw=bw, ri=ri, idf=idf, p_max=p_max, t_c=t_c):
+                seg, doc_s = _class_full_rows(
+                    jnp.roll(bw, i, axis=0), jnp.roll(ri, i, axis=0),
+                    jnp.roll(idf, i, axis=0), mats, p_max=p_max, t=t_c,
+                    widths=widths, use_pallas=use_pallas, cbits=cbits)
+                return seg.max() + doc_s.sum().astype(jnp.float32) * 0.0
+
+            timeit(name, step)
+
+    # 2. combine-only per wide class: precompute both sides eagerly.
+    h = b
+    n_val = jnp.full((h, wn_max), -3.0e38, jnp.float32)
+    n_doc = jnp.full((h, wn_max), big, jnp.int32)
+    for (p_max, sel, n_real, bw, ri, idf) in n_const:
+        seg, doc_s = _class_full_rows(bw, ri, idf, mats, p_max=p_max,
+                                      t=bw.shape[1], widths=widths,
+                                      use_pallas=use_pallas, cbits=cbits)
+        if seg.shape[1] < wn_max:
+            pad = wn_max - seg.shape[1]
+            seg = jnp.pad(seg, ((0, 0), (0, pad)),
+                          constant_values=-3.0e38)
+            doc_s = jnp.pad(doc_s, ((0, 0), (0, pad)),
+                            constant_values=big)
+        n_val = n_val.at[sel].set(seg[:n_real])
+        n_doc = n_doc.at[sel].set(doc_s[:n_real])
+    n_val.block_until_ready()
+    for (p_max, sel, n_real, bw, ri, idf) in w_const:
+        t_c = bw.shape[1]
+        w_seg, w_doc = _class_full_rows(bw, ri, idf, mats, p_max=p_max,
+                                        t=t_c, widths=widths,
+                                        use_pallas=use_pallas, cbits=cbits)
+        w_seg.block_until_ready()
+        nv, nd = n_val[sel], n_doc[sel]
+        name = f"combine:p{p_max},t{t_c},g{bw.shape[0]}"
+
+        def step(i, nv=nv, nd=nd, w_seg=w_seg, w_doc=w_doc,
+                 n_real=n_real):
+            s, ii = combine_narrow_wide(
+                jnp.roll(nv, i, axis=0), jnp.roll(nd, i, axis=0),
+                w_seg[:n_real], w_doc[:n_real], k=k)
+            return s.sum() + ii.sum().astype(jnp.float32) * 0.0
+
+        timeit(name, step)
+
+    # 3. the full flow (bench-identical call).
+    def flow_classes(const):
+        return [(p_max, bw.shape[1], sel, n_real, bw, ri, idf)
+                for (p_max, sel, n_real, bw, ri, idf) in const]
+
+    def full_step(i):
+        del i
+        s, ii = wide_flow(flow_classes(n_const), flow_classes(w_const),
+                          h=b, kk=k, wn_max=wn_max, mats=mats,
+                          widths=widths, use_pallas=use_pallas,
+                          cbits=cbits)
+        return s.sum() + ii.sum().astype(jnp.float32) * 0.0
+
+    timeit("wide_flow(full)", full_step)
+
+    with open("benchmarks/results_wide_probe5.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

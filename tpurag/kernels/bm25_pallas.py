@@ -283,12 +283,19 @@ def merge_segsum_full(doc: jax.Array, con: jax.Array, p: int, t: int = 1,
     doc = interleave(doc)
     con = interleave(con)
     if w <= PALLAS_MAX_MERGE_LANES:
-        # Narrow-enough rows use the known-good multi-step grid form
-        # (adaptive tile_b, fully-unrolled merge levels) — the same
-        # regime the fused top-k kernel runs in.
+        # Narrow-enough rows use the multi-step grid form (adaptive
+        # tile_b) — the same regime the fused top-k kernel runs in —
+        # but with unroll=1 merge loops: the full-row (tile_b, W)
+        # outputs double-buffer across grid steps on top of the merge
+        # network's live temporaries, and with fully-unrolled levels
+        # the combined scoped-VMEM stack measured 16.90M > the 16M
+        # limit at (192, 16384) t=8 INSIDE the 1M composite bench
+        # (context-dependent: the same shape compiles standalone —
+        # benchmarks/bm25_wide_probe4.py, which also measured
+        # unroll=1 at parity runtime with 4x faster compiles).
         per_row = w * (4 if cbits else 8)
         tile_b = max(8, min(128, (1024 * 1024) // per_row))
-        unroll = 0
+        unroll = 1
     else:
         tile_b = 8
         unroll = 1
