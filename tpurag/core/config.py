@@ -36,6 +36,17 @@ class HybridPreset:
     keyword_top_k: int = 8
     min_vector_score: float = 0.3
     both_bonus: float = 0.1
+    # Keyword-leg confidence gate: drop a query's BM25 candidates when
+    # best_bm25 < min_keyword_coverage * query_idf_mass — i.e. when even
+    # the best hit matches under this idf-weighted fraction of the query
+    # (InvertedIndex.query_idf_mass). Protects semantic corpora where
+    # lexical evidence is pure noise (register-shift queries halved
+    # hybrid recall@10 0.594→0.281 before gating, results_semantic_
+    # scale.json) while leaving real lexical matches — whose top hits
+    # cover most of the query's idf mass — untouched. The reference's
+    # analogues are its min-score filters and the keyword-coverage
+    # rerank term (hybrid-search.ts:77-105, dedup-filter.ts:132-155).
+    min_keyword_coverage: float = 0.1
 
     @property
     def rrf_max(self) -> float:

@@ -69,6 +69,20 @@ def hybrid_search(
         # (a sync is a full round-trip on a relay-attached chip).
         k_scores, k_ids = inverted.search(query_texts, preset.keyword_top_k,
                                           as_device=True)
+        if (preset.min_keyword_coverage > 0.0
+                and not inverted.config.rank_compat_scores):
+            # (rank-compat mode emits 1/(rank+1) pseudo-scores, which
+            # carry no match-mass information — gate only on true BM25.)
+            # Keyword-leg confidence gate (see HybridPreset): when even
+            # the BEST BM25 hit matches under min_keyword_coverage of
+            # the query's idf mass, the leg is lexical noise (e.g. only
+            # function words matched) — RRF would hand its rank-0 noise
+            # more mass than the vector leg's rank-5 truth. Per-query
+            # all-or-nothing on the leg, keyed off the top score.
+            mass = jnp.asarray(inverted.query_idf_mass(query_texts))
+            best = jnp.max(k_scores, axis=1, keepdims=True)
+            confident = best >= preset.min_keyword_coverage * mass[:, None]
+            k_ids = jnp.where(confident, k_ids, -1)
     else:
         # Keyword index unavailable -> vector-only degradation
         # (reference: hybrid-search.ts:322-330).

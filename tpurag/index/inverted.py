@@ -550,6 +550,28 @@ class InvertedIndex:
 
     # -- query ---------------------------------------------------------------
 
+    def query_idf_mass(self, queries: list[str]) -> np.ndarray:
+        """Per-query total idf mass: Σ idf over ALL query tokens,
+        including out-of-vocabulary ones (df=0 → the Okapi formula's
+        maximum idf). best_bm25_score / idf_mass ≈ the idf-weighted
+        fraction of the query a hit actually matched (per-term impact
+        tops out near 1 at tf=1/avg length), which is the confidence
+        signal the hybrid engine's keyword-coverage gate thresholds on
+        (engine/hybrid.py; the reference's analogue is its
+        keyword-coverage rerank term, dedup-filter.ts:132-155).
+        Host-side numpy, O(total query tokens)."""
+        df_live = max(self.n_docs, 1)
+        out = np.zeros(len(queries), np.float32)
+        for qi, q in enumerate(queries):
+            mass = 0.0
+            for tok in tokenize_query(q):
+                tid = self.vocab.get(tok)
+                df = (0 if tid is None
+                      else min(len(self._postings_doc[tid]), df_live))
+                mass += math.log(1.0 + (df_live - df + 0.5) / (df + 0.5))
+            out[qi] = mass
+        return out
+
     def search(self, queries: list[str], k: int, as_device: bool = False):
         """BM25 top-k for a batch of text queries.
 

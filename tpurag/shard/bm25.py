@@ -206,6 +206,23 @@ class ShardedInvertedIndex:
                 df += len(part._postings_doc[tid])
         return df
 
+    def query_idf_mass(self, queries: list[str]) -> np.ndarray:
+        """Global-df analogue of InvertedIndex.query_idf_mass (the
+        hybrid keyword-coverage gate's normalizer): Σ idf over all
+        query tokens, df summed across shards, OOV terms at the
+        formula's maximum."""
+        from tpurag.index.inverted import tokenize_query
+
+        df_live = max(self.n_docs, 1)
+        out = np.zeros(len(queries), np.float32)
+        for qi, q in enumerate(queries):
+            mass = 0.0
+            for tok in tokenize_query(q):
+                df = min(self._global_df(tok), df_live)
+                mass += math.log(1.0 + (df_live - df + 0.5) / (df + 0.5))
+            out[qi] = mass
+        return out
+
     def search(self, queries: list[str], k: int, as_device: bool = False):
         return self.search_tokens([tokenize_query(q) for q in queries], k,
                                   as_device=as_device)
