@@ -549,12 +549,28 @@ def main():
             f"min={min(ts) * 1e3:.3f}ms qps={qps:,.0f}")
         points.append({"b": b, "p50_ms": p50 * 1e3, "qps": qps,
                        "compile_s": compile_s})
-        if p50 * 1e3 < P50_GATE_MS:
-            break  # points are QPS-descending; first compliant one wins
+        # Margin banking (round-4 verdict item 9): the relay drifts
+        # ±25% day to day, so a 4.5%-margin gate pass can zero a round.
+        # Keep sweeping until some compliant point has >=15% latency
+        # margin (or two compliant points exist to choose between).
+        compliant_now = [p for p in points if p["p50_ms"] < P50_GATE_MS]
+        if (any(p["p50_ms"] <= 0.85 * P50_GATE_MS for p in compliant_now)
+                or len(compliant_now) >= 2):
+            break
 
     compliant = [p for p in points if p["p50_ms"] < P50_GATE_MS]
-    best = (max(compliant, key=lambda p: p["qps"]) if compliant
-            else min(points, key=lambda p: p["p50_ms"]))
+    if compliant:
+        # Prefer a >=15%-margin point when its QPS is within 5% of the
+        # best compliant point's (b=768 at ~3.7ms/207k beats b=1024 at
+        # ~4.8ms/214k on expected value across relay epochs).
+        best = max(compliant, key=lambda p: p["qps"])
+        safe = [p for p in compliant if p["p50_ms"] <= 0.85 * P50_GATE_MS]
+        if safe:
+            best_safe = max(safe, key=lambda p: p["qps"])
+            if best_safe["qps"] >= 0.95 * best["qps"]:
+                best = best_safe
+    else:
+        best = min(points, key=lambda p: p["p50_ms"])
     log("chosen point: " + json.dumps(best))
 
     print(json.dumps({
