@@ -1,0 +1,113 @@
+"""Lowercase-corpus graph extraction (round-4 verdict missing item 3 /
+weak item 8).
+
+The proper-noun rule extractor finds near-nothing in all-lowercase text;
+LightRAG covers that regime with LLM extraction
+(lightrag-service/main.py:52-101). The LLM-free stand-in is corpus-stat
+salience (graph/extract.py TermStats + _salient_entities): phrases of
+adjacent non-stopword tokens that are rare across the corpus become
+entities. Stated gate: >= 0.7 recall of the labeled entity phrases on
+this fixture, and graph-mode retrieval must route a lowercase query to
+the right chunk.
+"""
+
+import numpy as np
+
+from tpurag.graph.extract import TermStats, extract_rules
+from tpurag.graph.index import GraphIndex
+
+# 12 labeled topic sentences (all lowercase) + filler. Every sentence
+# shares the filler vocabulary; the labeled phrases are corpus-rare.
+TOPICS = [
+    ("gradient descent", "learning rate",
+     "the gradient descent optimizer updates weights using the learning "
+     "rate on every step of the run."),
+    ("ring attention", "sequence parallelism",
+     "ring attention spreads long context over chips and pairs with "
+     "sequence parallelism in the stack."),
+    ("inverted index", "postings list",
+     "an inverted index stores a postings list for every term found in "
+     "the corpus being served."),
+    ("reciprocal rank fusion", "hybrid search",
+     "reciprocal rank fusion merges the two result sets that hybrid "
+     "search produces for a query."),
+    ("systolic array", "matrix multiply",
+     "the systolic array streams operands so each matrix multiply keeps "
+     "the compute units busy."),
+    ("kmeans centroids", "cluster assignment",
+     "kmeans centroids move each round as the cluster assignment of "
+     "points settles into place."),
+    ("bloom filter", "false positives",
+     "a bloom filter answers membership with false positives but never "
+     "misses an inserted key."),
+    ("huffman coding", "symbol frequency",
+     "huffman coding builds short codes from symbol frequency tables "
+     "gathered over the stream."),
+    ("page cache", "dirty pages",
+     "the page cache flushes dirty pages to disk when memory pressure "
+     "climbs during the run."),
+    ("raft consensus", "leader election",
+     "raft consensus relies on leader election timeouts to recover from "
+     "a partition of the group."),
+    ("merkle tree", "hash chain",
+     "a merkle tree commits to data with a hash chain from the leaves "
+     "up to the root node."),
+    ("speculative decoding", "draft model",
+     "speculative decoding lets a draft model propose tokens the large "
+     "one verifies in a batch."),
+]
+
+
+def _embedder(texts):
+    # Deterministic bag-of-hashed-tokens (tests need no encoder).
+    out = np.zeros((len(texts), 64), np.float32)
+    for i, t in enumerate(texts):
+        for tok in t.lower().split():
+            out[i, hash(tok) % 64] += 1.0
+        n = np.linalg.norm(out[i])
+        out[i] /= max(n, 1e-30)
+    return out
+
+
+def test_salient_extraction_recall_bar():
+    stats = TermStats()
+    for *_, text in TOPICS:
+        stats.add(text)
+    labeled = [p for a, b, _ in TOPICS for p in (a, b)]
+    got = set()
+    for _, _, text in TOPICS:
+        ents, _ = extract_rules(text, stats=stats)
+        got |= {e.name.lower() for e in ents}
+    hits = sum(any(lab in g or g in lab for g in got) for lab in labeled)
+    recall = hits / len(labeled)
+    assert recall >= 0.7, (recall, sorted(got))
+
+
+def test_proper_noun_path_alone_finds_nothing_lowercase():
+    ents, _ = extract_rules(TOPICS[0][2])  # no stats -> old behavior
+    assert len(ents) == 0
+
+
+def test_lowercase_graph_end_to_end():
+    g = GraphIndex(_embedder, dim=64)
+    ne, nr = g.ingest_chunks([(i, t) for i, (_, _, t) in enumerate(TOPICS)])
+    assert ne >= len(TOPICS)          # at least one entity per topic
+    assert nr > 0                     # co-occurrence relations exist
+    # A lowercase query about one topic must route to its chunk in
+    # graph-local mode (entity kNN -> source chunks).
+    res = g.search_chunks("gradient descent learning rate", mode="local",
+                          k=3)
+    assert 0 in [cid for cid, _ in res]
+
+
+def test_uppercase_corpora_unchanged():
+    # Proper-noun extraction still wins on normal prose; salience only
+    # adds corpus-rare lowercase phrases, never drops existing entities.
+    stats = TermStats()
+    texts = [f"Alice Johnson met Bob Smith in Berlin chapter {i}."
+             for i in range(10)]
+    for t in texts:
+        stats.add(t)
+    ents, rels = extract_rules(texts[0], stats=stats)
+    names = {e.name.lower() for e in ents}
+    assert {"alice johnson", "bob smith", "berlin"} <= names

@@ -37,9 +37,8 @@ def _load_graph(kb, path: str):
     from tpurag.graph.index import GraphIndex
 
     g = GraphIndex(kb.embedder)
-    for cid, c in enumerate(kb.chunks):
-        if not c.metadata.get("deleted"):
-            g.ingest_chunk(cid, c.text)
+    g.ingest_chunks([(cid, c.text) for cid, c in enumerate(kb.chunks)
+                     if not c.metadata.get("deleted")])
     return g
 
 

@@ -273,6 +273,9 @@ def lightrag_stream(mgr: CodebaseManager, cb_id: str,
                      "quick" if quick else "full", "chunks": cap}
     g = GraphIndex(embedder=cb.kb.embedder)
     step = max(cap // 20, 1)
+    for i in range(cap):  # prime salience stats corpus-wide first
+        if not chunks[i].metadata.get("deleted"):
+            g.term_stats.add(chunks[i].text)
     for i in range(cap):
         c = chunks[i]
         if c.metadata.get("deleted"):
@@ -281,7 +284,7 @@ def lightrag_stream(mgr: CodebaseManager, cb_id: str,
         # forward is a read-only jax call — holding RagServer._lock per
         # chunk would stall every mutation route behind potentially
         # thousands of LLM extraction calls (review finding).
-        g.ingest_chunk(i, c.text, llm=llm or mgr.llm)
+        g.ingest_chunk(i, c.text, llm=llm or mgr.llm, _stats_fed=True)
         if (i + 1) % step == 0 or i + 1 == cap:
             yield "progress", {"progress": round(100 * (i + 1) / cap),
                                "entities": len(g.entities),

@@ -639,9 +639,13 @@ class RagServer:
         total = max(len(live), 1)
         yield "status", {"status": "indexing", "total": len(live)}
         done = 0
+        # Prime the salience df table corpus-wide before extraction so
+        # lowercase chunks see full statistics regardless of order.
+        for _, c in live:
+            g.term_stats.add(c.text)
         for cid, c in live:
             with self._lock:
-                g.ingest_chunk(cid, c.text)
+                g.ingest_chunk(cid, c.text, _stats_fed=True)
             done += 1
             if done % 16 == 0 or done == len(live):
                 yield "progress", {"progress": int(100 * done / total),

@@ -24,7 +24,7 @@ import numpy as np
 
 from tpurag.core.config import GraphConfig
 from tpurag.core.types import Entity, Relation
-from tpurag.graph.extract import LLMFn, extract_graph
+from tpurag.graph.extract import LLMFn, TermStats, extract_graph
 from tpurag.index.dense import DenseIndex
 from tpurag.kernels.graphops import expand_neighbors, gather_chunks
 
@@ -45,13 +45,37 @@ class GraphIndex:
         self._adj: Optional[tuple] = None          # CSR entity -> entity
         self._chunk_csr: Optional[tuple] = None    # CSR entity -> chunk
         self._dirty = True
+        # Corpus df stats driving the LLM-free lowercase salience
+        # extractor (graph/extract.py). Incrementally fed by every
+        # ingest_chunk; ingest_chunks() primes it corpus-wide first so
+        # bulk builds are order-independent.
+        self.term_stats = TermStats()
 
     # -- build ---------------------------------------------------------------
 
+    def ingest_chunks(self, chunks: list[tuple[int, str]],
+                      llm: Optional[LLMFn] = None) -> tuple[int, int]:
+        """Bulk build: prime the salience df table over the WHOLE corpus,
+        then extract each chunk — lowercase corpora get full-corpus
+        statistics for every chunk (per-chunk ingest_chunk sees only the
+        docs ingested before it). Returns total (entities, relations)."""
+        for _, text in chunks:
+            self.term_stats.add(text)
+        te = tr = 0
+        for cid, text in chunks:
+            e, r = self.ingest_chunk(cid, text, llm=llm, _stats_fed=True)
+            te += e
+            tr += r
+        return te, tr
+
     def ingest_chunk(self, chunk_id: int, text: str,
-                     llm: Optional[LLMFn] = None) -> tuple[int, int]:
+                     llm: Optional[LLMFn] = None,
+                     _stats_fed: bool = False) -> tuple[int, int]:
         """Extract + merge entities/relations of one chunk into the graph."""
-        ents, rels = extract_graph(text, chunk_id, llm=llm)
+        if not _stats_fed:
+            self.term_stats.add(text)
+        ents, rels = extract_graph(text, chunk_id, llm=llm,
+                                   stats=self.term_stats)
         new_ents: list[Entity] = []
         for e in ents:
             key = e.name.lower()
