@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from tpurag.core.config import BM25Config
 from tpurag.index.inverted import InvertedIndex
 from tpurag.kernels.bm25_join import (bsearch_last, combine_narrow_wide,
+                                      combine_narrow_wide_bsearch,
                                       dedup_topk)
 from tpurag.kernels.runtime import NEG_INF
 
@@ -201,3 +202,43 @@ def test_combine_narrow_wide_exactness():
         for (ed, ev), (gd, gv) in zip(truth[gi], got):
             assert ed == gd, (gi, truth[gi], got)
             assert abs(ev - gv) < 1e-5
+
+
+def test_combine_merge_matches_bsearch_form():
+    """The gather-free merge combine and the original bsearch-join
+    combine agree on realistic full-row fixtures: doc-ascending rows
+    WITH duplicate zero-value lanes (the non-segment-end lanes
+    merge_segsum_full leaves in place) and parked _BIG tails."""
+    rng = np.random.default_rng(11)
+    g, wn, ww, k = 6, 64, 128, 8
+    n_doc = np.full((g, wn), _BIG, np.int32)
+    n_val = np.full((g, wn), NEG_INF, np.float32)
+    w_doc = np.full((g, ww), _BIG, np.int32)
+    w_seg = np.full((g, ww), NEG_INF, np.float32)
+    for gi in range(g):
+        # Narrow side: ~20 docs, some duplicated across up to 4 lanes
+        # (only the LAST lane of a doc-run holds the sum).
+        docs = np.sort(rng.choice(500, size=20, replace=False))
+        lanes = np.sort(np.repeat(docs, rng.integers(1, 4, 20))[:wn])
+        n_doc[gi, : len(lanes)] = lanes
+        ends = np.r_[lanes[:-1] != lanes[1:], True]
+        n_val[gi, : len(lanes)][ends] = (
+            rng.random(int(ends.sum())).astype(np.float32) + 0.1)
+        docs_w = np.sort(rng.choice(500, size=60, replace=False))
+        lanes_w = np.sort(np.repeat(docs_w,
+                                    rng.integers(1, 3, 60))[:ww])
+        w_doc[gi, : len(lanes_w)] = lanes_w
+        ends_w = np.r_[lanes_w[:-1] != lanes_w[1:], True]
+        w_seg[gi, : len(lanes_w)][ends_w] = (
+            rng.random(int(ends_w.sum())).astype(np.float32) + 0.1)
+    args = (jnp.asarray(n_val), jnp.asarray(n_doc),
+            jnp.asarray(w_seg), jnp.asarray(w_doc))
+    v_m, i_m = combine_narrow_wide(*args, k=k)
+    v_b, i_b = combine_narrow_wide_bsearch(*args, k=k)
+    np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_b),
+                               rtol=1e-5, atol=1e-5)
+    # ids must match wherever scores are distinct (ties may reorder)
+    vm = np.asarray(v_m)
+    distinct = np.abs(np.diff(vm, axis=1, prepend=np.inf)) > 1e-6
+    np.testing.assert_array_equal(np.asarray(i_m)[distinct],
+                                  np.asarray(i_b)[distinct])

@@ -10,21 +10,28 @@ gets this accuracy from Meilisearch's full-postings scoring
 padding every term to the widest term's bucket and full-sorting the
 (B, T*Pmax) row in XLA — ~36ms of the 1M exact-scoring latency.
 
-The combine is three cheap, static-shape XLA steps over DOC-SORTED
-rows (both group outputs are doc-ascending by construction):
+The combine exploits that BOTH group outputs are already doc-ascending
+by construction, so no per-lane indexing is needed at all:
 
-1. binary-search join: for every narrow-row lane, find the doc's
-   segment-end lane in the wide row (log2(Ww) take_along_axis rounds)
-   and add its wide partial sum -> the narrow row now holds TRUE totals
-   for every doc that matched any narrow term;
-2. top-k each side: top-kk of the joined row covers every true-top doc
-   with a narrow match (joined values ARE true totals, so nothing
-   outranks a true-top doc spuriously); top-2kk of the raw wide row
-   covers wide-only docs (any doc excluded has >= 2kk docs with larger
-   raw wide sums, each of whose true totals are larger still — and at
-   most kk of those lanes are narrow-match duplicates);
-3. dedup-union: a doc present on both sides keeps the max (the joined
-   copy — contributions are non-negative), then top-kk.
+1. treat each side as a (doc, contribution) list — valid segment-end
+   lanes carry the per-doc partial sum, every other lane contributes 0
+   at its existing doc id (keeping the row sorted);
+2. one bitonic 2-list merge (kernels/sortmerge.merge_sorted_lists —
+   log2(2W) compare-exchange stages, pure VPU min/max/where);
+3. cumsum segment-sum over the merged row: every doc's segment-end
+   lane now holds its EXACT narrow+wide total (duplicate multiplicity
+   is unbounded-safe, unlike the windowed in-kernel segsum);
+4. one top-k. Exactness is direct: every doc present on either side
+   gets its true total, so top-k of the totals is the true top-k.
+
+An earlier form did a per-lane binary-search join (log2(Ww) rounds of
+take_along_axis) + two-sided top-k union. Correct, but XLA lowers the
+per-row-variable gathers to a row-serialized loop on TPU: measured
+~2.4 ms PER ROW regardless of width on v5e (benchmarks/
+bm25_wide_probe5.py — the combines were 1,470 ms of the 1,562 ms 1M
+wide-flow batch). The merge form replaces every gather with shifts and
+selects. The bsearch form is kept below (suffix _bsearch) as the
+parity-test reference.
 """
 
 from __future__ import annotations
@@ -99,12 +106,63 @@ def dedup_topk(vals: jax.Array, ids: jax.Array, k: int):
     return v, i
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << max(x - 1, 0).bit_length()
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def combine_narrow_wide(n_val, n_doc, w_seg, w_doc, k: int):
-    """Full combine: joined-narrow top-k  ∪  raw-wide top-2k -> exact
-    (G, k) (vals, ids). See module docstring for the exactness
-    argument. All shapes static: n_val/n_doc (G, Wn), w_seg/w_doc
-    (G, Ww)."""
+    """Gather-free exact combine -> (G, k) (vals, ids). See the module
+    docstring. n_val/n_doc (G, Wn), w_seg/w_doc (G, Ww): doc-ascending
+    rows with per-doc partial sums at valid lanes (> NEG_INF/2),
+    parked lanes at doc=2^30."""
+    from tpurag.kernels.sortmerge import merge_sorted_lists
+
+    g, wn = n_val.shape
+    ww = w_seg.shape[1]
+    # Valid lanes carry their sum; every other lane contributes 0 at
+    # its existing doc id, which keeps both rows doc-ascending.
+    cn = jnp.where(n_val > NEG_INF / 2, n_val, 0.0)
+    cw = jnp.where(w_seg > NEG_INF / 2, w_seg, 0.0)
+    dn, dw = n_doc, w_doc
+    p = _next_pow2(max(wn, ww))
+    if wn < p:
+        dn = jnp.pad(dn, ((0, 0), (0, p - wn)), constant_values=_BIG)
+        cn = jnp.pad(cn, ((0, 0), (0, p - wn)))
+    if ww < p:
+        dw = jnp.pad(dw, ((0, 0), (0, p - ww)), constant_values=_BIG)
+        cw = jnp.pad(cw, ((0, 0), (0, p - ww)))
+    doc, con = merge_sorted_lists(jnp.stack([dn, dw], axis=1),
+                                  jnp.stack([cn, cw], axis=1))
+    # Cumsum segment-sum (kernels/bm25.segsum_topk_candidates tail):
+    # robust to any per-doc duplicate count — narrow rows keep up to
+    # t_query zero-contribution duplicate lanes per doc.
+    csum = jnp.cumsum(con, axis=1)
+    nxt = jnp.concatenate(
+        [doc[:, 1:], jnp.full((g, 1), -1, doc.dtype)], axis=1)
+    is_end = doc != nxt
+    end_vals = jnp.where(is_end, csum, 0.0)
+    prev = jnp.concatenate(
+        [jnp.zeros((g, 1), csum.dtype), end_vals[:, :-1]], axis=1)
+    prev = jax.lax.cummax(prev, axis=1)
+    tot = csum - prev
+    seg = jnp.where(is_end & (doc < _BIG) & (tot > 0.0), tot, NEG_INF)
+    vals, pos = jax.lax.top_k(seg, k)
+    ids = jnp.take_along_axis(doc, pos, axis=1).astype(jnp.int32)
+    empty = vals <= NEG_INF / 2
+    return (jnp.where(empty, NEG_INF, vals),
+            jnp.where(empty, -1, ids))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def combine_narrow_wide_bsearch(n_val, n_doc, w_seg, w_doc, k: int):
+    """Binary-search-join form (original): joined-narrow top-k ∪
+    raw-wide top-2k. Exact (the union argument: joined values are true
+    totals so nothing outranks a true-top narrow-match doc; any doc
+    outside the wide top-2k has >= 2k docs with larger raw wide sums,
+    at most k of which are narrow-match duplicates). Kept as the
+    parity-test reference — its take_along_axis gathers row-serialize
+    on TPU (see module docstring)."""
     joined = join_add(n_val, n_doc, w_seg, w_doc)
     kn = min(k, joined.shape[1])
     jv, jpos = jax.lax.top_k(joined, kn)
