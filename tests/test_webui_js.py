@@ -1,0 +1,157 @@
+"""Static validation of the console's inline JavaScript.
+
+No JS runtime ships in this image (zero-egress), so the console script
+(api/webui.py INDEX_HTML) is validated structurally: a small JS lexer
+strips strings, template literals (with nested ${}), regex literals and
+comments, then checks that every (), [], {} pair balances. This catches
+the realistic editing failures in a 600-line inline script — an
+unterminated template string, a lost brace, a regex with a stray
+delimiter — which would otherwise kill the whole console at parse time.
+
+Reference surface: src/components/DiagramMessage.tsx renders every
+mermaid chart type via Mermaid -> Excalidraw; the console's renderers
+cover the same 8 validated types (agent/mermaid.py CHART_TYPES).
+"""
+
+import re
+
+from tpurag.api.webui import INDEX_HTML
+
+# Chars after which a '/' starts a REGEX literal (not division).
+_REGEX_PREFIX = set("(,=:[!&|?{};+-*%<>~^\n")
+
+
+def _strip_js(src: str) -> str:
+    """Return src with strings/regexes/comments blanked (delimiters
+    preserved as spaces), so delimiter counting sees only code."""
+    out = []
+    i, n = 0, len(src)
+    last_sig = "\n"  # last significant char emitted
+    while i < n:
+        c = src[i]
+        if c in "'\"":
+            q = c
+            i += 1
+            while i < n and src[i] != q:
+                i += 2 if src[i] == "\\" else 1
+            i += 1
+            out.append("0")  # a string is an expression operand
+            last_sig = "0"
+            continue
+        if c == "`":
+            i += 1
+            depth = 0
+            while i < n:
+                if src[i] == "\\":
+                    i += 2
+                    continue
+                if src.startswith("${", i):
+                    depth += 1
+                    out.append("(")
+                    i += 2
+                    # lex the interpolation body as code
+                    while i < n and depth:
+                        if src[i] == "{":
+                            depth += 1
+                            out.append("(")
+                        elif src[i] == "}":
+                            depth -= 1
+                            out.append(")")
+                        elif src[i] in "([":
+                            out.append(src[i])
+                        elif src[i] in ")]":
+                            out.append(src[i])
+                        elif src[i] in "'\"":
+                            q = src[i]
+                            i += 1
+                            while i < n and src[i] != q:
+                                i += 2 if src[i] == "\\" else 1
+                        i += 1
+                    continue
+                if src[i] == "`":
+                    i += 1
+                    break
+                i += 1
+            out.append("0")
+            last_sig = "0"
+            continue
+        if c == "/" and i + 1 < n and src[i + 1] == "/":
+            while i < n and src[i] != "\n":
+                i += 1
+            continue
+        if c == "/" and i + 1 < n and src[i + 1] == "*":
+            j = src.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if c == "/" and last_sig in _REGEX_PREFIX:
+            # regex literal: skip to unescaped '/', honoring [...]
+            i += 1
+            in_class = False
+            while i < n:
+                if src[i] == "\\":
+                    i += 2
+                    continue
+                if src[i] == "[":
+                    in_class = True
+                elif src[i] == "]":
+                    in_class = False
+                elif src[i] == "/" and not in_class:
+                    break
+                elif src[i] == "\n":
+                    break  # unterminated: let balance checks complain
+                i += 1
+            i += 1
+            while i < n and src[i].isalpha():  # flags
+                i += 1
+            out.append("0")
+            last_sig = "0"
+            continue
+        out.append(c)
+        if not c.isspace():
+            last_sig = c
+        i += 1
+    return "".join(out)
+
+
+def _script_body() -> str:
+    m = re.search(r"<script>(.*)</script>", INDEX_HTML, re.DOTALL)
+    assert m, "console page must contain one inline <script>"
+    return m.group(1)
+
+
+def test_console_js_delimiters_balance():
+    code = _strip_js(_script_body())
+    stack = []
+    pairs = {")": "(", "]": "[", "}": "{"}
+    line = 1
+    for ch in code:
+        if ch == "\n":
+            line += 1
+        elif ch in "([{":
+            stack.append((ch, line))
+        elif ch in ")]}":
+            assert stack, f"unmatched '{ch}' at line ~{line}"
+            op, ol = stack.pop()
+            assert op == pairs[ch], (
+                f"'{op}' (line {ol}) closed by '{ch}' (line ~{line})")
+    assert not stack, f"unclosed {stack[-3:]}"
+
+
+def test_console_renders_all_validated_chart_types():
+    """Every CHART_TYPES entry has a renderer wired in the dispatcher."""
+    body = _script_body()
+    for fn in ("renderSequence", "renderState", "renderER",
+               "renderClass", "renderMindmap", "renderPie",
+               "renderGantt", "graphSVG"):
+        assert f"function {fn}(" in body, fn
+        if fn != "graphSVG":
+            assert re.search(rf"return {fn}\(src\)", body) or \
+                fn == "renderSequence", fn
+    # flowchart stays the renderMermaid tail
+    assert "flowchart|graph" in body
+
+
+def test_console_js_no_unterminated_templates():
+    # After full lexing, no backtick may survive: a leftover one means a
+    # template literal never closed (the lexer consumed to EOF).
+    assert "`" not in _strip_js(_script_body())

@@ -151,8 +151,11 @@ function hl(s) {  // **term** highlight markup -> <b>
   return esc(s).replace(/\\*\\*([^*]+)\\*\\*/g, "<b>$1</b>");
 }
 // Minimal mermaid renderer (DiagramMessage.tsx parity pane; zero-egress:
-// no mermaid.js CDN). Flowcharts + sequence diagrams render to SVG;
-// other diagram types fall back to the source block.
+// no mermaid.js CDN). All 8 validated chart types (agent/mermaid.py
+// CHART_TYPES) render to SVG: flowchart + sequence natively; state, er,
+// class and mindmap through the shared layered-graph layout; pie and
+// gantt through dedicated emitters. Unparseable bodies fall back to the
+// source block.
 function renderSequence(src) {
   const lines = src.trim().split("\\n").map(l => l.trim()).filter(Boolean);
   if (!/^sequenceDiagram/.test(lines[0] || "")) return null;
@@ -231,9 +234,227 @@ function renderSequence(src) {
   });
   return svg + "</svg>";
 }
+function renderState(src) {
+  const lines = src.trim().split("\\n").map(l => l.trim()).filter(Boolean);
+  const nodes = {}, edges = [];
+  let nMark = 0;
+  const addS = n => { if (!nodes[n]) nodes[n] = {id: n, label: n};
+                      return n; };
+  for (const ln of lines.slice(1)) {
+    let m = /^state\\s+"([^"]+)"\\s+as\\s+(\\S+)$/.exec(ln);
+    if (m) { addS(m[2]); nodes[m[2]].label = m[1]; continue; }
+    m = /^(\\S+)\\s*-->\\s*(\\S+)\\s*(?::\\s*(.*))?$/.exec(ln);
+    if (m) {
+      let s = m[1], t = m[2];
+      if (s === "[*]") { s = "__m" + (nMark++);
+                         nodes[s] = {id: s, label: "", dot: true}; }
+      else addS(s);
+      if (t === "[*]") { t = "__m" + (nMark++);
+                         nodes[t] = {id: t, label: "", dot: true}; }
+      else addS(t);
+      edges.push({s, t, label: (m[3] || "").trim()});
+    }
+    // composite state blocks / notes / direction: arrows still render
+  }
+  if (!edges.length) return null;
+  return graphSVG(nodes, edges, true);
+}
+function renderER(src) {
+  const lines = src.trim().split("\\n").map(l => l.trim()).filter(Boolean);
+  const nodes = {}, edges = [];
+  let ent = null;
+  const addE = n => { if (!nodes[n]) nodes[n] = {id: n, label: n};
+                      return n; };
+  for (const ln of lines.slice(1)) {
+    if (ent) {
+      if (ln.startsWith("}")) { ent = null; continue; }
+      const am = /^(\\S+)\\s+(\\S+)/.exec(ln);
+      if (am && (nodes[ent].sub ??= []).length < 4)
+        nodes[ent].sub.push(am[2] + " : " + am[1]);
+      continue;
+    }
+    let m = /^(\\S+)\\s*\\{$/.exec(ln);
+    if (m) { ent = addE(m[1]); continue; }
+    m = /^(\\S+)\\s+(\\S*?(?:--|\\.\\.)\\S*?)\\s+(\\S+)\\s*:\\s*(.+)$/.exec(ln);
+    if (m) {
+      edges.push({s: addE(m[1]), t: addE(m[3]),
+                  label: m[4].replace(/^"|"$/g, "").trim(),
+                  dashed: m[2].includes("..")});
+    }
+  }
+  if (!Object.keys(nodes).length) return null;
+  return graphSVG(nodes, edges, true);
+}
+function renderClass(src) {
+  const lines = src.trim().split("\\n").map(l => l.trim()).filter(Boolean);
+  const nodes = {}, edges = [];
+  let cls = null;
+  const addC = n => { n = n.replace(/~.*$/, "");
+                      if (!nodes[n]) nodes[n] = {id: n, label: n};
+                      return n; };
+  const relRe = /^(\\S+)\\s*(<\\|--|--\\|>|<\\|\\.\\.|\\.\\.\\|>|\\*--|--\\*|o--|--o|<--|-->|<\\.\\.|\\.\\.>|--|\\.\\.)\\s*(\\S+?)\\s*(?::\\s*(.*))?$/;
+  for (const ln of lines.slice(1)) {
+    if (cls) {
+      if (ln.startsWith("}")) { cls = null; continue; }
+      if ((nodes[cls].sub ??= []).length < 4) nodes[cls].sub.push(ln);
+      continue;
+    }
+    let m = /^class\\s+(\\S+)\\s*\\{$/.exec(ln);
+    if (m) { cls = addC(m[1]); continue; }
+    m = /^class\\s+(\\S+)$/.exec(ln);
+    if (m) { addC(m[1]); continue; }
+    m = relRe.exec(ln);
+    if (m) {
+      const rel = m[2], lab = (m[4] || "").trim();
+      const inh = rel.startsWith("<");   // A <|-- B: B inherits A
+      const a = addC(m[1]), b = addC(m[3]);
+      edges.push({s: inh ? b : a, t: inh ? a : b, label: lab,
+                  dashed: rel.includes("..")});
+      continue;
+    }
+    m = /^([A-Za-z_][\\w~]*)\\s*:\\s*(.+)$/.exec(ln);  // Cls : +member
+    if (m) {
+      const c = addC(m[1]);
+      if ((nodes[c].sub ??= []).length < 4) nodes[c].sub.push(m[2]);
+    }
+  }
+  if (!Object.keys(nodes).length) return null;
+  return graphSVG(nodes, edges, true);
+}
+function renderMindmap(src) {
+  const raw = src.split("\\n").slice(1).filter(l => l.trim());
+  const nodes = {}, edges = [], stack = [];
+  let nid = 0;
+  for (const ln of raw) {
+    let label = ln.trim();
+    if (label.startsWith("::")) continue;           // ::icon(...) etc.
+    const indent = /^\\s*/.exec(ln)[0].length;
+    const dm = /^[\\w-]*[({\\[]+(.*?)[)}\\]]+$/.exec(label);
+    if (dm) label = dm[1];
+    const id = "m" + (nid++);
+    nodes[id] = {id, label};
+    while (stack.length && stack[stack.length - 1].indent >= indent)
+      stack.pop();
+    if (stack.length) edges.push({s: stack[stack.length - 1].id, t: id});
+    stack.push({indent, id});
+  }
+  if (!Object.keys(nodes).length) return null;
+  return graphSVG(nodes, edges, true);
+}
+const PIE_COLS = ["#4fc3f7", "#81c784", "#ffb74d", "#e57373", "#ba68c8",
+                  "#4db6ac", "#fff176", "#a1887f"];
+function renderPie(src) {
+  const lines = src.trim().split("\\n").map(l => l.trim()).filter(Boolean);
+  let title = "";
+  const items = [];
+  for (const ln of lines) {
+    let m = /^title\\s+(.*)$/.exec(ln);
+    if (m) { title = m[1]; continue; }
+    m = /^"([^"]+)"\\s*:\\s*([0-9.]+)$/.exec(ln);
+    if (m) items.push({label: m[1], v: +m[2]});
+  }
+  if (!items.length) return null;
+  const tot = items.reduce((a, b) => a + b.v, 0) || 1;
+  const sEsc = s => s.replace(/&/g, "&amp;").replace(/</g, "&lt;");
+  const R = 80, CX = 110, W = 400,
+        H = Math.max(230, 50 + items.length * 18), CY = H / 2;
+  let svg = `<svg viewBox="0 0 ${W} ${H}" style="max-width:100%;` +
+    `background:var(--bg);border-radius:8px" ` +
+    `xmlns="http://www.w3.org/2000/svg">`;
+  if (title) svg += `<text x="${CX}" y="18" fill="#e6edf3" ` +
+    `font-size="12" text-anchor="middle">${sEsc(title)}</text>`;
+  let ang = -Math.PI / 2;
+  items.forEach((it, i) => {
+    const frac = it.v / tot, a2 = ang + frac * 2 * Math.PI;
+    const col = PIE_COLS[i % PIE_COLS.length];
+    if (frac >= 0.999)
+      svg += `<circle cx="${CX}" cy="${CY}" r="${R}" fill="${col}"/>`;
+    else {
+      const x1 = CX + R * Math.cos(ang), y1 = CY + R * Math.sin(ang);
+      const x2 = CX + R * Math.cos(a2), y2 = CY + R * Math.sin(a2);
+      svg += `<path d="M ${CX} ${CY} L ${x1} ${y1} A ${R} ${R} 0 ` +
+        `${frac > 0.5 ? 1 : 0} 1 ${x2} ${y2} Z" fill="${col}"/>`;
+    }
+    ang = a2;
+    const ly = 40 + i * 18;
+    svg += `<rect x="222" y="${ly - 9}" width="10" height="10" ` +
+      `fill="${col}"/>` +
+      `<text x="238" y="${ly}" fill="#e6edf3" font-size="11">` +
+      `${sEsc(it.label.slice(0, 18))} (${Math.round(frac * 100)}%)</text>`;
+  });
+  return svg + "</svg>";
+}
+function renderGantt(src) {
+  const lines = src.trim().split("\\n").map(l => l.trim()).filter(Boolean);
+  const rows = [], byId = {};
+  let section = "", cursor = 0;
+  for (const ln of lines.slice(1)) {
+    let m = /^section\\s+(.*)$/.exec(ln);
+    if (m) { section = m[1]; rows.push({head: section}); continue; }
+    if (/^(title|dateFormat|axisFormat|excludes|todayMarker|tickInterval|weekday)\\b/.test(ln))
+      continue;
+    m = /^(.+?)\\s*:\\s*(.+)$/.exec(ln);
+    if (!m) continue;
+    const name = m[1];
+    let start = null, days = 1, id = null, kind = "";
+    for (const p of m[2].split(",").map(x => x.trim())) {
+      if (p === "crit" || p === "done" || p === "active") kind = p;
+      else if (p === "milestone") days = 0.4;
+      else if (/^after\\s+/.test(p)) {
+        const ref = byId[p.slice(5).trim().split(/\\s+/)[0]];
+        if (ref) start = ref.start + ref.days;
+      } else if (/^\\d+(\\.\\d+)?[dwh]$/.test(p)) {
+        const n = parseFloat(p);
+        days = p.endsWith("w") ? n * 7 : p.endsWith("h") ? n / 24 : n;
+      } else if (!isNaN(Date.parse(p)))
+        start = Date.parse(p) / 86400000;
+      else if (/^[\\w-]+$/.test(p) && !id) id = p;
+    }
+    if (start === null) start = cursor;
+    cursor = Math.max(cursor, start + days);
+    const row = {name, start, days, kind};
+    if (id) byId[id] = row;
+    rows.push(row);
+  }
+  const tasks = rows.filter(r => !r.head);
+  if (!tasks.length) return null;
+  const tMin = Math.min(...tasks.map(r => r.start));
+  const span = Math.max(1, Math.max(...tasks.map(r => r.start + r.days))
+                           - tMin);
+  const LBL = 150, BARS = 330, ROW = 22, W = LBL + BARS + 20,
+        H = rows.length * ROW + 20;
+  const sEsc = s => s.replace(/&/g, "&amp;").replace(/</g, "&lt;");
+  const colOf = k => k === "crit" ? "#e57373" : k === "done" ? "#5a6672"
+                     : k === "active" ? "#81c784" : "#4fc3f7";
+  let svg = `<svg viewBox="0 0 ${W} ${H}" style="max-width:100%;` +
+    `background:var(--bg);border-radius:8px" ` +
+    `xmlns="http://www.w3.org/2000/svg">`;
+  rows.forEach((r, i) => {
+    const y = 14 + i * ROW;
+    if (r.head) {
+      svg += `<text x="6" y="${y + 6}" fill="#ffb74d" font-size="11" ` +
+        `font-weight="bold">${sEsc(r.head.slice(0, 22))}</text>`;
+      return;
+    }
+    const x = LBL + ((r.start - tMin) / span) * BARS;
+    const w = Math.max(4, (r.days / span) * BARS);
+    svg += `<text x="${LBL - 6}" y="${y + 6}" fill="#e6edf3" ` +
+      `font-size="10" text-anchor="end">${sEsc(r.name.slice(0, 24))}` +
+      `</text>` +
+      `<rect x="${x}" y="${y - 5}" width="${w}" height="14" rx="4" ` +
+      `fill="${colOf(r.kind)}" opacity="0.85"/>`;
+  });
+  return svg + "</svg>";
+}
 function renderMermaid(src) {
-  const seq = renderSequence(src);
-  if (seq) return seq;
+  const first = (src.trim().split("\\n")[0] || "").trim();
+  if (/^sequenceDiagram/.test(first)) return renderSequence(src);
+  if (/^stateDiagram/.test(first)) return renderState(src);
+  if (/^erDiagram/.test(first)) return renderER(src);
+  if (/^classDiagram/.test(first)) return renderClass(src);
+  if (/^mindmap/.test(first)) return renderMindmap(src);
+  if (/^pie\\b/.test(first)) return renderPie(src);
+  if (/^gantt\\b/.test(first)) return renderGantt(src);
   const lines = src.trim().split("\\n").map(l => l.trim()).filter(Boolean);
   const head = /^(flowchart|graph)\\s+(TD|TB|LR)/.exec(lines[0] || "");
   if (!head) return null;
@@ -263,6 +484,13 @@ function renderMermaid(src) {
     }
     if (!addNode(ln)) return null;  // unsupported statement: show source
   }
+  return graphSVG(nodes, edges, vertical);
+}
+function graphSVG(nodes, edges, vertical) {
+  // Shared layered layout + SVG emit: flowchart, state, er, class and
+  // mindmap diagrams all reduce to this {nodes, edges} form. Nodes may
+  // carry .sub (extra text lines -> taller boxes, class members) and
+  // .dot (render as a small circle, state start/end markers).
   const ids = Object.keys(nodes);
   if (!ids.length) return null;
   // layer = longest path from a root (cycle-capped)
@@ -280,7 +508,8 @@ function renderMermaid(src) {
   const byLayer = {};
   ids.forEach(id => (byLayer[layer[id]] ??= []).push(id));
   const L = Object.keys(byLayer).length;
-  const NW = 130, NH = 32, GX = 60, GY = 46;
+  const maxSub = Math.max(0, ...ids.map(id => (nodes[id].sub || []).length));
+  const NW = 130, NH = 32 + maxSub * 13, GX = 60, GY = 46;
   const maxRow = Math.max(...Object.values(byLayer).map(a => a.length));
   const W = vertical ? maxRow * (NW + 24) : L * (NW + GX);
   const H = vertical ? L * (NH + GY) : maxRow * (NH + 24);
@@ -309,24 +538,35 @@ function renderMermaid(src) {
     const sx = vertical ? a.x : a.x + NW / 2;
     const tx = vertical ? b.x : b.x - NW / 2;
     svg += `<line x1="${sx}" y1="${sy}" x2="${tx}" y2="${ty}" ` +
-      `stroke="#8b98a5" marker-end="url(#arr)"/>`;
+      `stroke="#8b98a5" marker-end="url(#arr)"` +
+      (e.dashed ? ` stroke-dasharray="5 4"` : ``) + `/>`;
     if (e.label)
       svg += `<text x="${(sx + tx) / 2}" y="${(sy + ty) / 2 - 3}" ` +
         `fill="#8b98a5" font-size="10" text-anchor="middle">` +
         sEsc(e.label.slice(0, 24)) + `</text>`;
   }
   for (const id of ids) {
-    const p = pos[id];
+    const p = pos[id], n = nodes[id];
+    if (n.dot) {
+      svg += `<circle cx="${p.x}" cy="${p.y}" r="7" fill="#8b98a5"/>`;
+      continue;
+    }
     svg += `<rect x="${p.x - NW / 2}" y="${p.y - NH / 2}" width="${NW}" ` +
       `height="${NH}" rx="7" fill="#24424f" stroke="#4fc3f7"/>` +
-      `<text x="${p.x}" y="${p.y + 4}" fill="#e6edf3" font-size="11" ` +
-      `text-anchor="middle">` +
-      sEsc(nodes[id].label.slice(0, 20)) + `</text>`;
+      `<text x="${p.x}" y="${p.y - NH / 2 + 20}" fill="#e6edf3" ` +
+      `font-size="11" text-anchor="middle">` +
+      sEsc(n.label.slice(0, 20)) + `</text>`;
+    (n.sub || []).forEach((s, i) => {
+      svg += `<text x="${p.x}" y="${p.y - NH / 2 + 34 + i * 13}" ` +
+        `fill="#8b98a5" font-size="9" text-anchor="middle">` +
+        sEsc(s.slice(0, 22)) + `</text>`;
+    });
   }
   return svg + "</svg>";
 }
 function renderAnswer(text) {
-  // split out ```mermaid fences; render flowcharts, else show source
+  // split out ```mermaid fences; render known diagram types, else
+  // show the source block
   const parts = text.split(/```(?:mermaid)?\\n?/);
   let out = "";
   for (let i = 0; i < parts.length; i++) {
