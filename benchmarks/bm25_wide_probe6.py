@@ -1,0 +1,141 @@
+"""On-chip proof of the ultra-wide (W >= 65536) BM25 fallback path.
+
+Round-4 verdict item: every W >= 65536 pallas probe died in remote
+compile and the code routes those widths to the XLA merge tree
+(kernels/bm25_pallas.merge_segsum_full_xla) — which had never executed
+on the TPU at those widths. A df~100k term at 10M docs is a realistic
+stopword-class query, so its serving path needs a measured number.
+
+Shapes (g=8 rows, the realistic ultra-wide class population):
+  xla_full:p65536,t2    w=131072 merge tree + cumsum segsum
+  xla_full:p131072,t2   w=262144
+  xla_full:p32768,t4    w=131072
+  combine:ww131072      gather-free combine, wn=16384 narrow buffer
+  combine:ww262144
+
+Run from /root/repo: python benchmarks/bm25_wide_probe6.py
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import os
+
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpurag.kernels.bm25_join import combine_narrow_wide
+    from tpurag.kernels.bm25_pallas import merge_segsum_full_xla
+
+    log("backend=", jax.default_backend())
+    n_docs = 10_000_000
+    g = 8
+    big = 2**30
+    rng = np.random.default_rng(0)
+    iters = int(os.environ.get("PROBE6_ITERS", "10"))
+    results = {}
+
+    def timeit(name, make_step):
+        @jax.jit
+        def chained(x0):
+            return jax.lax.fori_loop(
+                0, iters, lambda i, acc: acc + make_step(i), x0)
+
+        t0 = time.perf_counter()
+        try:
+            float(chained(jnp.float32(0.0)))
+        except Exception as e:
+            log(f"{name}: FAIL {type(e).__name__}: {str(e)[:200]}")
+            results[name] = {"ok": False, "err": str(e)[:300]}
+            return
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            float(chained(jnp.float32(0.0)))
+            ts.append((time.perf_counter() - t1) / iters)
+        ms = float(np.median(ts) * 1e3)
+        log(f"{name}: {ms:.2f} ms/iter (compile+first {compile_s:.0f}s)")
+        results[name] = {"ok": True, "ms": ms}
+
+    def sorted_blocks(t, p, fill=1.0):
+        """(g, t*p) presorted-per-block doc/con pair; ~fill of lanes
+        valid."""
+        doc = np.full((g, t, p), big, np.int32)
+        con = np.zeros((g, t, p), np.float32)
+        m = int(p * fill)
+        for gi in range(g):
+            for ti in range(t):
+                doc[gi, ti, :m] = np.sort(
+                    rng.choice(n_docs, m, replace=False).astype(np.int32))
+                con[gi, ti, :m] = rng.uniform(0.1, 2.0, m)
+        return (jnp.asarray(doc.reshape(g, t * p)),
+                jnp.asarray(con.reshape(g, t * p)))
+
+    for (p, t) in ((65536, 2), (131072, 2), (32768, 4)):
+        doc, con = sorted_blocks(t, p)
+        name = f"xla_full:p{p},t{t}"
+
+        def step(i, doc=doc, con=con, p=p, t=t):
+            seg, doc_s = merge_segsum_full_xla(
+                jnp.roll(doc, i, axis=0), jnp.roll(con, i, axis=0),
+                p=p, t=t)
+            return seg.max() + doc_s.sum().astype(jnp.float32) * 0.0
+
+        timeit(name, step)
+
+    # The gather-free combine at ultra-wide: full rows as the product
+    # produces them (per-doc sums at end lanes, duplicates elsewhere).
+    def full_rows(w, n_uniq):
+        doc = np.full((g, w), big, np.int32)
+        val = np.full((g, w), -3.0e38, np.float32)
+        for gi in range(g):
+            docs = np.sort(rng.choice(n_docs, n_uniq,
+                                      replace=False).astype(np.int32))
+            lanes = np.sort(np.repeat(docs, 2)[:w])
+            doc[gi, : len(lanes)] = lanes
+            ends = np.r_[lanes[:-1] != lanes[1:], True]
+            val[gi, : len(lanes)][ends] = rng.uniform(
+                0.1, 4.0, int(ends.sum()))
+        return jnp.asarray(val), jnp.asarray(doc)
+
+    n_val, n_doc = full_rows(16384, 6000)
+    for ww in (131072, 262144):
+        w_seg, w_doc = full_rows(ww, ww // 2 - 8)
+        name = f"combine:wn16384,ww{ww}"
+
+        def step(i, w_seg=w_seg, w_doc=w_doc):
+            s, ii = combine_narrow_wide(
+                jnp.roll(n_val, i, axis=0), jnp.roll(n_doc, i, axis=0),
+                w_seg, w_doc, k=8)
+            return s.sum() + ii.sum().astype(jnp.float32) * 0.0
+
+        timeit(name, step)
+
+    with open("benchmarks/results_wide_probe6.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

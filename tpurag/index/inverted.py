@@ -198,12 +198,17 @@ def wide_flow(n_classes, w_classes, h: int, kk: int, wn_max: int, mats,
         n_doc = n_doc.at[sel].set(doc_s[:n_real])
     scores = jnp.full((h, kk), NEG_INF, jnp.float32)
     ids = jnp.full((h, kk), -1, jnp.int32)
+    # One doc spans at most max_narrow_t + wide_t lanes across the two
+    # merged sides (once per query-term slot per side) — the static
+    # window for the shift-add segment sum inside the combine.
+    max_tn = max((t for (_, t, *_) in n_classes), default=0)
     for (p_max, t, sel, n_real, bw, ri, idf) in w_classes:
         w_seg, w_doc = _class_full_rows(
             bw, ri, idf, mats, p_max=p_max, t=t, widths=widths,
             use_pallas=use_pallas, cbits=cbits)
         s, i = combine_narrow_wide(n_val[sel], n_doc[sel],
-                                   w_seg[:n_real], w_doc[:n_real], k=kk)
+                                   w_seg[:n_real], w_doc[:n_real], k=kk,
+                                   window=max(2, max_tn + t))
         scores = scores.at[sel].set(s)
         ids = ids.at[sel].set(i)
     return scores, ids

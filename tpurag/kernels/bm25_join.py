@@ -110,12 +110,54 @@ def _next_pow2(x: int) -> int:
     return 1 << max(x - 1, 0).bit_length()
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def combine_narrow_wide(n_val, n_doc, w_seg, w_doc, k: int):
+def window_segsum(doc: jax.Array, con: jax.Array, window: int):
+    """Per-doc totals at segment-END lanes over a doc-ascending row
+    where each doc spans at most `window` lanes: window-1 shift-adds
+    instead of a cumsum + cummax pair (2*log2(W) HBM passes vs ~window;
+    at W=128k the scans are ~34 passes while window is <= 12). Returns
+    (seg, is_end): seg = total at end lanes, NEG_INF elsewhere."""
+    g, w = doc.shape
+    nxt = jnp.concatenate(
+        [doc[:, 1:], jnp.full((g, 1), -1, doc.dtype)], axis=1)
+    is_end = doc != nxt
+    total = con
+    for j in range(1, min(window, w)):
+        dj = jnp.concatenate(
+            [jnp.full((g, j), -1, doc.dtype), doc[:, :-j]], axis=1)
+        cj = jnp.concatenate(
+            [jnp.zeros((g, j), con.dtype), con[:, :-j]], axis=1)
+        total = total + jnp.where(dj == doc, cj, 0.0)
+    return jnp.where(is_end, total, NEG_INF), is_end
+
+
+def tiled_topk(seg: jax.Array, doc: jax.Array, k: int,
+               tile: int = 4096):
+    """Exact top-k over very wide rows in two stages: per-tile top-k
+    (the global top-k is a subset of the per-tile winners), then top-k
+    of the (G, W/tile * k) survivors — two cheap top_k calls instead of
+    one over the full row."""
+    g, w = seg.shape
+    if w <= 2 * tile or w % tile:
+        vals, pos = jax.lax.top_k(seg, k)
+        return vals, jnp.take_along_axis(doc, pos, axis=1)
+    m = w // tile
+    v1, p1 = jax.lax.top_k(seg.reshape(g * m, tile), k)
+    i1 = jnp.take_along_axis(doc.reshape(g * m, tile), p1, axis=1)
+    v2, p2 = jax.lax.top_k(v1.reshape(g, m * k), k)
+    i2 = jnp.take_along_axis(i1.reshape(g, m * k), p2, axis=1)
+    return v2, i2
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def combine_narrow_wide(n_val, n_doc, w_seg, w_doc, k: int,
+                        window: int = 12):
     """Gather-free exact combine -> (G, k) (vals, ids). See the module
     docstring. n_val/n_doc (G, Wn), w_seg/w_doc (G, Ww): doc-ascending
     rows with per-doc partial sums at valid lanes (> NEG_INF/2),
-    parked lanes at doc=2^30."""
+    parked lanes at doc=2^30. `window` bounds how many lanes one doc
+    may span on the two sides COMBINED (narrow rows keep up to t_query
+    zero-contribution duplicate lanes per doc, wide rows up to their
+    class t) — callers pass max_narrow_t + wide_t."""
     from tpurag.kernels.sortmerge import merge_sorted_lists
 
     g, wn = n_val.shape
@@ -134,21 +176,10 @@ def combine_narrow_wide(n_val, n_doc, w_seg, w_doc, k: int):
         cw = jnp.pad(cw, ((0, 0), (0, p - ww)))
     doc, con = merge_sorted_lists(jnp.stack([dn, dw], axis=1),
                                   jnp.stack([cn, cw], axis=1))
-    # Cumsum segment-sum (kernels/bm25.segsum_topk_candidates tail):
-    # robust to any per-doc duplicate count — narrow rows keep up to
-    # t_query zero-contribution duplicate lanes per doc.
-    csum = jnp.cumsum(con, axis=1)
-    nxt = jnp.concatenate(
-        [doc[:, 1:], jnp.full((g, 1), -1, doc.dtype)], axis=1)
-    is_end = doc != nxt
-    end_vals = jnp.where(is_end, csum, 0.0)
-    prev = jnp.concatenate(
-        [jnp.zeros((g, 1), csum.dtype), end_vals[:, :-1]], axis=1)
-    prev = jax.lax.cummax(prev, axis=1)
-    tot = csum - prev
-    seg = jnp.where(is_end & (doc < _BIG) & (tot > 0.0), tot, NEG_INF)
-    vals, pos = jax.lax.top_k(seg, k)
-    ids = jnp.take_along_axis(doc, pos, axis=1).astype(jnp.int32)
+    tot, _ = window_segsum(doc, con, window)
+    seg = jnp.where((doc < _BIG) & (tot > 0.0), tot, NEG_INF)
+    vals, ids = tiled_topk(seg, doc, k)
+    ids = ids.astype(jnp.int32)
     empty = vals <= NEG_INF / 2
     return (jnp.where(empty, NEG_INF, vals),
             jnp.where(empty, -1, ids))

@@ -379,8 +379,12 @@ def merge_segsum_full_xla(doc: jax.Array, con: jax.Array, p: int,
                           t: int = 1):
     """XLA fallback for rows past WIDE_MERGE_MAX_LANES (and the CPU
     path): bitonic merge tree over the presorted P-blocks
-    (kernels/sortmerge.py — NOT a full lax.sort) + cumsum segment
-    reduction. Same (seg, doc_sorted) contract as merge_segsum_full."""
+    (kernels/sortmerge.py — NOT a full lax.sort) + windowed shift-add
+    segment reduction (a doc appears at most once per term list, so t-1
+    shift-adds replace the cumsum+cummax pair — ~34 HBM passes at
+    W=128k vs t-1 <= 7). Same (seg, doc_sorted) contract as
+    merge_segsum_full."""
+    from tpurag.kernels.bm25_join import window_segsum
     from tpurag.kernels.sortmerge import merge_sorted_lists
 
     b, w = doc.shape
@@ -389,15 +393,8 @@ def merge_segsum_full_xla(doc: jax.Array, con: jax.Array, p: int,
         return jnp.where(doc < _BIG, con, NEG_INF), doc
     doc_s, con_s = merge_sorted_lists(
         doc.reshape(b, t, p), con.reshape(b, t, p))
-    csum = jnp.cumsum(con_s, axis=1)
-    nxt = jnp.concatenate(
-        [doc_s[:, 1:], jnp.full((b, 1), -1, doc_s.dtype)], axis=1)
-    is_end = doc_s != nxt
-    end_vals = jnp.where(is_end, csum, 0.0)
-    prev = jnp.concatenate(
-        [jnp.zeros((b, 1), csum.dtype), end_vals[:, :-1]], axis=1)
-    prev = jax.lax.cummax(prev, axis=1)
-    seg = jnp.where(is_end & (doc_s < _BIG), csum - prev, NEG_INF)
+    tot, _ = window_segsum(doc_s, con_s, t)
+    seg = jnp.where((doc_s < _BIG) & (tot > NEG_INF / 2), tot, NEG_INF)
     return seg, doc_s
 
 
