@@ -242,3 +242,14 @@ def test_combine_merge_matches_bsearch_form():
     distinct = np.abs(np.diff(vm, axis=1, prepend=np.inf)) > 1e-6
     np.testing.assert_array_equal(np.asarray(i_m)[distinct],
                                   np.asarray(i_b)[distinct])
+    # The tiled Pallas form (interpret oracle; wide row split into
+    # tiles narrower than the narrow row, exercising the per-tile
+    # top-k union + dedup fold) agrees too.
+    from tpurag.kernels.bm25_join import combine_narrow_wide_tiled
+
+    v_t, i_t = combine_narrow_wide_tiled(*args, k=k, interpret=True,
+                                         tile=64)
+    np.testing.assert_allclose(np.asarray(v_t), np.asarray(v_m),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_t)[distinct],
+                                  np.asarray(i_m)[distinct])

@@ -54,7 +54,8 @@ import numpy as np
 from tpurag.core.config import BM25Config
 from tpurag.ingest.tokenizer import tokenize, tokenize_query
 from tpurag.kernels.bm25 import rank_compat, segsum_topk_candidates
-from tpurag.kernels.bm25_join import combine_narrow_wide
+from tpurag.kernels.bm25_join import (combine_narrow_wide,
+                                      combine_narrow_wide_tiled)
 from tpurag.kernels.bm25_pallas import (merge_segsum_full,
                                         merge_segsum_full_xla,
                                         merge_segsum_topk, pallas_merge_ok,
@@ -206,9 +207,11 @@ def wide_flow(n_classes, w_classes, h: int, kk: int, wn_max: int, mats,
         w_seg, w_doc = _class_full_rows(
             bw, ri, idf, mats, p_max=p_max, t=t, widths=widths,
             use_pallas=use_pallas, cbits=cbits)
-        s, i = combine_narrow_wide(n_val[sel], n_doc[sel],
-                                   w_seg[:n_real], w_doc[:n_real], k=kk,
-                                   window=max(2, max_tn + t))
+        combine = (combine_narrow_wide_tiled if use_pallas
+                   else combine_narrow_wide)
+        s, i = combine(n_val[sel], n_doc[sel],
+                       w_seg[:n_real], w_doc[:n_real], k=kk,
+                       window=max(2, max_tn + t))
         scores = scores.at[sel].set(s)
         ids = ids.at[sel].set(i)
     return scores, ids

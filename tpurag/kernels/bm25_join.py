@@ -148,6 +148,61 @@ def tiled_topk(seg: jax.Array, doc: jax.Array, k: int,
     return v2, i2
 
 
+# One combine tile: the narrow row (<= _TILE lanes) merges against one
+# _TILE-lane chunk of the wide row inside the fused VMEM kernel — the
+# 2*_TILE=32768-lane whole-row form with unroll=1 merge loops.
+_TILE = 1 << 14
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "window", "interpret", "tile"))
+def combine_narrow_wide_tiled(n_val, n_doc, w_seg, w_doc, k: int,
+                              window: int = 12, interpret: bool = False,
+                              tile: int = _TILE):
+    """Exact combine through the fused Pallas kernel, one wide TILE at
+    a time. The XLA merge form (combine_narrow_wide) bounces every
+    bitonic stage through HBM (~17 passes at W=128k); here each
+    (narrow row, wide tile) pair merges entirely in VMEM.
+
+    Exactness: the wide row is merge_segsum_full output, so a doc's
+    COMPLETE wide sum sits in one valid lane (duplicates carry 0) —
+    the tile containing that lane sees the doc's exact total (narrow
+    rows ride along whole), every other tile sees an underestimate
+    (narrow-only, or zero-lane runs), and per-tile top-k therefore
+    covers the true top-k: if k tile-values beat a doc in its exact
+    tile, k exact totals beat it globally. dedup_topk folds the
+    (G, tiles*k) candidates, keeping each doc's max (= exact) copy."""
+    from tpurag.kernels.bm25_pallas import merge_segsum_topk
+
+    g, wn = n_val.shape
+    ww = w_seg.shape[1]
+    cn = jnp.where(n_val > NEG_INF / 2, n_val, 0.0)
+    cw = jnp.where(w_seg > NEG_INF / 2, w_seg, 0.0)
+    dn, dw = n_doc, w_doc
+    if wn < tile:
+        dn = jnp.pad(dn, ((0, 0), (0, tile - wn)), constant_values=_BIG)
+        cn = jnp.pad(cn, ((0, 0), (0, tile - wn)))
+    if ww < tile:
+        dw = jnp.pad(dw, ((0, 0), (0, tile - ww)), constant_values=_BIG)
+        cw = jnp.pad(cw, ((0, 0), (0, tile - ww)))
+        ww = tile
+    tiles = ww // tile
+    # (G, tiles, 2*tile) rows: [narrow asc | wide tile flipped] — each
+    # row bitonic at block size 2*tile, the kernel's starting stage.
+    def cat(narrow, wide):
+        nb = jnp.broadcast_to(narrow[:, None, :], (g, tiles, tile))
+        wt = jnp.flip(wide.reshape(g, tiles, tile), axis=2)
+        return jnp.concatenate([nb, wt], axis=2).reshape(
+            g * tiles, 2 * tile)
+
+    doc = cat(dn, dw)
+    con = cat(cn, cw)
+    v, i = merge_segsum_topk(doc, con, k=k, p=tile, t=window,
+                             unroll=1, interpret=interpret)
+    return dedup_topk(v.reshape(g, tiles * k), i.reshape(g, tiles * k),
+                      k)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "window"))
 def combine_narrow_wide(n_val, n_doc, w_seg, w_doc, k: int,
                         window: int = 12):

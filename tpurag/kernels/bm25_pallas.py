@@ -175,10 +175,10 @@ def _merge_segsum_kernel(*refs, k: int, p: int, w: int, t: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "p", "t", "tile_b", "cbits",
-                                    "interpret"))
+                                    "interpret", "unroll"))
 def merge_segsum_topk(doc: jax.Array, con: jax.Array, k: int, p: int,
                       t: int = 1, tile_b: int = 0, cbits: int = 0,
-                      interpret: bool = False):
+                      interpret: bool = False, unroll: int = 0):
     """doc/con: (B, W) per the module contract; t = query-term slot count
     (bounds duplicate multiplicity). Returns (B, k) (vals, ids), empties
     as (-inf, -1).
@@ -203,7 +203,7 @@ def merge_segsum_topk(doc: jax.Array, con: jax.Array, k: int, p: int,
         doc = jnp.pad(doc, ((0, bp - b), (0, 0)), constant_values=_BIG)
         con = jnp.pad(con, ((0, bp - b), (0, 0)))
     kernel = functools.partial(_merge_segsum_kernel, k=k, p=p, w=w, t=t,
-                               cbits=cbits)
+                               cbits=cbits, unroll=unroll)
     if cbits:
         qmax = (1 << cbits) - 1
         pad_doc = (2**31 - 1) >> cbits
