@@ -1,0 +1,148 @@
+"""On-chip check of the tiled Pallas combine (kernels/bm25_join.py).
+
+Everything hinges on whether the fused merge kernel compiles at
+W=32768 lanes in the MULTI-STEP grid form with unroll=1 (the full-row
+form needed single-step at that width, but its blow-up was the
+double-buffered full-row OUTPUT blocks — the top-k form writes (tb, k)).
+This probe compiles + times combine_narrow_wide_tiled at the 1M bench's
+real class shapes and compares against the XLA merge combine.
+
+Run from /root/repo: python benchmarks/bm25_wide_probe7.py
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import os
+
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpurag.kernels.bm25_join import (combine_narrow_wide,
+                                          combine_narrow_wide_tiled)
+
+    log("backend=", jax.default_backend())
+    n_docs = 1_000_000
+    big = 2**30
+    rng = np.random.default_rng(0)
+    iters = int(os.environ.get("PROBE7_ITERS", "10"))
+    results = {}
+
+    def timeit(name, make_step):
+        @jax.jit
+        def chained(x0):
+            return jax.lax.fori_loop(
+                0, iters, lambda i, acc: acc + make_step(i), x0)
+
+        t0 = time.perf_counter()
+        try:
+            float(chained(jnp.float32(0.0)))
+        except Exception as e:
+            log(f"{name}: FAIL {type(e).__name__}: {str(e)[:200]}")
+            results[name] = {"ok": False, "err": str(e)[:300]}
+            return False
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            float(chained(jnp.float32(0.0)))
+            ts.append((time.perf_counter() - t1) / iters)
+        ms = float(np.median(ts) * 1e3)
+        log(f"{name}: {ms:.2f} ms/iter (compile+first {compile_s:.0f}s)")
+        results[name] = {"ok": True, "ms": ms}
+        return True
+
+    def full_rows(g, w, n_uniq):
+        doc = np.full((g, w), big, np.int32)
+        val = np.full((g, w), -3.0e38, np.float32)
+        for gi in range(g):
+            docs = np.sort(rng.choice(n_docs, n_uniq,
+                                      replace=False).astype(np.int32))
+            lanes = np.sort(np.repeat(docs, 2)[:w])
+            doc[gi, : len(lanes)] = lanes
+            ends = np.r_[lanes[:-1] != lanes[1:], True]
+            val[gi, : len(lanes)][ends] = rng.uniform(
+                0.1, 4.0, int(ends.sum()))
+        return jnp.asarray(val), jnp.asarray(doc)
+
+    # The bench's combine shapes: (g, ww) with wn=16384 narrow buffer.
+    shapes = [(160, 4096), (104, 8192), (88, 16384), (48, 32768),
+              (40, 65536), (8, 131072)]
+    wn = 16384
+    # Which (tile, tile_b) configs compile? parity-check each on a
+    # small shape before timing anything.
+    n_val, n_doc = full_rows(8, wn, 3000)
+    w_seg, w_doc = full_rows(8, 4096, 1500)
+    vx, ix = combine_narrow_wide(n_val, n_doc, w_seg, w_doc, k=8)
+    best = None
+    for tile, tile_b in ((16384, 4), (16384, 2), (8192, 0)):
+        try:
+            vt, it = combine_narrow_wide_tiled(
+                n_val, n_doc, w_seg, w_doc, k=8, tile=tile,
+                tile_b=tile_b)
+            ok = bool(np.allclose(np.asarray(vt), np.asarray(vx),
+                                  rtol=1e-5, atol=1e-5))
+            log(f"tile={tile} tile_b={tile_b}: parity "
+                f"{'OK' if ok else 'MISMATCH'}")
+            results[f"cfg:t{tile},tb{tile_b}"] = {"ok": ok}
+            if ok and best is None:
+                best = (tile, tile_b)
+        except Exception as e:
+            log(f"tile={tile} tile_b={tile_b}: FAIL {str(e)[:160]}")
+            results[f"cfg:t{tile},tb{tile_b}"] = {
+                "ok": False, "err": str(e)[:300]}
+    if best is None:
+        json.dump(results, open(
+            "benchmarks/results_wide_probe7.json", "w"), indent=1)
+        return
+    tile, tile_b = best
+    log(f"timing with tile={tile} tile_b={tile_b}")
+
+    for g, ww in shapes:
+        n_val, n_doc = full_rows(g, wn, 3000)
+        w_seg, w_doc = full_rows(g, ww, min(ww // 2 - 8, ww - 8))
+        for form, fn in (("tiled", None), ("xla", None)):
+            name = f"{form}:g{g},ww{ww}"
+
+            def step(i, n_val=n_val, n_doc=n_doc, w_seg=w_seg,
+                     w_doc=w_doc, form=form):
+                if form == "tiled":
+                    s, ii = combine_narrow_wide_tiled(
+                        jnp.roll(n_val, i, axis=0),
+                        jnp.roll(n_doc, i, axis=0), w_seg, w_doc, k=8,
+                        tile=tile, tile_b=tile_b)
+                else:
+                    s, ii = combine_narrow_wide(
+                        jnp.roll(n_val, i, axis=0),
+                        jnp.roll(n_doc, i, axis=0), w_seg, w_doc, k=8)
+                return s.sum() + ii.sum().astype(jnp.float32) * 0.0
+
+            timeit(name, step)
+
+    with open("benchmarks/results_wide_probe7.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -148,30 +148,34 @@ def tiled_topk(seg: jax.Array, doc: jax.Array, k: int,
     return v2, i2
 
 
-# One combine tile: the narrow row (<= _TILE lanes) merges against one
-# _TILE-lane chunk of the wide row inside the fused VMEM kernel — the
-# 2*_TILE=32768-lane whole-row form with unroll=1 merge loops.
-_TILE = 1 << 14
+# One combine tile: an _TILE-lane narrow chunk merges against one
+# _TILE-lane wide tile inside the fused VMEM kernel at 2*_TILE=16384
+# lanes — the kernel's proven production width (w=32768 fails Mosaic
+# scoped-VMEM even in the top-k form with unroll=1; probe7, v5e).
+_TILE = 1 << 13
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "window", "interpret", "tile"))
+                   static_argnames=("k", "window", "interpret", "tile",
+                                    "tile_b"))
 def combine_narrow_wide_tiled(n_val, n_doc, w_seg, w_doc, k: int,
                               window: int = 12, interpret: bool = False,
-                              tile: int = _TILE):
-    """Exact combine through the fused Pallas kernel, one wide TILE at
-    a time. The XLA merge form (combine_narrow_wide) bounces every
-    bitonic stage through HBM (~17 passes at W=128k); here each
-    (narrow row, wide tile) pair merges entirely in VMEM.
+                              tile: int = _TILE, tile_b: int = 0):
+    """Exact combine through the fused Pallas kernel, one (narrow
+    chunk, wide tile) PAIR at a time. The XLA merge form
+    (combine_narrow_wide) bounces every bitonic stage through HBM
+    (~17 passes at W=128k); here each pair merges entirely in VMEM at
+    2*tile lanes — the fused kernel's proven production width.
 
-    Exactness: the wide row is merge_segsum_full output, so a doc's
-    COMPLETE wide sum sits in one valid lane (duplicates carry 0) —
-    the tile containing that lane sees the doc's exact total (narrow
-    rows ride along whole), every other tile sees an underestimate
-    (narrow-only, or zero-lane runs), and per-tile top-k therefore
-    covers the true top-k: if k tile-values beat a doc in its exact
-    tile, k exact totals beat it globally. dedup_topk folds the
-    (G, tiles*k) candidates, keeping each doc's max (= exact) copy."""
+    Exactness: both sides are merge_segsum_full-style output, so a
+    doc's COMPLETE partial sum per side sits in ONE valid lane
+    (duplicates carry 0). The (chunk, tile) pair holding both valid
+    lanes sees the doc's exact total; every other pair sees an
+    underestimate (one-sided or zero-lane runs). Per-pair top-k
+    therefore covers the true top-k — if k pair-values beat a doc in
+    its exact pair, k exact totals beat it globally — and dedup_topk
+    folds the (G, pairs*k) candidates keeping each doc's max (= exact)
+    copy."""
     from tpurag.kernels.bm25_pallas import merge_segsum_topk
 
     g, wn = n_val.shape
@@ -179,28 +183,36 @@ def combine_narrow_wide_tiled(n_val, n_doc, w_seg, w_doc, k: int,
     cn = jnp.where(n_val > NEG_INF / 2, n_val, 0.0)
     cw = jnp.where(w_seg > NEG_INF / 2, w_seg, 0.0)
     dn, dw = n_doc, w_doc
-    if wn < tile:
-        dn = jnp.pad(dn, ((0, 0), (0, tile - wn)), constant_values=_BIG)
-        cn = jnp.pad(cn, ((0, 0), (0, tile - wn)))
-    if ww < tile:
-        dw = jnp.pad(dw, ((0, 0), (0, tile - ww)), constant_values=_BIG)
-        cw = jnp.pad(cw, ((0, 0), (0, tile - ww)))
-        ww = tile
-    tiles = ww // tile
-    # (G, tiles, 2*tile) rows: [narrow asc | wide tile flipped] — each
-    # row bitonic at block size 2*tile, the kernel's starting stage.
+    if wn % tile:
+        pad = tile - wn % tile
+        dn = jnp.pad(dn, ((0, 0), (0, pad)), constant_values=_BIG)
+        cn = jnp.pad(cn, ((0, 0), (0, pad)))
+        wn += pad
+    if ww % tile:
+        pad = tile - ww % tile
+        dw = jnp.pad(dw, ((0, 0), (0, pad)), constant_values=_BIG)
+        cw = jnp.pad(cw, ((0, 0), (0, pad)))
+        ww += pad
+    nc, wt = wn // tile, ww // tile
+    # (G, nc, wt, 2*tile) rows: [narrow chunk asc | wide tile flipped]
+    # — each row bitonic at block size 2*tile, the kernel's starting
+    # merge stage.
     def cat(narrow, wide):
-        nb = jnp.broadcast_to(narrow[:, None, :], (g, tiles, tile))
-        wt = jnp.flip(wide.reshape(g, tiles, tile), axis=2)
-        return jnp.concatenate([nb, wt], axis=2).reshape(
-            g * tiles, 2 * tile)
+        nb = jnp.broadcast_to(
+            narrow.reshape(g, nc, 1, tile), (g, nc, wt, tile))
+        wt_a = jnp.broadcast_to(
+            jnp.flip(wide.reshape(g, 1, wt, tile), axis=3),
+            (g, nc, wt, tile))
+        return jnp.concatenate([nb, wt_a], axis=3).reshape(
+            g * nc * wt, 2 * tile)
 
     doc = cat(dn, dw)
     con = cat(cn, cw)
     v, i = merge_segsum_topk(doc, con, k=k, p=tile, t=window,
-                             unroll=1, interpret=interpret)
-    return dedup_topk(v.reshape(g, tiles * k), i.reshape(g, tiles * k),
-                      k)
+                             unroll=1, tile_b=tile_b,
+                             interpret=interpret)
+    return dedup_topk(v.reshape(g, nc * wt * k),
+                      i.reshape(g, nc * wt * k), k)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "window"))
