@@ -354,18 +354,22 @@ def main():
         # slots parked (bucketw 0); wide side compacts wide terms into
         # pow2(t_w) slots at the class's own width.
         n_const, w_const = [], []
+        w_nw = []      # per wide class: host tuple of member narrow widths
         wn_max = 16
         if len(hard):
             nb = np.where(is_wide, 0, tb_q)          # (b, t) narrow view
             nr = np.where(is_wide, 0, term_row[tid] + 1).astype(np.int32)
             n_pmax = np.array([_ladder_width(max(p, 16))
                                for p in nb[hard].max(axis=1)])
+            nw_of = {}
             for p in sorted(set(n_pmax.tolist())):
                 sel = hard[n_pmax == p]
                 n_const.append(group_const(
                     p, sel, nb[sel], nr[sel],
                     np.where(is_wide[sel], 0, idf_all[sel])))
                 wn_max = max(wn_max, p * t_query)
+                for bi in sel:
+                    nw_of[int(bi)] = p * t_query
             w_counts = is_wide[hard].sum(axis=1)
             w_pmax = np.where(is_wide[hard], tb_q[hard], 0).max(axis=1)
             w_tw = np.array([_next_pow2(c) for c in w_counts])
@@ -383,6 +387,7 @@ def main():
                     ri[gi, : len(slots)] = term_row[tid[bi, slots]] + 1
                     idf[gi, : len(slots)] = idf_all[bi, slots]
                 w_const.append(group_const(p_w, sel, bw, ri, idf))
+                w_nw.append(tuple(nw_of.get(int(bi), 16) for bi in sel))
             log(f"b={b} hard classes: narrow "
                 + ",".join(f"p{p}" for p, *_ in
                            [(c[0],) for c in n_const])
@@ -396,9 +401,11 @@ def main():
         # that the remote-compile tunnel must ship with the program
         # (measured: the 200MB corpus constant dominated cold-compile
         # time; a 4GB constant outright breaks the tunnel).
-        def split_const(const):
+        def split_const(const, nws=None):
             meta = [(p_max, n_real, bw.shape[1])
-                    for p_max, _, n_real, bw, *_ in const]
+                    + ((nws[ci],) if nws else ())
+                    for ci, (p_max, _, n_real, bw, *_)
+                    in enumerate(const)]
             arrs = tuple((sel, bw, ri, idf)
                          for _, sel, _, bw, ri, idf in const)
             return meta, arrs
@@ -414,10 +421,11 @@ def main():
 
         n_const = _slice_env("TPURAG_BENCH_NSLICE", n_const)
         w_const = _slice_env("TPURAG_BENCH_WSLICE", w_const)
+        w_nw = _slice_env("TPURAG_BENCH_WSLICE", w_nw)
 
         class_meta, class_arrs = split_const(class_const)
         n_meta, n_arrs = split_const(n_const)
-        w_meta, w_arrs = split_const(w_const)
+        w_meta, w_arrs = split_const(w_const, nws=w_nw)
         class_arrs = (class_arrs, n_arrs, w_arrs,
                       jnp.asarray(hard.astype(np.int32)))
 
@@ -459,13 +467,17 @@ def main():
             if w_meta and "wide" not in skip:
                 # Hard queries: exact narrow+wide split (wide_flow).
                 def flow_classes(meta, arrs):
-                    return [(p_max, t_c, sel, n_real,
-                             jnp.roll(bw_g, i, axis=0),
-                             jnp.roll(row_g, i, axis=0),
-                             jnp.roll(idf_g, i, axis=0))
-                            for (p_max, n_real, t_c),
-                                (sel, bw_g, row_g, idf_g)
-                            in zip(meta, arrs)]
+                    out = []
+                    for m, (sel, bw_g, row_g, idf_g) in zip(meta, arrs):
+                        p_max, n_real, t_c = m[:3]
+                        cls = (p_max, t_c, sel, n_real,
+                               jnp.roll(bw_g, i, axis=0),
+                               jnp.roll(row_g, i, axis=0),
+                               jnp.roll(idf_g, i, axis=0))
+                        if len(m) > 3:   # wide classes carry member
+                            cls += (m[3],)   # narrow widths (host)
+                        out.append(cls)
+                    return out
 
                 wf_s, wf_i = wide_flow(
                     flow_classes(n_meta, carrs_n),

@@ -44,6 +44,7 @@ import dataclasses
 import functools
 import json
 import math
+import os
 import pathlib
 import re
 
@@ -54,6 +55,7 @@ import numpy as np
 from tpurag.core.config import BM25Config
 from tpurag.ingest.tokenizer import tokenize, tokenize_query
 from tpurag.kernels.bm25 import rank_compat, segsum_topk_candidates
+from tpurag.kernels import bm25_join
 from tpurag.kernels.bm25_join import (combine_narrow_wide,
                                       combine_narrow_wide_tiled)
 from tpurag.kernels.bm25_pallas import (merge_segsum_full,
@@ -178,14 +180,19 @@ def wide_flow(n_classes, w_classes, h: int, kk: int, wn_max: int, mats,
     _score_wide where each _class_full_rows call is itself jitted).
 
     n_classes/w_classes: lists of (p_max, t, sel, n_real, bucketw,
-    rowid, idf) — sel (g,) int32 positions into the h-row output,
-    n_real <= g the unpadded member count. Narrow classes fill an
-    (h, wn_max) full-row buffer; each wide class then combines against
-    its members' narrow rows (kernels/bm25_join). Returns (h, kk)
+    rowid, idf[, nw]) — sel (g,) int32 positions into the h-row
+    output, n_real <= g the unpadded member count, nw (optional, wide
+    classes) a HOST tuple of per-member narrow row widths. Narrow
+    classes fill an (h, wn_max) full-row buffer; the wide classes then
+    combine against their members' narrow rows — on the Pallas path
+    all classes' (narrow chunk, wide tile) pair rows batch into ONE
+    fused kernel call, each member at its OWN narrow chunk count
+    (kernels/bm25_join.combine_pairs_batched). Returns (h, kk)
     scores/ids."""
     n_val = jnp.full((h, wn_max), NEG_INF, jnp.float32)
     n_doc = jnp.full((h, wn_max), _BIG, jnp.int32)
-    for (p_max, t, sel, n_real, bw, ri, idf) in n_classes:
+    for cls in n_classes:
+        (p_max, t, sel, n_real, bw, ri, idf) = cls[:7]
         seg, doc_s = _class_full_rows(
             bw, ri, idf, mats, p_max=p_max, t=t, widths=widths,
             use_pallas=use_pallas, cbits=cbits)
@@ -197,13 +204,47 @@ def wide_flow(n_classes, w_classes, h: int, kk: int, wn_max: int, mats,
                             constant_values=_BIG)
         n_val = n_val.at[sel].set(seg[:n_real])
         n_doc = n_doc.at[sel].set(doc_s[:n_real])
-    scores = jnp.full((h, kk), NEG_INF, jnp.float32)
-    ids = jnp.full((h, kk), -1, jnp.int32)
     # One doc spans at most max_narrow_t + wide_t lanes across the two
     # merged sides (once per query-term slot per side) — the static
     # window for the shift-add segment sum inside the combine.
     max_tn = max((t for (_, t, *_) in n_classes), default=0)
-    for (p_max, t, sel, n_real, bw, ri, idf) in w_classes:
+    mode = os.environ.get("TPURAG_WIDE_COMBINE", "batched")
+    if use_pallas and mode == "batched" and w_classes:
+        tile = bm25_join._TILE
+        jobs = []
+        max_tw = 0
+        for cls in w_classes:
+            (p_max, t, sel, n_real, bw, ri, idf) = cls[:7]
+            nw = cls[7] if len(cls) > 7 else None
+            max_tw = max(max_tw, t)
+            w_seg, w_doc = _class_full_rows(
+                bw, ri, idf, mats, p_max=p_max, t=t, widths=widths,
+                use_pallas=use_pallas, cbits=cbits)
+            w_con = jnp.where(w_seg > NEG_INF / 2, w_seg, 0.0)
+            if w_seg.shape[1] % tile:
+                pad = tile - w_seg.shape[1] % tile
+                w_doc = jnp.pad(w_doc, ((0, 0), (0, pad)),
+                                constant_values=_BIG)
+                w_con = jnp.pad(w_con, ((0, 0), (0, pad)))
+            if nw is None:
+                nc_groups = {max(1, -(-wn_max // tile)):
+                             list(range(n_real))}
+            else:
+                nc_groups = {}
+                for j in range(n_real):
+                    nc = max(1, -(-int(nw[j]) // tile))
+                    nc_groups.setdefault(nc, []).append(j)
+            jobs.append((w_con[:n_real], w_doc[:n_real], sel,
+                         nc_groups))
+        return bm25_join.combine_pairs_batched(
+            n_val, n_doc, jobs, h=h, k=kk,
+            window=max(2, max_tn + max_tw), tile=tile,
+            unroll=int(os.environ.get("TPURAG_WIDE_UNROLL", "0")),
+            tile_b=int(os.environ.get("TPURAG_WIDE_TILE_B", "0")))
+    scores = jnp.full((h, kk), NEG_INF, jnp.float32)
+    ids = jnp.full((h, kk), -1, jnp.int32)
+    for cls in w_classes:
+        (p_max, t, sel, n_real, bw, ri, idf) = cls[:7]
         w_seg, w_doc = _class_full_rows(
             bw, ri, idf, mats, p_max=p_max, t=t, widths=widths,
             use_pallas=use_pallas, cbits=cbits)
@@ -754,16 +795,28 @@ class InvertedIndex:
                    _next_pow2(max(len(tids), 1)))
             w_groups.setdefault(key, []).append(hi)
 
-        def to_class_list(groups, rows_of):
+        # Per-member narrow row width (its narrow class's t*p) — lets
+        # the batched combine pair each member with only its OWN
+        # narrow chunks instead of the global wn_max buffer.
+        nw_of = {}
+        for (p, t), members in n_groups.items():
+            for hi in members:
+                nw_of[hi] = p * t
+
+        def to_class_list(groups, rows_of, with_nw=False):
             out = []
             for (p_max, t_max), members in groups.items():
                 bw, ri, idf = class_inputs(members, rows_of, t_max)
                 sel = jnp.asarray(np.asarray(members, np.int32))
-                out.append((p_max, t_max, sel, len(members), bw, ri, idf))
+                cls = (p_max, t_max, sel, len(members), bw, ri, idf)
+                if with_nw:
+                    cls += (tuple(nw_of.get(hi, 16) for hi in members),)
+                out.append(cls)
             return out
 
         return wide_flow(to_class_list(n_groups, narrow_rows),
-                         to_class_list(w_groups, wide_rows),
+                         to_class_list(w_groups, wide_rows,
+                                       with_nw=True),
                          h=h, kk=kk, wn_max=wn_max, mats=layout.mats,
                          widths=layout.widths, use_pallas=use_pallas,
                          cbits=cbits)

@@ -40,6 +40,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpurag.kernels.runtime import NEG_INF
 
@@ -153,6 +154,102 @@ def tiled_topk(seg: jax.Array, doc: jax.Array, k: int,
 # lanes — the kernel's proven production width (w=32768 fails Mosaic
 # scoped-VMEM even in the top-k form with unroll=1; probe7, v5e).
 _TILE = 1 << 13
+
+
+def pair_rows(n_val, n_doc, w_con, w_doc, nc: int, tile: int = _TILE):
+    """All-pairs bitonic rows for the tiled combine: (gs, nc*tile)
+    narrow x (gs, wt*tile) wide -> (gs*nc*wt, 2*tile) rows, each
+    [narrow chunk ascending | wide tile flipped] — bitonic at block
+    size 2*tile, the fused kernel's starting merge stage. Inputs carry
+    CONTRIBUTIONS (invalid lanes already zeroed), docs ascending with
+    parked lanes at 2^30."""
+    gs = n_val.shape[0]
+    wt = w_con.shape[1] // tile
+
+    def cat(narrow, wide):
+        nb = jnp.broadcast_to(
+            narrow.reshape(gs, nc, 1, tile), (gs, nc, wt, tile))
+        wb = jnp.broadcast_to(
+            jnp.flip(wide.reshape(gs, 1, wt, tile), axis=3),
+            (gs, nc, wt, tile))
+        return jnp.concatenate([nb, wb], axis=3).reshape(
+            gs * nc * wt, 2 * tile)
+
+    return cat(n_doc, w_doc), cat(n_val, w_con)
+
+
+def combine_pairs_batched(n_val, n_doc, jobs, h: int, k: int,
+                          window: int, tile: int = _TILE,
+                          interpret: bool = False, unroll: int = 0,
+                          tile_b: int = 0):
+    """Exact narrow+wide combine for EVERY wide class in ONE fused
+    kernel call. The per-class tiled combine (combine_narrow_wide_tiled)
+    paid a kernel dispatch + grid ramp per (class) and padded every
+    narrow row to the global wn_max; here all (narrow chunk, wide tile)
+    pair rows are uniform (2*tile)-lane rows, so they concatenate into
+    a single (R, 2*tile) merge_segsum_topk launch, and each member
+    contributes only ceil(own_narrow_width / tile) chunks — members
+    from a 2048-lane narrow class stop paying for a 16384-lane buffer.
+
+    jobs: list of (w_con, w_doc, sel, nc_groups) per wide class —
+    w_con/w_doc (g, wt*tile) doc-ascending segsummed rows
+    (contributions zeroed at invalid lanes, parked doc=2^30), sel (g,)
+    int32 device rows into the (h, k) output, nc_groups a host dict
+    {nc: [member indices]} partitioning range(n_real) by narrow chunk
+    count. Exactness is the per-pair coverage argument of
+    combine_narrow_wide_tiled (each doc's two complete per-side sums
+    meet in exactly one pair; dedup keeps the max = exact copy);
+    dropping all-parked narrow chunks is exact because a chunk beyond
+    a member's own narrow width holds no real docs. `window` bounds
+    one doc's lane span across the two sides combined — callers pass
+    global max_narrow_t + max_wide_t (a larger window only adds
+    zero-contribution shift-adds)."""
+    from tpurag.kernels.bm25_pallas import merge_segsum_topk
+
+    docs, cons, places = [], [], []
+    nrows = 0
+    cn_all = jnp.where(n_val > NEG_INF / 2, n_val, 0.0)
+    for (w_con, w_doc, sel, nc_groups) in jobs:
+        wt = w_con.shape[1] // tile
+        for nc, idxs in sorted(nc_groups.items()):
+            ii = jnp.asarray(np.asarray(idxs, np.int32))
+            ssel = sel[ii]
+            nv, nd = cn_all[ssel], n_doc[ssel]
+            want = nc * tile
+            if nv.shape[1] >= want:
+                nv, nd = nv[:, :want], nd[:, :want]
+            else:
+                padn = want - nv.shape[1]
+                nv = jnp.pad(nv, ((0, 0), (0, padn)))
+                nd = jnp.pad(nd, ((0, 0), (0, padn)),
+                             constant_values=_BIG)
+            d_r, c_r = pair_rows(nv, nd, w_con[ii], w_doc[ii], nc, tile)
+            places.append((ssel, len(idxs), nc * wt, nrows))
+            nrows += len(idxs) * nc * wt
+            docs.append(d_r)
+            cons.append(c_r)
+    if not places:
+        return (jnp.full((h, k), NEG_INF, jnp.float32),
+                jnp.full((h, k), -1, jnp.int32))
+    all_doc = docs[0] if len(docs) == 1 else jnp.concatenate(docs, 0)
+    all_con = cons[0] if len(cons) == 1 else jnp.concatenate(cons, 0)
+    v, i = merge_segsum_topk(all_doc, all_con, k=k, p=tile, t=window,
+                             unroll=unroll, tile_b=tile_b,
+                             interpret=interpret)
+    max_pairs = max(npairs for (_, _, npairs, _) in places)
+    cand_v = jnp.full((h, max_pairs * k), NEG_INF, jnp.float32)
+    cand_i = jnp.full((h, max_pairs * k), -1, jnp.int32)
+    for (ssel, gs, npairs, start) in places:
+        vv = v[start:start + gs * npairs].reshape(gs, npairs * k)
+        ij = i[start:start + gs * npairs].reshape(gs, npairs * k)
+        if npairs < max_pairs:
+            padc = (max_pairs - npairs) * k
+            vv = jnp.pad(vv, ((0, 0), (0, padc)),
+                         constant_values=NEG_INF)
+            ij = jnp.pad(ij, ((0, 0), (0, padc)), constant_values=-1)
+        cand_v = cand_v.at[ssel].set(vv)
+        cand_i = cand_i.at[ssel].set(ij)
+    return dedup_topk(cand_v, cand_i, k)
 
 
 @functools.partial(jax.jit,
