@@ -248,6 +248,30 @@ def main():
             out[f"hybrid_ivf_b{bb}_ms"] = round(min(ts) * 1e3, 2)
             out[f"hybrid_ivf_b{bb}_first_s"] = round(first, 1)
             out[f"hybrid_ivf_b{bb}_hits"] = sum(len(x.results) for x in r)
+
+        # -- hybrid recall@10: production-nprobe hybrid vs the same
+        # hybrid with a FULL-PROBE dense leg (the only approximation in
+        # mode='hybrid_ivf' is the IVF probe set — BM25 and RRF are
+        # exact — so full-probe hybrid is the oracle, mirroring the
+        # dense-only "recall at equal memory" accounting above) -------
+        def hybrid_ids(nprobe_val):
+            old = ivf.config
+            ivf.config = dataclasses.replace(old, n_probe=nprobe_val)
+            try:
+                r = kb.search_batch(qtexts[:b], top_k=k,
+                                    mode="hybrid_ivf", vectors=qv[:b])
+            finally:
+                ivf.config = old
+            return [[h.chunk_id for h in x.results] for x in r]
+
+        got_h = hybrid_ids(out.get("gate", {}).get("nprobe", 64))
+        t0 = time.time()
+        oracle_h = hybrid_ids(ivf.n_lists)
+        log(f"full-probe hybrid oracle: {time.time() - t0:.1f}s")
+        rec_h = np.mean([len(set(g) & set(o)) / max(len(o), 1)
+                         for g, o in zip(got_h, oracle_h)])
+        out["hybrid_recall_at_10"] = round(float(rec_h), 4)
+        log(f"hybrid_ivf recall@10 vs full-probe hybrid: {rec_h:.4f}")
     print(json.dumps(out, indent=2))
 
 
