@@ -91,7 +91,11 @@ def main():
                                    min_capacity=int(round_up(n, 2048))),
         ivf=dataclasses.replace(cfg.ivf, n_lists=n_lists),
     )
-    work = pathlib.Path("/tmp/kb10m")
+    # Work dir suffixed by (n, d): a concurrent smoke run at another
+    # size must never truncate this run's emb.npy memmap out from
+    # under it (observed: a 20k-row CPU smoke sharing /tmp/kb10m
+    # killed a 10M ingest at the build stage).
+    work = pathlib.Path(f"/tmp/kb10m_{n}_{d}")
     work.mkdir(exist_ok=True)
     snap = work / f"kb_{n}_{d}_{n_lists}{'' if keyword else '_nokw'}"
     rng = np.random.default_rng(0)
