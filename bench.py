@@ -377,6 +377,10 @@ def main():
                                for p, t in zip(w_pmax, w_tw)}):
                 p_w, t_w = key
                 sel = hard[(w_pmax == p_w) & (w_tw == t_w)]
+                # Sort members by narrow width: the batched combine's
+                # nc groups become contiguous runs -> slice, not gather.
+                sel = np.asarray(sorted(
+                    sel, key=lambda bi: nw_of.get(int(bi), 16)))
                 g = len(sel)
                 bw = np.zeros((g, t_w), np.int32)
                 ri = np.zeros((g, t_w), np.int32)

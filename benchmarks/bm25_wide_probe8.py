@@ -1,0 +1,241 @@
+"""Bisect the round-5 batched-combine first-exec device fault.
+
+The composite 1M bench faults on first exec with the batched wide
+combine (TPURAG_WIDE_COMBINE=batched, both unroll=0 and unroll=1,
+single-launch and 512-row-chunked) while the per-class combine runs
+clean at the same shapes. This probe reproduces bench.py's EXACT
+b=1024 class/member structure (same rng(0) stream as probe5) and runs
+ONE wide_flow variant per process (a device fault wedges the jax
+runtime, so variants cannot share a process):
+
+  python benchmarks/bm25_wide_probe8.py VARIANT
+    perclass     control: TPURAG_WIDE_COMBINE=perclass
+    batched      batched with per-member nw pruning (the bench config)
+    batched-nonw batched, no nw (every member at nc=wn_max/tile)
+    batched-u0   batched + full-unroll merge loops
+    batched-r128 batched + TPURAG_WIDE_MAXROWS=128
+
+Appends {variant: {ok, ms|err}} to results_wide_probe8.json.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import os
+
+    variant = sys.argv[1] if len(sys.argv) > 1 else "batched"
+    os.environ.pop("XLA_FLAGS", None)
+    env = {
+        "perclass": {"TPURAG_WIDE_COMBINE": "perclass"},
+        "batched": {},
+        "batched-nonw": {},
+        "batched-u0": {"TPURAG_WIDE_UNROLL": "0"},
+        "batched-r128": {"TPURAG_WIDE_MAXROWS": "128"},
+        "batched-roll": {},
+        "perclass-roll": {"TPURAG_WIDE_COMBINE": "perclass"},
+        "batched-full": {},
+        "perclass-full": {"TPURAG_WIDE_COMBINE": "perclass"},
+    }[variant]
+    os.environ.update(env)
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = pathlib.Path(__file__).parent.parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from bench import WIDTH_LADDER, _ladder_width, _next_pow2
+    from tpurag.index.inverted import packed_cbits, wide_flow
+
+    log("backend=", jax.default_backend(), "variant=", variant)
+
+    n_full = 1_000_000
+    n = 2048
+    d, t_query, k = 1024, 8, 8
+    vocab = max(50_000, int(5_000 * (n_full / 100_000) ** 0.5) * 10)
+    df_max = int(2048 * n_full / 100_000)
+    rng = np.random.default_rng(0)
+    _ = rng.standard_normal((n, d)).astype(np.float32)
+
+    df = np.clip((df_max * (1 + np.arange(vocab)) ** -0.5), 16, df_max
+                 ).astype(np.int64)
+    term_bucket = np.zeros(vocab, np.int32)
+    term_row = np.zeros(vocab, np.int32)
+    by_width: dict[int, list[int]] = {}
+    for tidx in range(vocab):
+        wdt = max(_next_pow2(int(df[tidx])), 16)
+        term_bucket[tidx] = wdt
+        term_row[tidx] = len(by_width.setdefault(wdt, []))
+        by_width[wdt].append(tidx)
+    big = 2**30
+    widths = tuple(sorted(by_width))
+    mats = []
+    nnz = 0
+    t0 = time.perf_counter()
+    for wdt in widths:
+        tids_w = by_width[wdt]
+        doc_mat = np.full((len(tids_w) + 1, wdt), big, np.int32)
+        imp_mat = np.zeros((len(tids_w) + 1, wdt), np.float32)
+        for row, tidx in enumerate(tids_w):
+            m = int(df[tidx])
+            docs = np.sort(rng.choice(n_full, m, replace=False
+                                      ).astype(np.int32))
+            imps = rng.uniform(0.3, 2.2, m).astype(np.float32)
+            doc_mat[row + 1, :m] = docs
+            imp_mat[row + 1, :m] = imps
+            nnz += m
+        mats.append((jnp.asarray(doc_mat), jnp.asarray(imp_mat)))
+    mats = tuple(mats)
+    log(f"postings: nnz={nnz} ({time.perf_counter() - t0:.0f}s)")
+
+    b = 1024
+    WIDE_W = WIDTH_LADDER[-1]
+    tid = rng.choice(vocab, size=(b, t_query),
+                     p=(lambda w: w / w.sum())(
+                         (1 + np.arange(vocab)) ** -0.7))
+    tb_q = term_bucket[tid]
+    is_wide = tb_q > WIDE_W
+    hard = np.where(is_wide.any(axis=1))[0]
+    _q = rng.standard_normal((b, d)).astype(np.float32)
+    idf_all = rng.uniform(0.5, 3.0, (b, t_query)).astype(np.float32)
+
+    def group_const(p_max, sel, bw, ri, idf):
+        gb = max(8, -(-len(sel) // 8) * 8)
+        pad = gb - len(sel)
+        if pad:
+            bw = np.pad(bw, ((0, pad), (0, 0)))
+            ri = np.pad(ri, ((0, pad), (0, 0)))
+            idf = np.pad(idf, ((0, pad), (0, 0)))
+        return (int(p_max), jnp.asarray(sel.astype(np.int32)),
+                len(sel), jnp.asarray(bw), jnp.asarray(ri),
+                jnp.asarray(idf))
+
+    n_const, w_const, w_nw = [], [], []
+    wn_max = 16
+    nb = np.where(is_wide, 0, tb_q)
+    nr = np.where(is_wide, 0, term_row[tid] + 1).astype(np.int32)
+    n_pmax = np.array([_ladder_width(max(p, 16))
+                       for p in nb[hard].max(axis=1)])
+    nw_of = {}
+    for p in sorted(set(n_pmax.tolist())):
+        sel = hard[n_pmax == p]
+        n_const.append(group_const(
+            p, sel, nb[sel], nr[sel],
+            np.where(is_wide[sel], 0, idf_all[sel])))
+        wn_max = max(wn_max, p * t_query)
+        for bi in sel:
+            nw_of[int(bi)] = p * t_query
+    w_counts = is_wide[hard].sum(axis=1)
+    w_pmax = np.where(is_wide[hard], tb_q[hard], 0).max(axis=1)
+    w_tw = np.array([_next_pow2(c) for c in w_counts])
+    for key in sorted({(int(p), int(t)) for p, t in zip(w_pmax, w_tw)}):
+        p_w, t_w = key
+        sel = hard[(w_pmax == p_w) & (w_tw == t_w)]
+        g = len(sel)
+        bw = np.zeros((g, t_w), np.int32)
+        ri = np.zeros((g, t_w), np.int32)
+        idf = np.zeros((g, t_w), np.float32)
+        for gi, bi in enumerate(sel):
+            slots = np.where(is_wide[bi])[0]
+            bw[gi, : len(slots)] = tb_q[bi, slots]
+            ri[gi, : len(slots)] = term_row[tid[bi, slots]] + 1
+            idf[gi, : len(slots)] = idf_all[bi, slots]
+        w_const.append(group_const(p_w, sel, bw, ri, idf))
+        w_nw.append(tuple(nw_of.get(int(bi), 16) for bi in sel))
+    log(f"hard={len(hard)} wide classes: "
+        + ", ".join(f"(p{c[0]},t{c[3].shape[1]})xg{c[3].shape[0]}"
+                    for c in w_const))
+
+    cbits = packed_cbits(n_full)
+    iters = int(os.environ.get("PROBE8_ITERS", "10"))
+
+    def flow_classes(const, nws=None):
+        return [(p_max, bw.shape[1], sel, n_real, bw, ri, idf)
+                + ((nws[ci],) if nws else ())
+                for ci, (p_max, sel, n_real, bw, ri, idf)
+                in enumerate(const)]
+
+    nws = None if variant == "batched-nonw" else w_nw
+
+    def flow_classes_rolled(const, i, nws=None):
+        # bench.py's anti-hoisting: rotate every class input by the
+        # loop counter (sel fixed) — the composite-only difference.
+        return [(p_max, bw.shape[1], sel, n_real,
+                 jnp.roll(bw, i, axis=0), jnp.roll(ri, i, axis=0),
+                 jnp.roll(idf, i, axis=0))
+                + ((nws[ci],) if nws else ())
+                for ci, (p_max, sel, n_real, bw, ri, idf)
+                in enumerate(const)]
+
+    hard_sel = jnp.asarray(hard.astype(np.int32))
+
+    def full_step(i):
+        if variant.endswith("-roll") or variant.endswith("-full"):
+            ncl = flow_classes_rolled(n_const, i)
+            wcl = flow_classes_rolled(w_const, i, nws=nws)
+        else:
+            ncl = flow_classes(n_const)
+            wcl = flow_classes(w_const, nws=nws)
+        s, ii = wide_flow(ncl, wcl,
+                          h=b, kk=k, wn_max=wn_max, mats=mats,
+                          widths=widths, use_pallas=True,
+                          cbits=cbits)
+        if variant.endswith("-full"):
+            # bench.py's exact step tail (skip=dense,simple): scatter
+            # the wide ids into the keyword candidate table + RRF.
+            from tpurag.kernels.fusion import rrf_fuse
+
+            v_i = jnp.full((b, k), -1, jnp.int32)
+            k_i_full = jnp.full((b, k), -1, jnp.int32)
+            k_i_full = k_i_full.at[hard_sel].set(ii[hard_sel])
+            fs, fids, _ = rrf_fuse((v_i, k_i_full), weights=(1.0, 1.0),
+                                   final_k=k)
+            return fs.sum()
+        return s.sum() + ii.sum().astype(jnp.float32) * 0.0
+
+    @jax.jit
+    def chained(x0):
+        return jax.lax.fori_loop(
+            0, iters, lambda i, acc: acc + full_step(i), x0)
+
+    res_path = pathlib.Path("benchmarks/results_wide_probe8.json")
+    results = (json.loads(res_path.read_text())
+               if res_path.exists() else {})
+    t0 = time.perf_counter()
+    try:
+        float(chained(jnp.float32(0.0)))
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            float(chained(jnp.float32(0.0)))
+            ts.append((time.perf_counter() - t1) / iters)
+        ms = float(np.median(ts) * 1e3)
+        log(f"{variant}: {ms:.2f} ms/iter (compile+first {compile_s:.0f}s)")
+        results[variant] = {"ok": True, "ms": ms,
+                            "compile_s": round(compile_s, 1)}
+    except Exception as e:
+        log(f"{variant}: FAIL {type(e).__name__}: {str(e)[:300]}")
+        results[variant] = {"ok": False, "err": str(e)[:300]}
+    res_path.write_text(json.dumps(results, indent=1))
+    print(json.dumps({variant: results[variant]}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

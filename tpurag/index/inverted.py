@@ -239,7 +239,7 @@ def wide_flow(n_classes, w_classes, h: int, kk: int, wn_max: int, mats,
         return bm25_join.combine_pairs_batched(
             n_val, n_doc, jobs, h=h, k=kk,
             window=max(2, max_tn + max_tw), tile=tile,
-            unroll=int(os.environ.get("TPURAG_WIDE_UNROLL", "0")),
+            unroll=int(os.environ.get("TPURAG_WIDE_UNROLL", "1")),
             tile_b=int(os.environ.get("TPURAG_WIDE_TILE_B", "0")))
     scores = jnp.full((h, kk), NEG_INF, jnp.float32)
     ids = jnp.full((h, kk), -1, jnp.int32)
@@ -806,6 +806,11 @@ class InvertedIndex:
         def to_class_list(groups, rows_of, with_nw=False):
             out = []
             for (p_max, t_max), members in groups.items():
+                if with_nw:
+                    # Sorted by narrow width: the batched combine's nc
+                    # groups become contiguous runs -> slice, no gather.
+                    members = sorted(members,
+                                     key=lambda hi: nw_of.get(hi, 16))
                 bw, ri, idf = class_inputs(members, rows_of, t_max)
                 sel = jnp.asarray(np.asarray(members, np.int32))
                 cls = (p_max, t_max, sel, len(members), bw, ri, idf)

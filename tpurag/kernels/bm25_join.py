@@ -37,6 +37,7 @@ parity-test reference.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -212,8 +213,20 @@ def combine_pairs_batched(n_val, n_doc, jobs, h: int, k: int,
     for (w_con, w_doc, sel, nc_groups) in jobs:
         wt = w_con.shape[1] // tile
         for nc, idxs in sorted(nc_groups.items()):
-            ii = jnp.asarray(np.asarray(idxs, np.int32))
-            ssel = sel[ii]
+            # Callers sort class members by narrow width, so each nc
+            # group is a contiguous index run and selects by SLICE —
+            # a gather-of-gather (sel[ii] with sel a traced argument)
+            # is exactly the indexing pattern the composite bench
+            # faults on (round-4 bisect: "the fault lives in the
+            # real-data flow (gathers)").
+            a, e = idxs[0], idxs[-1] + 1
+            if list(idxs) == list(range(a, e)):
+                ssel = sel[a:e]
+                wcon_g, wdoc_g = w_con[a:e], w_doc[a:e]
+            else:
+                ii = jnp.asarray(np.asarray(idxs, np.int32))
+                ssel = sel[ii]
+                wcon_g, wdoc_g = w_con[ii], w_doc[ii]
             nv, nd = cn_all[ssel], n_doc[ssel]
             want = nc * tile
             if nv.shape[1] >= want:
@@ -223,7 +236,7 @@ def combine_pairs_batched(n_val, n_doc, jobs, h: int, k: int,
                 nv = jnp.pad(nv, ((0, 0), (0, padn)))
                 nd = jnp.pad(nd, ((0, 0), (0, padn)),
                              constant_values=_BIG)
-            d_r, c_r = pair_rows(nv, nd, w_con[ii], w_doc[ii], nc, tile)
+            d_r, c_r = pair_rows(nv, nd, wcon_g, wdoc_g, nc, tile)
             places.append((ssel, len(idxs), nc * wt, nrows))
             nrows += len(idxs) * nc * wt
             docs.append(d_r)
@@ -231,11 +244,24 @@ def combine_pairs_batched(n_val, n_doc, jobs, h: int, k: int,
     if not places:
         return (jnp.full((h, k), NEG_INF, jnp.float32),
                 jnp.full((h, k), -1, jnp.int32))
-    all_doc = docs[0] if len(docs) == 1 else jnp.concatenate(docs, 0)
-    all_con = cons[0] if len(cons) == 1 else jnp.concatenate(cons, 0)
-    v, i = merge_segsum_topk(all_doc, all_con, k=k, p=tile, t=window,
-                             unroll=unroll, tile_b=tile_b,
-                             interpret=interpret)
+    # Launch in bounded-row chunks: one R~2500-row launch measured a
+    # first-exec device fault on v5e where the same rows split across
+    # <=512-row launches (the per-class combine's proven call sizes)
+    # run clean — same context-dependent Mosaic fragility the round-4
+    # full-row form hit, sidestepped rather than fought.
+    max_rows = int(os.environ.get("TPURAG_WIDE_MAXROWS", "512"))
+    outs_v, outs_i = [], []
+    for d_r, c_r in zip(docs, cons):
+        r = d_r.shape[0]
+        for s in range(0, r, max_rows):
+            e = min(s + max_rows, r)
+            vv, ii2 = merge_segsum_topk(
+                d_r[s:e], c_r[s:e], k=k, p=tile, t=window,
+                unroll=unroll, tile_b=tile_b, interpret=interpret)
+            outs_v.append(vv)
+            outs_i.append(ii2)
+    v = outs_v[0] if len(outs_v) == 1 else jnp.concatenate(outs_v, 0)
+    i = outs_i[0] if len(outs_i) == 1 else jnp.concatenate(outs_i, 0)
     max_pairs = max(npairs for (_, _, npairs, _) in places)
     cand_v = jnp.full((h, max_pairs * k), NEG_INF, jnp.float32)
     cand_i = jnp.full((h, max_pairs * k), -1, jnp.int32)
