@@ -35,10 +35,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 # (formal document word, casual query word) — disjoint registers.
 SYNONYMS = [
